@@ -1,0 +1,444 @@
+"""MiniLake — an Iceberg-semantics lake table backend.
+
+The sandbox has no Iceberg runtime jar (no network), so the engine's sink
+is written against a small table interface with Iceberg semantics
+implemented on Parquet data files + atomic JSON snapshot manifests:
+
+- **Atomic snapshot commits** — a commit writes new data files, then a new
+  manifest version via ``O_CREAT|O_EXCL`` (optimistic CAS: a concurrent
+  committer loses and gets :class:`CommitConflict`), then swaps the
+  ``CURRENT`` pointer with an atomic rename. Readers only ever see a
+  complete snapshot. This is the reference's single-transaction
+  truncate+insert discipline (/root/reference/utils/load.py:213-271)
+  generalized to snapshot isolation.
+- **Exactly-once fencing** — the snapshot carries per-stream-lineage
+  batch-id high-water marks (``engine.fences``); ``merge(batch_id=...,
+  stream_id=...)`` no-ops when that lineage already applied the batch.
+  Fence state is read from the *same* snapshot version the commit CASes
+  against, so a retried driver can never double-apply (SURVEY.md §7).
+  Batch ids are only stable *within* one source lineage (one Structured
+  Streaming checkpoint, one replay driver config) — fencing across
+  lineages would silently skip unapplied data, so a new lineage starts
+  its own fence and relies on the LWW apply being idempotent
+  (at-least-once delivery x idempotent merge = exactly-once effect).
+- **Key-bucket partitioning** — rows hash into ``pmod(xxhash64(conv_id),
+  n_buckets)`` buckets (Iceberg's ``bucket(N, conv_id)`` transform). A
+  MERGE rewrites **only the buckets the batch touches** — the partition-
+  pruning property that makes merge-on-write viable at 100 TB: cost scales
+  with touched data, not table size. The bucket id is derived from the
+  key, never stored, so files stay pure-logical.
+- **Tombstone retention** — deletes are rows with ``_deleted=true`` and
+  their ``_lsn``, filtered from the read view. A late stale update (lower
+  LSN) loses LWW against the tombstone and can never resurrect the key;
+  hard removal happens only in ``compact()``.
+- **Additive schema evolution** — ``add_columns`` bumps the manifest
+  schema; old files are read through schema projection (missing column →
+  null), exactly Iceberg's add-column semantics. No data rewrite.
+
+On a real cluster the same engine code runs against real Iceberg by
+swapping this class for a thin ``MERGE INTO`` wrapper (same interface);
+see ``lake/iceberg_backend.py``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.lww import lww_reduce
+from ..schema import (
+    BUCKET_COL,
+    DELETED_COL,
+    INTERNAL_COLS,
+    LSN_COL,
+    schema_from_manifest,
+    schema_to_manifest,
+)
+
+FENCES_PROP = "engine.fences"  # {stream_id: batch-id high-water}
+HIGHWATER_PROP = FENCES_PROP  # backwards-compat alias for importers
+MAX_LSN_PROP = "engine.max-lsn"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the manifest version we raced for."""
+
+
+@dataclass
+class MergeResult:
+    skipped: bool
+    version: int
+    snapshot_id: str
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    buckets_touched: int = 0
+    wall_ms: float = 0.0
+
+
+class MiniLakeTable:
+    """One lake table rooted at a directory. Cheap to construct; all state
+    lives in the manifest files."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------------------------------------------------------------- DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        properties: dict | None = None,
+    ) -> "MiniLakeTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        manifest = {
+            "version": 1,
+            "snapshot_id": str(uuid.uuid4()),
+            "parent_snapshot_id": None,
+            "schema": schema_to_manifest(schema),
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "buckets": {},
+            "properties": {FENCES_PROP: {}, MAX_LSN_PROP: -1,
+                           **(properties or {})},
+            "stats": {"live_rows": 0, "tombstones": 0},
+            "committed_at": time.time(),
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "metadata", "CURRENT"))
+
+    # ------------------------------------------------------------ manifest
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:06d}.json")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """CAS-commit a manifest: O_EXCL create of the version file (lose
+        the race → CommitConflict), then atomic CURRENT pointer swap."""
+        version = manifest["version"]
+        path = self._manifest_path(version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"manifest v{version} already committed by another writer"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.meta_dir, "CURRENT"))
+
+    # ------------------------------------------------------------- schema
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return schema_from_manifest(self.manifest(version)["schema"])
+
+    def physical_read_schema(self, version: int | None = None) -> T.StructType:
+        """Logical schema + bookkeeping cols (what data files contain)."""
+        s = self.schema(version)
+        return T.StructType(
+            list(s.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), False),
+                T.StructField(DELETED_COL, T.BooleanType(), False),
+            ]
+        )
+
+    def add_columns(self, new_fields: list[T.StructField]) -> int:
+        """Additive schema evolution: append columns to the manifest
+        schema in a new snapshot. Existing files read them as null via
+        schema projection — no data rewrite (Iceberg add-column
+        semantics). Rejects non-additive changes."""
+        m = self.manifest()
+        schema = schema_from_manifest(m["schema"])
+        existing = {f.name for f in schema.fields}
+        for f in new_fields:
+            if f.name in existing:
+                raise ValueError(f"column {f.name} already exists")
+            if f.name.startswith("_"):
+                raise ValueError(f"reserved column name {f.name}")
+        new_schema = T.StructType(list(schema.fields) + list(new_fields))
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["schema"] = schema_to_manifest(new_schema)
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
+    # -------------------------------------------------------------- reads
+
+    def _bucket_expr(self, key_col: str, n_buckets: int):
+        # Iceberg bucket(N, col) analog: stable hash → non-negative mod.
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+    def _read_files(
+        self, dirs: list[str], version: int | None = None
+    ) -> DataFrame:
+        schema = self.physical_read_schema(version)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    def read_physical(self, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        dirs = [d for ds in m["buckets"].values() for d in ds]
+        return self._read_files(dirs, version=m["version"])
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The logical read view: live rows only, bookkeeping hidden."""
+        m = self.manifest(version)
+        cols = [f.name for f in schema_from_manifest(m["schema"]).fields]
+        return (
+            self.read_physical(version)
+            .filter(~F.col(DELETED_COL))
+            .select(*cols)
+        )
+
+    def snapshot_props(self) -> dict:
+        return self.manifest()["properties"]
+
+    def history(self) -> list[dict]:
+        versions = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        )
+        return [self.manifest(v) for v in versions]
+
+    # -------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        stream_id: str = "default",
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        assert_unique_keys: bool = False,
+    ) -> MergeResult:
+        """Apply a (LWW-pre-reduced) change batch as a key-partitioned
+        MERGE: tombstone DELETE / UPDATE / INSERT in one atomic snapshot.
+
+        ``source`` columns: key cols + payload cols (⊆ table schema) +
+        ``lsn`` + ``op``. **Must contain at most one row per key** — use
+        :func:`operators.lww.lww_reduce` first (MERGE-source uniqueness,
+        as real Iceberg enforces).
+
+        Equivalent Iceberg SQL (runs verbatim on the real backend)::
+
+            MERGE INTO t USING s
+            ON  t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' AND s.lsn > t._lsn THEN DELETE
+            WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+
+        (with tombstones retained as soft-delete rows so out-of-order
+        stale updates lose; see module docstring).
+        """
+        t0 = time.time()
+        base = self.manifest()  # fence + CAS base: the SAME snapshot
+        version = base["version"]
+        highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
+        if batch_id <= highwater:
+            return MergeResult(
+                skipped=True, version=version, snapshot_id=base["snapshot_id"]
+            )
+
+        key_cols = base["key_cols"]
+        n_buckets = base["n_buckets"]
+        table_schema = schema_from_manifest(base["schema"])
+        payload_cols = [f.name for f in table_schema.fields if f.name not in key_cols]
+
+        missing = [
+            f.name
+            for f in table_schema.fields
+            if f.name not in source.columns and f.name not in key_cols
+        ]
+        src = source
+        for c in missing:  # columns the batch predates (schema evolution)
+            src = src.withColumn(
+                c, F.lit(None).cast(dict(zip(table_schema.names, table_schema.fields))[c].dataType)
+            )
+
+        if assert_unique_keys:
+            dup = (
+                src.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError("merge source has multiple rows per key")
+
+        batch_phys = src.select(
+            *key_cols,
+            *[F.col(c) for c in payload_cols],
+            F.col(lsn_col).cast("long").alias(LSN_COL),
+            (F.col(op_col) == "D").alias(DELETED_COL),
+        )
+
+        # Partition pruning: only buckets present in the batch get touched.
+        bexpr = self._bucket_expr(key_cols[0], n_buckets)
+        batch_phys = batch_phys.withColumn(BUCKET_COL, bexpr)
+        touched = sorted(
+            r[0] for r in batch_phys.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return MergeResult(
+                skipped=True, version=version, snapshot_id=base["snapshot_id"]
+            )
+
+        current_dirs = [
+            d for b in touched for d in base["buckets"].get(str(b), [])
+        ]
+        current = self._read_files(current_dirs, version=version).withColumn(
+            BUCKET_COL, bexpr
+        )
+
+        # LWW across {current state ∪ batch} per key — one hash-agg shuffle,
+        # partial-aggregated map-side. Tombstones survive as rows.
+        merged = lww_reduce(
+            current.unionByName(batch_phys),
+            keys=key_cols,
+            order_col=LSN_COL,
+            payload_cols=payload_cols + [DELETED_COL, BUCKET_COL],
+        )
+
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, f"commit-{version + 1:06d}-{commit_id}")
+        (
+            merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+        new_buckets = dict(base["buckets"])
+        written_dirs = []
+        for b in touched:
+            bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.exists(bucket_dir):
+                new_buckets[str(b)] = [bucket_dir]
+                written_dirs.append(bucket_dir)
+            else:
+                new_buckets[str(b)] = []
+
+        # Stats from the written files (bucket dirs read directly so no
+        # partition-discovery column sneaks into the explicit schema).
+        stats_row = self._read_files(written_dirs, version=version).agg(
+            F.count(F.when(~F.col(DELETED_COL), 1)).alias("live"),
+            F.count(F.when(F.col(DELETED_COL), 1)).alias("dead"),
+            F.max(LSN_COL).alias("max_lsn"),
+        ).collect()[0]
+
+        untouched_live = base["stats"].get("live_rows", 0)
+        m2 = {
+            "version": version + 1,
+            "snapshot_id": str(uuid.uuid4()),
+            "parent_snapshot_id": base["snapshot_id"],
+            "schema": base["schema"],
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "buckets": new_buckets,
+            "properties": {
+                **base["properties"],
+                FENCES_PROP: {
+                    **base["properties"].get(FENCES_PROP, {}),
+                    stream_id: batch_id,
+                },
+                MAX_LSN_PROP: max(
+                    base["properties"].get(MAX_LSN_PROP, -1),
+                    int(stats_row["max_lsn"] or -1),
+                ),
+            },
+            "stats": {
+                # exact recount of touched buckets + carry-over is done in
+                # compact(); keep merge cheap with written-file stats only
+                "live_rows": int(stats_row["live"]),
+                "tombstones": int(stats_row["dead"]),
+                "stats_scope": "touched_buckets_only" if len(touched) < n_buckets
+                else "full",
+            },
+            "committed_at": time.time(),
+        }
+        self._write_manifest(m2)
+        return MergeResult(
+            skipped=False,
+            version=m2["version"],
+            snapshot_id=m2["snapshot_id"],
+            rows_upserted=int(stats_row["live"]),
+            rows_deleted=int(stats_row["dead"]),
+            buckets_touched=len(touched),
+            wall_ms=(time.time() - t0) * 1000,
+        )
+
+    # ------------------------------------------------------------ compact
+
+    def compact(self, drop_tombstones: bool = True) -> int:
+        """Rewrite all buckets into fresh files; optionally hard-delete
+        tombstones (safe once no straggler events below max LSN remain)."""
+        base = self.manifest()
+        version = base["version"]
+        n_buckets = base["n_buckets"]
+        key0 = base["key_cols"][0]
+        df = self.read_physical()
+        if drop_tombstones:
+            df = df.filter(~F.col(DELETED_COL))
+        df = df.withColumn(BUCKET_COL, self._bucket_expr(key0, n_buckets))
+        out_dir = os.path.join(
+            self.data_dir, f"compact-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
+        )
+        (
+            df.repartition(n_buckets, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets = {}
+        for b in range(n_buckets):
+            bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.exists(bucket_dir):
+                new_buckets[str(b)] = [bucket_dir]
+        m2 = dict(base)
+        m2["version"] = version + 1
+        m2["parent_snapshot_id"] = base["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["buckets"] = new_buckets
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]

@@ -1,0 +1,104 @@
+"""Last-writer-wins reduction — the CDC core operator.
+
+Generalizes the reference's whole-row dedup (keep first occurrence,
+/root/reference/utils/transform.py:224-231) to per-key **last-writer-wins
+by LSN** (order-critical, BASELINE.json north_rule): for each
+``(conv_id, turn_idx)`` keep the event with the highest ``lsn``.
+
+Physical strategy — scale notes:
+
+- ``max_by(struct(*payload), lsn)`` group aggregation, NOT a
+  ``row_number`` window. A window forces a full shuffle + per-partition
+  sort of *all* events; hash aggregation gets map-side partial
+  aggregation for free, so each input partition collapses its local
+  duplicates per key before anything crosses the wire. At 10^10 events
+  with heavy per-key update traffic this is the difference between
+  shuffling 10^10 rows and shuffling ~|distinct keys| rows.
+- Partial aggregation is also the built-in skew defense: a hot
+  ``conv_id`` collapses to ≤1 row per map task before the shuffle.
+  The explicit **salted two-phase** variant exists for the adversarial
+  case (one hot key spread across thousands of map tasks whose partials
+  still all land on one reducer) and per north_rule's explicit-skew-
+  handling requirement.
+- MERGE-source uniqueness: downstream MERGE requires ≤1 source row per
+  target key (Iceberg throws on multiple matches) — this reduce is
+  correctness-critical, not an optimization (SURVEY.md §7).
+- Duplicate delivery (same lsn twice, identical rows) collapses here
+  too: ties on ``lsn`` pick an arbitrary winner among identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def lww_reduce(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "lsn",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per key: the payload of the highest-``order_col`` event.
+
+    Output columns: ``keys + payload_cols + [order_col]``.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in df.columns if c not in keys and c != order_col]
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload_cols]), F.col(order_col))
+    agg = df.groupBy(*keys).agg(
+        winner.alias("_w"), F.max(order_col).alias(order_col)
+    )
+    return agg.select(
+        *keys, *[F.col("_w")[c].alias(c) for c in payload_cols], order_col
+    )
+
+
+def lww_reduce_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "lsn",
+    payload_cols: list[str] | None = None,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Explicit two-phase salted LWW for adversarial key skew.
+
+    Phase 1 groups by ``(keys..., salt)`` where the salt spreads one hot
+    key over ``n_salts`` reducers; phase 2 reduces the ≤``n_salts``
+    partials per key. Same result as :func:`lww_reduce` (property-tested);
+    trades one extra (tiny) shuffle for bounded reducer fan-in.
+
+    The salt is derived from ``order_col`` (deterministic, uniform across
+    a key's events) — NOT random, so retries/replays salt identically.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in df.columns if c not in keys and c != order_col]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts)))
+    partial = lww_reduce(salted, keys + ["_salt"], order_col, payload_cols)
+    return lww_reduce(partial.drop("_salt"), keys, order_col, payload_cols)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    keys: list[str],
+    threshold_fraction: float = 0.05,
+    sample_fraction: float = 0.01,
+    min_sample_rows: int = 10_000,
+) -> bool:
+    """Cheap per-batch skew probe: sample the batch and check whether any
+    single key exceeds ``threshold_fraction`` of sampled rows. Used by the
+    apply path to switch to the salted reduce. Sampling keeps the probe
+    O(sample) — never a full count-by-key of the batch.
+    """
+    sample = df.sample(fraction=sample_fraction, seed=7)
+    counts = (
+        sample.groupBy(*keys)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    if not counts["total"] or counts["total"] < min_sample_rows:
+        return False
+    return (counts["mx"] / counts["total"]) >= threshold_fraction

@@ -1,0 +1,84 @@
+"""Schemas for the CDC engine.
+
+The logical data model (authoritative per BASELINE.json:input_hint):
+
+- ``transcripts`` lake table: multi-turn conversation/agent transcripts,
+  primary key ``(conv_id, turn_idx)``.
+- ``change_events`` stream: one row per I/U/D change, totally ordered by
+  ``lsn`` (the binlog/WAL position — the analog of the reference's page
+  order, /root/reference/utils/extract.py:206).
+
+``tool`` is the additive-evolution column: pre-evolution changelog files
+lack it entirely; the engine propagates it to the table schema in-flight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- logical transcript table schema (v1 = post-evolution) ---------------
+
+KEY_COLS = ["conv_id", "turn_idx"]
+PAYLOAD_COLS = ["role", "text", "tool", "ts"]
+PAYLOAD_COLS_V0 = ["role", "text", "ts"]  # before `tool` exists
+
+TRANSCRIPT_FIELDS = [
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+]
+TRANSCRIPT_SCHEMA = T.StructType(TRANSCRIPT_FIELDS)
+TRANSCRIPT_SCHEMA_V0 = T.StructType(
+    [f for f in TRANSCRIPT_FIELDS if f.name != "tool"]
+)
+
+# --- change-event stream schema ------------------------------------------
+
+OPS = ("I", "U", "D")
+
+CHANGE_EVENT_FIELDS = [
+    T.StructField("lsn", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("conv_id", T.StringType(), True),  # null => dead-letter
+    T.StructField("turn_idx", T.IntegerType(), True),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("source_part", T.IntegerType(), True),
+]
+CHANGE_EVENT_SCHEMA = T.StructType(CHANGE_EVENT_FIELDS)
+CHANGE_EVENT_SCHEMA_V0 = T.StructType(
+    [f for f in CHANGE_EVENT_FIELDS if f.name != "tool"]
+)
+
+# --- engine-internal bookkeeping columns ----------------------------------
+# Kept in the physical table, filtered from the read view. `_deleted`
+# retains tombstones with their LSN so a late stale update (lower LSN)
+# can never resurrect a deleted key (SURVEY.md §7 hard parts).
+
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+BUCKET_COL = "_bucket"
+INTERNAL_COLS = [LSN_COL, DELETED_COL, BUCKET_COL]
+
+
+def physical_fields(logical_fields: list[T.StructField]) -> list[T.StructField]:
+    """Logical fields + engine bookkeeping columns (in stable order)."""
+    return list(logical_fields) + [
+        T.StructField(LSN_COL, T.LongType(), False),
+        T.StructField(DELETED_COL, T.BooleanType(), False),
+        T.StructField(BUCKET_COL, T.IntegerType(), False),
+    ]
+
+
+def schema_to_manifest(schema: T.StructType) -> dict:
+    """Manifest-serializable schema (Spark's own JSON representation)."""
+    return schema.jsonValue()
+
+
+def schema_from_manifest(obj: dict) -> T.StructType:
+    return T.StructType.fromJson(obj)

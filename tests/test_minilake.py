@@ -1,0 +1,162 @@
+"""MiniLake table semantics: atomic commits, fencing, tombstones,
+bucket pruning, schema evolution, time travel, compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_spark.lake.minilake import (
+    CommitConflict,
+    FENCES_PROP,
+    MiniLakeTable,
+)
+from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA_V0
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _table(spark, tmp_path, n_buckets=8):
+    return MiniLakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA_V0,
+        key_cols=KEYS,
+        n_buckets=n_buckets,
+    )
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+
+
+def test_create_and_empty_read(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    assert t.read().count() == 0
+    assert t.current_version() == 1
+    assert t.snapshot_props()[FENCES_PROP] == {}
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    r1 = t.merge(
+        _src(spark, [("a", 0, "user", "hello", None, 1, "I"),
+                     ("a", 1, "assistant", "hi", None, 2, "I")]),
+        batch_id=0,
+    )
+    assert not r1.skipped and r1.rows_upserted == 2
+    r2 = t.merge(
+        _src(spark, [("a", 0, "user", "hello v2", None, 3, "U"),
+                     ("a", 1, None, None, None, 4, "D")]),
+        batch_id=1,
+    )
+    assert not r2.skipped
+    state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert state == {("a", 0): "hello v2"}
+    # tombstone retained physically
+    phys = t.read_physical().filter(F.col("_deleted")).collect()
+    assert len(phys) == 1 and phys[0]["turn_idx"] == 1
+
+
+def test_fencing_skips_replayed_batch(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = _src(spark, [("a", 0, "user", "v1", None, 1, "I")])
+    t.merge(src, batch_id=0)
+    v = t.current_version()
+    res = t.merge(
+        _src(spark, [("a", 0, "user", "OVERWRITE", None, 99, "U")]), batch_id=0
+    )
+    assert res.skipped
+    assert t.current_version() == v
+    assert t.read().collect()[0]["text"] == "v1"
+
+
+def test_stale_update_cannot_resurrect_tombstone(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [("a", 0, "user", "v1", None, 50, "I")]), batch_id=0)
+    t.merge(_src(spark, [("a", 0, None, None, None, 100, "D")]), batch_id=1)
+    # stale update with lower LSN arrives in a later batch
+    t.merge(_src(spark, [("a", 0, "user", "zombie", None, 90, "U")]), batch_id=2)
+    assert t.read().count() == 0
+
+
+def test_bucket_pruning_touches_only_affected_buckets(spark, tmp_path):
+    t = _table(spark, tmp_path, n_buckets=16)
+    rows = [(f"c{i}", 0, "user", f"t{i}", None, i + 1, "I") for i in range(200)]
+    t.merge(_src(spark, rows), batch_id=0)
+    m0 = t.manifest()
+    # single-key batch → merge must rewrite exactly 1 bucket
+    res = t.merge(
+        _src(spark, [("c7", 0, "user", "updated", None, 1000, "U")]), batch_id=1
+    )
+    assert res.buckets_touched == 1
+    m1 = t.manifest()
+    changed = [
+        b for b in m1["buckets"] if m1["buckets"][b] != m0["buckets"].get(b)
+    ]
+    assert len(changed) == 1
+    state = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert state["c7"] == "updated" and state["c3"] == "t3"
+    assert len(state) == 200
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [("a", 0, "user", "pre", None, 1, "I")]), batch_id=0)
+    t.add_columns([T.StructField("tool", T.StringType(), True)])
+    assert "tool" in [f.name for f in t.schema().fields]
+    # pre-evolution rows read tool as NULL (schema projection, no rewrite)
+    row = t.read().collect()[0]
+    assert row["tool"] is None
+    # post-evolution merge carries the new column
+    src = spark.createDataFrame(
+        [("b", 0, "assistant", "post", "search", None, 2, "I")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, lsn long, op string",
+    )
+    t.merge(src, batch_id=1)
+    state = {r["conv_id"]: r["tool"] for r in t.read().collect()}
+    assert state == {"a": None, "b": "search"}
+    # non-additive rejected
+    with pytest.raises(ValueError):
+        t.add_columns([T.StructField("text", T.StringType(), True)])
+
+
+def test_commit_conflict_cas(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    m = t.manifest()
+    m2 = dict(m)
+    m2["version"] = m["version"] + 1
+    t._write_manifest(m2)
+    m3 = dict(m)
+    m3["version"] = m["version"] + 1
+    with pytest.raises(CommitConflict):
+        t._write_manifest(m3)
+
+
+def test_time_travel_and_compact(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [("a", 0, "user", "v1", None, 1, "I")]), batch_id=0)
+    v_after_first = t.current_version()
+    t.merge(_src(spark, [("a", 0, None, None, None, 2, "D")]), batch_id=1)
+    assert t.read().count() == 0
+    assert t.read(version=v_after_first).count() == 1  # time travel
+    t.compact(drop_tombstones=True)
+    assert t.read_physical().count() == 0
+    assert t.read().count() == 0
+    assert len(t.history()) >= 4
+
+
+def test_merge_source_uniqueness_assert(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    dup = _src(
+        spark,
+        [("a", 0, "user", "x", None, 1, "I"), ("a", 0, "user", "y", None, 2, "U")],
+    )
+    with pytest.raises(ValueError):
+        t.merge(dup, batch_id=0, assert_unique_keys=True)
