@@ -1,1 +1,1 @@
-from . import cleaning  # noqa: F401
+from . import cleaning, text, vectors  # noqa: F401

@@ -1,1 +1,1 @@
-from . import lww, validate  # noqa: F401
+from . import dedup, lww, multimodal, similarity, validate  # noqa: F401

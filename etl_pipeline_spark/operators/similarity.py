@@ -1,0 +1,118 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+Two paths, per the standard recall/throughput trade:
+
+- :func:`cosine_topk_bruteforce` — exact top-k. The query side is tiny
+  and **broadcast**, so the plan is a broadcast nested-loop with the
+  corpus streamed once — no shuffle of the corpus, scales linearly with
+  corpus size and is embarrassingly parallel across partitions.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: corpus and
+  queries hash to sign-pattern buckets; candidates = same bucket (plus
+  optional multi-probe neighbor buckets); exact cosine re-rank inside
+  the bucket. Shuffle is an equi-join on the bucket id — O(n), not
+  O(n·q). The scale path when q is large.
+
+All vector math is built-in higher-order functions (functions/vectors),
+JVM-side; no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, bits_to_bucket, cosine, simhash_bits
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Output: query_id, neighbor_id, rank, cosine_sim. Ties broken by
+    neighbor_id for determinism. Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_to) if round_to else cosine(
+        F.col("qv"), F.col("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constant)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bits_to_bucket(simhash_bits(v, planes)).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket; exact cosine
+    re-rank within bucket. Recall rises with fewer planes / multi-probe;
+    cost is one equi-join shuffle on bucket."""
+    cb = lsh_bucketize(corpus, planes, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qb = lsh_bucketize(queries, planes, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    joined = (
+        cb.alias("c")
+        .join(qb.alias("q"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    sim = F.round(
+        cosine(as_double(F.col(f"q.{vec_col}")), as_double(F.col(f"c.{vec_col}"))), 6
+    )
+    scored = joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

@@ -1,0 +1,823 @@
+"""Driver-contract query suite.
+
+Each entry exists twice, in lockstep:
+
+- ``QUERIES[name]``: a callable ``(spark, sf_dir) -> DataFrame`` built on
+  the engine's operators (the thing being graded), and
+- ``ORACLE_SQL[name]``: the equivalent ANSI SQL DuckDB runs over the same
+  parquet tables (the independent referee).
+
+Design rules that keep the two engines hash-identical:
+
+- timestamps → epoch seconds (BIGINT) — sidesteps tz/precision drift.
+- every aggregate/computed column is aliased identically on both sides.
+- doubles that cross a non-deterministic summation order are ``round``-ed
+  (2-6 dp) so partial-aggregation order can't flip the hash.
+- deterministic tie-breaks on every top-k / row_number.
+- only hash functions both engines share (md5) appear in oracle-checked
+  queries; engine-internal hashing (xxhash64) stays in rows-only ops.
+
+The CDC queries derive a change-event stream from the ``events`` table
+(lsn=event_id, op from event_id mod 10 at the generator's 60/30/10 I/U/D
+mix, key=(user_id mod 100, event_id mod 20)) so both engines see the
+identical stream with zero side-channel data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.cleaning import clean_text_col
+from .functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_guess,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from .functions.vectors import as_double, cosine, l2_norm
+from .lake.minilake import MiniLakeTable
+from .operators.dedup import minhash_dedup_pairs, simhash_dup_groups
+from .operators.lww import lww_reduce
+from .operators.similarity import cosine_topk_bruteforce
+from .schema import TRANSCRIPT_SCHEMA
+from .streaming.ingest import replay_files
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- CDC ----
+
+# Shared SQL fragment: the derived change-event stream.
+CE_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_id % 10 < 6 THEN 'I'
+              WHEN event_id % 10 < 9 THEN 'U'
+              ELSE 'D' END AS op,
+         'conv-' || CAST(user_id % 100 AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         ts
+  FROM events
+"""
+
+
+def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 10 < 6, F.lit("I"))
+        .when(F.col("event_id") % 10 < 9, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        F.concat(F.lit("conv-"), (F.col("user_id") % 100).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 20).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+    )
+
+
+LWW_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final LWW table state of the derived change stream — the engine's
+    core reduction (operators/lww.py) expressed standalone."""
+    ce = derive_change_events(spark, sf_dir)
+    reduced = lww_reduce(
+        ce, keys=["conv_id", "turn_idx"], order_col="lsn",
+        payload_cols=["op", "role", "text", "ts"],
+    )
+    return reduced.filter(F.col("op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full engine replay. The derived change stream is written
+    as ordered changelog batches, replayed through validate → clean → LWW
+    → bucket-pruned MERGE into a MiniLake table (atomic snapshots,
+    fencing, tombstones), and the final table state is read back. The
+    oracle is plain LWW SQL — the engine must land on exactly that state.
+    """
+    ce = (
+        derive_change_events(spark, sf_dir)
+        .withColumn("tool", F.lit(None).cast("string"))
+        .withColumn("source_part", (F.col("lsn") % 4).cast("int"))
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_replay_")
+    try:
+        changelog = os.path.join(tmp, "changelog")
+        os.makedirs(changelog)
+        pdf = ce.orderBy("lsn").toPandas()
+        # pandas ns-precision timestamps write TIMESTAMP(NANOS) parquet,
+        # which Spark's vectorized reader rejects — downcast to micros.
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        batch = 20_000
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in range(0, max(len(pdf), 1), batch):
+            chunk = pdf.iloc[b : b + batch]
+            if len(chunk):
+                pq.write_table(
+                    pa.Table.from_pandas(chunk, preserve_index=False),
+                    os.path.join(changelog, f"batch-{b // batch:06d}.parquet"),
+                )
+        table = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"],
+            n_buckets=16,
+        )
+        replay_files(spark, changelog, table)
+        out = table.read().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        # materialize before the temp dir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC_OP_STATS_SQL = f"""
+WITH ce AS ({CE_SQL})
+SELECT op,
+       count(*) AS n_events,
+       min(lsn) AS lsn_min,
+       max(lsn) AS lsn_max,
+       count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS n_keys
+FROM ce GROUP BY op
+"""
+
+
+def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = derive_change_events(spark, sf_dir)
+    return ce.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("lsn").alias("lsn_min"),
+        F.max("lsn").alias("lsn_max"),
+        F.countDistinct(
+            F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
+        ).alias("n_keys"),
+    )
+
+
+CDC_TOMBSTONE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+)
+SELECT conv_id, count(*) AS n_tombstoned_turns
+FROM r WHERE rn = 1 AND op = 'D'
+GROUP BY conv_id
+"""
+
+
+def q_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = derive_change_events(spark, sf_dir)
+    reduced = lww_reduce(
+        ce, keys=["conv_id", "turn_idx"], order_col="lsn",
+        payload_cols=["op"],
+    )
+    return (
+        reduced.filter(F.col("op") == "D")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_tombstoned_turns"))
+    )
+
+
+CDC_DEDUP_SQL = f"""
+WITH ce AS ({CE_SQL}),
+dup AS (SELECT * FROM ce UNION ALL SELECT * FROM ce)
+SELECT conv_id, turn_idx, max(lsn) AS last_lsn, count(*) AS n_delivered
+FROM dup GROUP BY conv_id, turn_idx
+"""
+
+
+def q_cdc_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once simulation: the stream delivered twice must collapse
+    to the same per-key last-LSN (idempotent apply)."""
+    ce = derive_change_events(spark, sf_dir)
+    dup = ce.unionAll(ce)
+    return dup.groupBy("conv_id", "turn_idx").agg(
+        F.max("lsn").alias("last_lsn"), F.count(F.lit(1)).alias("n_delivered")
+    )
+
+
+CDC_CLEANED_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN lower(trim(text)) IN ('[unavailable]', 'not rated', 'n/a', '')
+            THEN NULL ELSE trim(text) END AS text_clean
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_lww_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = derive_change_events(spark, sf_dir)
+    reduced = lww_reduce(
+        ce, keys=["conv_id", "turn_idx"], order_col="lsn",
+        payload_cols=["op", "text"],
+    )
+    return reduced.filter(F.col("op") != "D").select(
+        "conv_id", "turn_idx", clean_text_col(F.col("text")).alias("text_clean")
+    )
+
+
+# ---------------------------------------------------- analytics (TPC-H) --
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q3_SQL = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)  # dims broadcast
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name
+"""
+
+
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+TOPK_PER_CUST_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT o_custkey, rnk, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "rnk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+l AS (
+  SELECT user_id, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+  FROM e
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM l
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    gapped = e.withColumn("pt", F.lag("t").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("pt").isNull() | ((F.col("t") - F.col("pt")) > 1800), 1
+        ).otherwise(0),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+HOURLY_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("long")
+        .alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------- docs ----
+
+TOKENIZE_SQL_FRAG = (
+    "list_filter(string_split_regex(lower({col}), '[^\\p{{L}}\\p{{N}}]+'),"
+    " x -> x <> '')"
+)
+
+DOCS_FP_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+DOCS_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM fp GROUP BY fp
+"""
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+DOCS_TOKEN_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKENIZE_SQL_FRAG.format(col='text')}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _sw_sql(col: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({TOKENIZE_SQL_FRAG.format(col=col)},"
+        f" x -> x IN ({words})))"
+    )
+
+
+DOCS_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len({TOKENIZE_SQL_FRAG.format(col='text')}) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS pr,
+         {_sw_sql('text', 'en')} AS swh
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n_tok / 50.0, 1.0) * 0.4
+             + (1.0 - least(CASE WHEN length(text)>0 THEN
+                 length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+                   / length(text) ELSE 0.0 END * 4, 1.0)) * 0.3
+             + least(CASE WHEN n_tok > 0 THEN swh::DOUBLE / n_tok ELSE 0.0 END * 5,
+                     1.0) * 0.3, 6) AS quality
+FROM t
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_guess_sql() -> str:
+    # mirrors functions/text.py lang_guess: argmax with en>de>fr>id priority
+    hits = {lang: _sw_sql("text", lang) for lang in STOPWORDS}
+    expr_lang, expr_hits = "'und'", "0"
+    for lang in STOPWORDS:
+        h = f"h_{lang}"
+        expr_lang = f"CASE WHEN {h} > {expr_hits} THEN '{lang}' ELSE {expr_lang} END"
+        expr_hits = f"CASE WHEN {h} > {expr_hits} THEN {h} ELSE {expr_hits} END"
+    withs = ", ".join(f"{v} AS h_{k}" for k, v in hits.items())
+    return f"""
+WITH t AS (SELECT doc_id, {withs} FROM documents)
+SELECT doc_id, {expr_lang} AS lang_guess FROM t
+"""
+
+
+DOCS_LANG_SQL = _lang_guess_sql()
+
+
+def q_docs_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+DOCS_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct({TOKENIZE_SQL_FRAG.format(col='text')}) AS ws
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.ws, b.ws))::DOUBLE
+           / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS j
+  FROM t a, t b WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, count(*) AS n_near_dups
+FROM p WHERE j >= 0.8 GROUP BY id_a
+"""
+
+
+def q_docs_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc count of near-duplicate partners by unigram Jaccard ≥ 0.8.
+    Word sets are tiny (≤ ~40 distinct from the corpus vocab), so the
+    pair join is feasible; the MinHash-LSH variant is the scale path."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(
+        F.col("doc_id"), F.array_distinct(tokens(F.col("text"))).alias("ws")
+    )
+    a = ws.alias("a")
+    b = ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            (inter.cast("double") / union).alias("j"),
+        )
+    )
+    return (
+        pairs.filter(F.col("j") >= 0.8)
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+
+
+MM_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata (the
+    decode step itself is stubbed — operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("long").alias("byte_len"),
+        F.md5(bin_col).alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------- embeddings ---
+
+EMB_NORM_SQL = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+
+def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return e.select(
+        "vec_id", "label", F.round(l2_norm(v), 6).alias("l2_norm")
+    )
+
+
+EMB_TOPK_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+  FROM v q, v c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= 5
+"""
+
+
+def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(
+        corpus=e, queries=e.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumnRenamed("rank", "rank")
+
+
+EMB_LABEL_SQL = """
+SELECT label,
+       count(*) AS n,
+       round(avg(embedding[1]::DOUBLE), 6) AS avg_first_dim,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias(
+            "avg_first_dim"
+        ),
+        F.round(F.avg(l2_norm(v)), 6).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------- rows-only (no SQL oracle) -
+
+
+def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by true Jaccard (xxhash64-based
+    — no DuckDB equivalent, rows-only check)."""
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=32, bands=8, k=1
+    )
+
+
+def q_docs_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal feature extraction (stubbed decode)."""
+    from .operators.multimodal import attach_binary, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(attach_binary(d, "doc_id", "text", "text"))
+
+
+# ------------------------------------------------------------- registry --
+
+QUERIES = {
+    "cdc_engine_replay": q_cdc_engine_replay,
+    "cdc_lww_state": q_cdc_lww_state,
+    "cdc_lww_cleaned": q_cdc_lww_cleaned,
+    "cdc_op_stats": q_cdc_op_stats,
+    "cdc_tombstones": q_cdc_tombstones,
+    "cdc_dedup_delivery": q_cdc_dedup_delivery,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_nation_revenue": q_q5_nation_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_sessionization": q_events_sessionization,
+    "events_hourly_stats": q_events_hourly_stats,
+    "events_json_extract": q_events_json_extract,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "docs_lang_guess": q_docs_lang_guess,
+    "docs_jaccard_near_dups": q_docs_jaccard_near_dups,
+    "mm_binary_meta": q_mm_binary_meta,
+    "emb_norms": q_emb_norms,
+    "emb_knn_bruteforce": q_emb_knn_bruteforce,
+    "emb_label_stats": q_emb_label_stats,
+    "docs_minhash_near_dups": q_docs_minhash_near_dups,
+    "docs_simhash_groups": q_docs_simhash_groups,
+    "mm_features": q_mm_features,
+}
+
+ORACLE_SQL = {
+    "cdc_engine_replay": LWW_STATE_SQL,
+    "cdc_lww_state": LWW_STATE_SQL,
+    "cdc_lww_cleaned": CDC_CLEANED_SQL,
+    "cdc_op_stats": CDC_OP_STATS_SQL,
+    "cdc_tombstones": CDC_TOMBSTONE_SQL,
+    "cdc_dedup_delivery": CDC_DEDUP_SQL,
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "top_orders_per_customer": TOPK_PER_CUST_SQL,
+    "events_sessionization": SESSION_SQL,
+    "events_hourly_stats": HOURLY_SQL,
+    "events_json_extract": JSON_SQL,
+    "docs_fingerprint": DOCS_FP_SQL,
+    "docs_exact_dedup": DOCS_DEDUP_SQL,
+    "docs_token_stats": DOCS_TOKEN_SQL,
+    "docs_quality": DOCS_QUALITY_SQL,
+    "docs_lang_guess": DOCS_LANG_SQL,
+    "docs_jaccard_near_dups": DOCS_JACCARD_SQL,
+    "mm_binary_meta": MM_META_SQL,
+    "emb_norms": EMB_NORM_SQL,
+    "emb_knn_bruteforce": EMB_TOPK_SQL,
+    "emb_label_stats": EMB_LABEL_SQL,
+    # docs_minhash_near_dups / docs_simhash_groups / mm_features:
+    # engine-hash-based or Arrow-UDF ops — rows-only check by design.
+}

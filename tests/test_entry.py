@@ -1,0 +1,91 @@
+"""Mini-driver: run every queries() entry against its oracle_sql() via
+DuckDB at sf0.001 — the same comparison shape the external driver uses
+(row count, column names, order-insensitive values). Catches engine/
+oracle drift before the driver does."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLES = entry_mod.oracle_sql()
+ALL_QUERIES = entry_mod.queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or str(df[c].dtype).startswith("string"):
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+        elif "float" in str(df[c].dtype):
+            df[c] = df[c].round(9)
+        elif str(df[c].dtype).startswith(("Int", "UInt", "int", "uint")):
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    q = ALL_QUERIES[name]
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    exp = _normalize(duck.execute(ORACLES[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    for col in got.columns:
+        for i, (a, b) in enumerate(zip(got[col], exp[col])):
+            assert _values_equal(a, b), (
+                f"{name}.{col}[{i}]: spark={a!r} oracle={b!r}"
+            )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(ALL_QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
