@@ -1,0 +1,186 @@
+"""Benchmark harness.
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., ...extras}
+
+Workload:
+
+1. **cdc_replay** — the engine's reason to exist: replay a synthetic
+   changelog (n_events ∝ sf, seeded, generated+cached untimed) through
+   validate → clean → LWW → bucket-pruned MERGE into a MiniLake table.
+   Reported as seconds + events/sec.
+2. The headline analytics queries from the driver contract, each forced
+   to full evaluation with the ``noop`` sink (count() alone lets Spark
+   prune the projection).
+
+Scaling evidence (north_rule: ≥0.8 efficiency from N to 4N executors;
+sandbox stand-in per driver instruction): run this script twice via
+``BENCH/scaling.py`` — it sets SPARK_GRAFT_CPUS=8 then 32 in fresh
+processes and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EVENTS_PER_SF = 200_000_000  # sf0.1 → 20M change events
+BATCH_SIZE = 5_000_000
+FILES_PER_BATCH = 2  # 10M-event micro-batches (~600MB — realistic CDC trigger size)
+
+BENCH_QUERIES = [
+    "cdc_lww_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "top_orders_per_customer",
+    "events_sessionization",
+    "events_hourly_stats",
+    "docs_exact_dedup",
+    "docs_minhash_near_dups",
+    "emb_knn_bruteforce",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def changelog_dir(n_events: int) -> str:
+    """Generate (once, cached) the bench changelog. Generation is numpy,
+    untimed — the bench measures the engine, not the generator."""
+    from etl_pipeline_spark.sources.genlog import GenConfig, write_changelog
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_bench_changelog_{n_events}_b{BATCH_SIZE}"
+    )
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        cfg = GenConfig(
+            seed=42,
+            n_events=n_events,
+            n_conversations=max(200, n_events // 400),
+            max_turns=50,
+            batch_size=BATCH_SIZE,
+            hot_key_fraction=0.2,
+            shuffle_window=1000,
+            dup_delivery_rate=0.01,
+            # dead letters are correctness-tested in tests/; at bench size a
+            # nonzero rate adds one extra (serial-cost) job per batch
+            dead_letter_rate=0.0,
+        )
+        write_changelog(cfg, path)
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_pipeline_spark.lake.minilake import MiniLakeTable
+    from etl_pipeline_spark.queries import QUERIES
+    from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+    from etl_pipeline_spark.session import get_spark
+    from etl_pipeline_spark.streaming.ingest import replay_files
+
+    sf = sf_from_dir(SF_DIR)
+    n_events = max(int(EVENTS_PER_SF * sf), 100_000)
+
+    clog = changelog_dir(n_events)  # untimed
+
+    spark = get_spark(
+        app_name=f"bench-sf{sf}-c{CPUS}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    # JVM/codegen/Python-worker warm-up (untimed): one tiny batch through
+    # the full apply pipeline into a throwaway table, so the timed replay
+    # measures steady-state throughput (a 10^10-event deployment amortizes
+    # JIT + worker spawn over thousands of batches).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    work = tempfile.mkdtemp(prefix="bench_lake_")
+    from etl_pipeline_spark.pipeline import apply_batch
+    from etl_pipeline_spark.sources.changelog import list_batch_files
+    from etl_pipeline_spark.sources.genlog import GenConfig as _GC
+    from etl_pipeline_spark.sources.genlog import write_changelog as _wc
+
+    warm_dir = os.path.join(work, "warm_clog")
+    _wc(_GC(seed=7, n_events=20_000, batch_size=20_000), warm_dir)
+    warm_table = MiniLakeTable.create(
+        spark, os.path.join(work, "warm_table"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=32, write_mode="mor",
+    )
+    apply_batch(
+        warm_table, spark.read.parquet(list_batch_files(warm_dir)[0]), 0
+    )
+    warm_table.compact(drop_tombstones=False)
+
+    timings: dict[str, float] = {}
+
+    # --- 1. CDC replay throughput -------------------------------------
+    table = MiniLakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=32,  # fixed: table layout is workload-defined, not core-count-defined
+        write_mode="mor",  # O(batch) appends + amortized compaction — the 10^10 path
+    )
+    from etl_pipeline_spark.pipeline import ApplyConfig
+
+    t0 = time.time()
+    replay_files(
+        spark, clog, table, files_per_batch=FILES_PER_BATCH,
+        cfg=ApplyConfig(lineage_level="batch"),
+    )
+    table.compact(drop_tombstones=False)  # end-of-replay fold, counted
+    replay_s = time.time() - t0
+    final_rows = table.read().count()
+    timings["cdc_replay"] = round(replay_s, 3)
+    shutil.rmtree(work, ignore_errors=True)
+
+    # --- 2. headline queries (noop sink forces full evaluation) -------
+    for name in BENCH_QUERIES:
+        q = QUERIES[name]
+        t0 = time.time()
+        q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": round(n_events / replay_s, 1),
+                "cdc_final_rows": final_rows,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

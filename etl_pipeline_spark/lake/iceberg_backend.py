@@ -1,0 +1,207 @@
+"""Real-Iceberg backend: the same table interface as MiniLakeTable,
+implemented with ``MERGE INTO`` + Iceberg SQL extensions.
+
+The sandbox image has no Iceberg runtime jar (no network, nothing under
+``$SPARK_HOME/jars``), so this class is import-gated and exercised only
+on clusters launched with e.g.::
+
+    spark-submit --py-files engine.zip \\
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \\
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+      --conf spark.sql.catalog.lake.type=hadoop \\
+      --conf spark.sql.catalog.lake.warehouse=<warehouse-uri> \\
+      run_ingest.py --backend iceberg ...
+
+Engine code (pipeline.apply_batch, streaming drivers) is backend-
+agnostic: everything it calls is on this shared interface. Semantics
+parity with MiniLakeTable:
+
+- tombstones: soft-delete rows (``_deleted``) kept in the physical
+  table, filtered by ``read()`` — identical late-stale-update behavior.
+- fencing: per-stream-lineage batch-id high-waters in a table property.
+- evolution: additive ``ALTER TABLE ... ADD COLUMN``.
+- the MERGE requires a key-unique source: callers set
+  ``ApplyConfig.pre_reduce=True`` (the LWW pre-reduce) on this backend.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schema import DELETED_COL, LSN_COL
+from .minilake import HIGHWATER_PROP, MergeResult  # fence-prop name shared
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class IcebergTable:
+    """Thin MERGE INTO wrapper with the MiniLakeTable interface."""
+
+    spark: SparkSession
+    identifier: str  # e.g. "lake.db.transcripts"
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        identifier: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        **_,
+    ) -> "IcebergTable":
+        if not iceberg_available(spark):
+            raise RuntimeError("Iceberg runtime not on the classpath")
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {identifier} "
+            f"({cols}, {LSN_COL} BIGINT, {DELETED_COL} BOOLEAN) "
+            f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {key_cols[0]})) "
+            f"TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+            f"'engine.fences'='{{}}')"
+        )
+        return cls(spark, identifier, tuple(key_cols))
+
+    # ------------------------------------------------------------- reads
+
+    def schema(self) -> T.StructType:
+        full = self.spark.table(self.identifier).schema
+        return T.StructType(
+            [f for f in full.fields if not f.name.startswith("_")]
+        )
+
+    def read(self) -> DataFrame:
+        cols = [f.name for f in self.schema().fields]
+        return (
+            self.spark.table(self.identifier)
+            .filter(f"NOT {DELETED_COL}")
+            .select(*cols)
+        )
+
+    def snapshot_props(self) -> dict:
+        rows = self.spark.sql(
+            f"SELECT * FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        props = dict(rows[0]["summary"]) if rows else {}
+        fences = json.loads(props.get("engine.fences", "{}"))
+        return {HIGHWATER_PROP: fences}
+
+    def current_version(self) -> int:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else 0
+
+    def manifest(self) -> dict:
+        return {
+            "snapshot_id": str(self.current_version()),
+            "properties": self.snapshot_props(),
+        }
+
+    # --------------------------------------------------------------- DDL
+
+    def add_columns(self, new_fields: list[T.StructField]) -> int:
+        for f in new_fields:
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} ADD COLUMN "
+                f"{f.name} {f.dataType.simpleString()}"
+            )
+        return self.current_version()
+
+    # ------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        stream_id: str = "default",
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        assert_unique_keys: bool = False,
+    ) -> MergeResult:
+        fences = self.snapshot_props()[HIGHWATER_PROP]
+        if batch_id <= fences.get(stream_id, -1):
+            return MergeResult(
+                skipped=True,
+                version=self.current_version(),
+                snapshot_id=str(self.current_version()),
+            )
+        t0 = time.time()
+        source.createOrReplaceTempView("_merge_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+        payload = [
+            f.name for f in self.schema().fields if f.name not in self.key_cols
+        ]
+        set_clause = ", ".join(
+            [f"t.{c} = s.{c}" for c in payload]
+            + [f"t.{LSN_COL} = s.{lsn_col}",
+               f"t.{DELETED_COL} = (s.{op_col} = 'D')"]
+        )
+        insert_cols = ", ".join(
+            list(self.key_cols) + payload + [LSN_COL, DELETED_COL]
+        )
+        insert_vals = ", ".join(
+            [f"s.{k}" for k in self.key_cols]
+            + [f"s.{c}" for c in payload]
+            + [f"s.{lsn_col}", f"(s.{op_col} = 'D')"]
+        )
+        # Soft-delete MERGE: tombstones become rows, never hard DELETE —
+        # same late-stale-update protection as the minilake backend.
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING _merge_src s
+            ON {on}
+            WHEN MATCHED AND s.{lsn_col} > t.{LSN_COL} THEN
+              UPDATE SET {set_clause}
+            WHEN NOT MATCHED THEN
+              INSERT ({insert_cols}) VALUES ({insert_vals})
+            """
+        )
+        fences = {**fences, stream_id: batch_id}
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+            f"('engine.fences' = '{json.dumps(fences)}')"
+        )
+        return MergeResult(
+            skipped=False,
+            version=self.current_version(),
+            snapshot_id=str(self.current_version()),
+            wall_ms=(time.time() - t0) * 1000,
+        )
+
+    def maybe_compact(self, max_files_per_bucket: int = 8):
+        # Iceberg: rewrite_data_files maintenance procedure
+        try:
+            catalog = self.identifier.split(".", 1)[0]
+            self.spark.sql(
+                f"CALL {catalog}.system.rewrite_data_files(table => "
+                f"'{self.identifier.split('.', 1)[1]}')"
+            )
+            return self.current_version()
+        except Exception:
+            return None
+
+    def compact(self, drop_tombstones: bool = False) -> int:
+        self.maybe_compact()
+        return self.current_version()

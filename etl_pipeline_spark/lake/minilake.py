@@ -49,7 +49,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -77,6 +77,7 @@ class MergeResult:
     skipped: bool
     version: int
     snapshot_id: str
+    reason: str = ""  # when skipped: "fenced" | "empty"
     rows_upserted: int = 0
     rows_deleted: int = 0
     buckets_touched: int = 0
@@ -104,7 +105,10 @@ class MiniLakeTable:
         key_cols: list[str],
         n_buckets: int = 32,
         properties: dict | None = None,
+        write_mode: str = "cow",
     ) -> "MiniLakeTable":
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -115,6 +119,7 @@ class MiniLakeTable:
             "schema": schema_to_manifest(schema),
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            "write_mode": write_mode,
             "buckets": {},
             "properties": {FENCES_PROP: {}, MAX_LSN_PROP: -1,
                            **(properties or {})},
@@ -224,14 +229,24 @@ class MiniLakeTable:
         return self._read_files(dirs, version=m["version"])
 
     def read(self, version: int | None = None) -> DataFrame:
-        """The logical read view: live rows only, bookkeeping hidden."""
+        """The logical read view: live rows only, bookkeeping hidden.
+
+        On a merge-on-read table the per-key LWW resolution happens here
+        (deltas may hold many versions of a key); copy-on-write tables
+        are already key-unique on disk and skip the shuffle."""
         m = self.manifest(version)
-        cols = [f.name for f in schema_from_manifest(m["schema"]).fields]
-        return (
-            self.read_physical(version)
-            .filter(~F.col(DELETED_COL))
-            .select(*cols)
-        )
+        schema = schema_from_manifest(m["schema"])
+        cols = [f.name for f in schema.fields]
+        phys = self.read_physical(version)
+        if m.get("write_mode", "cow") == "mor":
+            payload = [c for c in cols if c not in m["key_cols"]]
+            phys = lww_reduce(
+                phys,
+                keys=m["key_cols"],
+                order_col=LSN_COL,
+                payload_cols=payload + [DELETED_COL],
+            )
+        return phys.filter(~F.col(DELETED_COL)).select(*cols)
 
     def snapshot_props(self) -> dict:
         return self.manifest()["properties"]
@@ -279,7 +294,8 @@ class MiniLakeTable:
         highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
         if batch_id <= highwater:
             return MergeResult(
-                skipped=True, version=version, snapshot_id=base["snapshot_id"]
+                skipped=True, reason="fenced",
+                version=version, snapshot_id=base["snapshot_id"],
             )
 
         key_cols = base["key_cols"]
@@ -312,59 +328,94 @@ class MiniLakeTable:
             (F.col(op_col) == "D").alias(DELETED_COL),
         )
 
-        # Partition pruning: only buckets present in the batch get touched.
         bexpr = self._bucket_expr(key_cols[0], n_buckets)
         batch_phys = batch_phys.withColumn(BUCKET_COL, bexpr)
-        touched = sorted(
-            r[0] for r in batch_phys.select(BUCKET_COL).distinct().collect()
-        )
-        if not touched:
-            return MergeResult(
-                skipped=True, version=version, snapshot_id=base["snapshot_id"]
+        write_mode = base.get("write_mode", "cow")
+
+        if write_mode == "mor":
+            # Merge-on-read: append the batch as per-bucket DELTA files —
+            # the current state is never read, never rewritten. Per-batch
+            # cost is O(batch), not O(table): the only design that
+            # survives 10^10 events with uniform key spread (copy-on-
+            # write rewrites every touched bucket, and a uniform batch
+            # touches all of them → O(table) per batch, O(n²) total).
+            # LWW resolution moves to read()/compact(). No persist and no
+            # bucket-discovery job either — touched buckets are read off
+            # the filesystem after the ONE write job.
+            merged = batch_phys
+            touched = None  # discovered post-write
+        else:
+            # Copy-on-write needs the touched-bucket set BEFORE reading
+            # current state (partition pruning). The batch side is
+            # persisted so the upstream (scan → clean UDF) doesn't run
+            # twice — once for the distinct, once for the merge write.
+            batch_phys = batch_phys.persist()
+            touched = sorted(
+                r[0] for r in batch_phys.select(BUCKET_COL).distinct().collect()
+            )
+            if not touched:
+                batch_phys.unpersist()
+                return MergeResult(
+                    skipped=True, reason="empty",
+                    version=version, snapshot_id=base["snapshot_id"],
+                )
+            current_dirs = [
+                d for b in touched for d in base["buckets"].get(str(b), [])
+            ]
+            current = self._read_files(current_dirs, version=version).withColumn(
+                BUCKET_COL, bexpr
             )
 
-        current_dirs = [
-            d for b in touched for d in base["buckets"].get(str(b), [])
-        ]
-        current = self._read_files(current_dirs, version=version).withColumn(
-            BUCKET_COL, bexpr
-        )
+            # LWW across {current state ∪ batch} per key — one hash-agg
+            # shuffle, partial-aggregated map-side. Tombstones survive.
+            merged = lww_reduce(
+                current.unionByName(batch_phys),
+                keys=key_cols,
+                order_col=LSN_COL,
+                payload_cols=payload_cols + [DELETED_COL, BUCKET_COL],
+            )
 
-        # LWW across {current state ∪ batch} per key — one hash-agg shuffle,
-        # partial-aggregated map-side. Tombstones survive as rows.
-        merged = lww_reduce(
-            current.unionByName(batch_phys),
-            keys=key_cols,
-            order_col=LSN_COL,
-            payload_cols=payload_cols + [DELETED_COL, BUCKET_COL],
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            F.count(F.when(~F.col(DELETED_COL), 1)).alias("live"),
+            F.count(F.when(F.col(DELETED_COL), 1)).alias("dead"),
+            F.max(LSN_COL).alias("max_lsn"),
         )
-
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{version + 1:06d}-{commit_id}")
         (
-            merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            merged.repartition(
+                len(touched) if touched else n_buckets, F.col(BUCKET_COL)
+            )
             .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
+        if touched is None:  # MOR: discover written buckets from the output
+            touched = sorted(
+                int(name.split("=", 1)[1])
+                for name in os.listdir(out_dir)
+                if name.startswith(f"{BUCKET_COL}=")
+            )
+        else:
+            batch_phys.unpersist()
 
         new_buckets = dict(base["buckets"])
-        written_dirs = []
         for b in touched:
             bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-            if os.path.exists(bucket_dir):
+            if not os.path.exists(bucket_dir):
+                if write_mode == "cow":
+                    new_buckets[str(b)] = []
+                continue
+            if write_mode == "mor":  # append delta; never drop history
+                new_buckets[str(b)] = new_buckets.get(str(b), []) + [bucket_dir]
+            else:  # cow: replace the bucket's files
                 new_buckets[str(b)] = [bucket_dir]
-                written_dirs.append(bucket_dir)
-            else:
-                new_buckets[str(b)] = []
 
-        # Stats from the written files (bucket dirs read directly so no
-        # partition-discovery column sneaks into the explicit schema).
-        stats_row = self._read_files(written_dirs, version=version).agg(
-            F.count(F.when(~F.col(DELETED_COL), 1)).alias("live"),
-            F.count(F.when(F.col(DELETED_COL), 1)).alias("dead"),
-            F.max(LSN_COL).alias("max_lsn"),
-        ).collect()[0]
+        # Stats via Observation: collected during the write itself —
+        # no extra read-back job over the new files.
+        stats_row = obs.get
 
         untouched_live = base["stats"].get("live_rows", 0)
         m2 = {
@@ -374,6 +425,7 @@ class MiniLakeTable:
             "schema": base["schema"],
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            "write_mode": write_mode,
             "buckets": new_buckets,
             "properties": {
                 **base["properties"],
@@ -387,12 +439,13 @@ class MiniLakeTable:
                 ),
             },
             "stats": {
-                # exact recount of touched buckets + carry-over is done in
-                # compact(); keep merge cheap with written-file stats only
+                # exact recount happens in compact(); merges stay cheap
+                # with write-observed stats only
                 "live_rows": int(stats_row["live"]),
                 "tombstones": int(stats_row["dead"]),
-                "stats_scope": "touched_buckets_only" if len(touched) < n_buckets
-                else "full",
+                "stats_scope": "mor_delta" if write_mode == "mor" else (
+                    "touched_buckets_only" if len(touched) < n_buckets else "full"
+                ),
             },
             "committed_at": time.time(),
         }
@@ -409,6 +462,17 @@ class MiniLakeTable:
 
     # ------------------------------------------------------------ compact
 
+    def maybe_compact(self, max_files_per_bucket: int = 8) -> int | None:
+        """Amortized MOR maintenance: when any bucket's delta chain grows
+        past the threshold, fold everything back to one file per bucket
+        (tombstones kept — see compact note). Manifest check only when
+        below threshold. Returns the new version or None."""
+        m = self.manifest()
+        worst = max((len(v) for v in m["buckets"].values()), default=0)
+        if worst <= max_files_per_bucket:
+            return None
+        return self.compact(drop_tombstones=False)
+
     def compact(self, drop_tombstones: bool = True) -> int:
         """Rewrite all buckets into fresh files; optionally hard-delete
         tombstones (safe once no straggler events below max LSN remain)."""
@@ -416,8 +480,20 @@ class MiniLakeTable:
         version = base["version"]
         n_buckets = base["n_buckets"]
         key0 = base["key_cols"][0]
+        schema = schema_from_manifest(base["schema"])
         df = self.read_physical()
+        if base.get("write_mode", "cow") == "mor":
+            payload = [f.name for f in schema.fields if f.name not in base["key_cols"]]
+            df = lww_reduce(
+                df,
+                keys=base["key_cols"],
+                order_col=LSN_COL,
+                payload_cols=payload + [DELETED_COL],
+            )
         if drop_tombstones:
+            # NOTE: only safe once no straggler event below MAX_LSN can
+            # still arrive — a dropped tombstone cannot out-LWW a later
+            # stale update. Mid-stream compaction must keep tombstones.
             df = df.filter(~F.col(DELETED_COL))
         df = df.withColumn(BUCKET_COL, self._bucket_expr(key0, n_buckets))
         out_dir = os.path.join(

@@ -106,18 +106,34 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------- MinHash
 
 
-def minhash_signature(text_col, n_hashes: int = 32):
-    """array<long> of n minhash values over word shingles. Universal
-    hash family = xxhash64(shingle, seed_i) via per-i salt concat."""
-    sh = word_shingles(text_col)
+def _perm_hasher(i: int):
+    """Permutation i of the universal hash family: re-hash the base
+    64-bit shingle hash with the permutation index as a second column.
+    (NB: a default-arg lambda breaks pyspark's lambda-arity detection,
+    hence the closure factory.)"""
+    return lambda h: F.xxhash64(h, F.lit(i))
 
-    def _hasher(i: int):
-        # NB: a default-arg lambda (lambda s, _i=i: ...) breaks here —
-        # pyspark derives the lambda-variable count from the signature.
-        return lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
 
-    sigs = [F.array_min(F.transform(sh, _hasher(i))) for i in range(n_hashes)]
-    return F.array(*sigs)
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    out_col: str = "sig",
+) -> DataFrame:
+    """Append an ``array<long>`` MinHash signature column.
+
+    Staged on purpose: shingles → base hashes → n permutations. A naive
+    single expression embeds the whole shingle tree n times, which blows
+    up Catalyst analysis + codegen (measured 30s/query at n=32 — plan
+    compilation, not data). Staging keeps the tree linear: shingle+hash
+    each token string ONCE, then n cheap long→long re-hashes."""
+    staged = df.withColumn("_sh", word_shingles(F.col(text_col))).withColumn(
+        "_hs", F.transform("_sh", lambda s: F.xxhash64(s))
+    )
+    sigs = [
+        F.array_min(F.transform("_hs", _perm_hasher(i))) for i in range(n_hashes)
+    ]
+    return staged.withColumn(out_col, F.array(*sigs)).drop("_sh", "_hs")
 
 
 def minhash_lsh_candidates(
@@ -134,10 +150,9 @@ def minhash_lsh_candidates(
     cost is O(n · bands), never O(n²).
     """
     rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
-    )
+    sig = with_minhash_signature(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, n_hashes
+    ).select("id", "sig")
     banded = sig.select(
         "id",
         F.explode(
@@ -146,15 +161,10 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows + r + 1).cast(
-                                        "string"
-                                    )
-                                    for r in range(rows)
-                                ],
-                            )
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -199,27 +209,38 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(text_col) -> F.Column:
-    """64-bit SimHash over tokens: per-bit sign of the sum of token-hash
-    bits. Pure built-ins: token → xxhash64 → per-bit ±1 vote via
-    bitwise ops inside transform/aggregate."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def _simhash_from_hashes(hashes_col) -> F.Column:
+    """64-bit SimHash from a pre-staged array<long> of token hashes:
+    per-bit sign of the ±1 votes, packed little-endian."""
 
     def _voter(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0), _voter(i)) for i in range(64)
-    ]
     out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+    for i in range(64):
+        vote = F.aggregate(hashes_col, F.lit(0), _voter(i))
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash over tokens (single-expression form — prefer
+    :func:`with_simhash` on DataFrames: staging the token hashes keeps
+    the Catalyst tree from embedding the tokenizer 64 times)."""
+    return _simhash_from_hashes(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    staged = df.withColumn("_hs", F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)))
+    return staged.withColumn(out_col, _simhash_from_hashes(F.col("_hs"))).drop(
+        "_hs"
+    )
 
 
 def simhash_dup_groups(
@@ -227,9 +248,9 @@ def simhash_dup_groups(
 ) -> DataFrame:
     """Docs sharing an identical 64-bit simhash (strongest near-dup
     signal without Hamming banding)."""
+    sh = with_simhash(df.select(F.col(id_col), text_col), text_col)
     return (
-        df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
-        .groupBy("simhash")
+        sh.groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )

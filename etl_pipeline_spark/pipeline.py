@@ -7,13 +7,15 @@ once per micro-batch inside ``foreachBatch`` (or the bounded replay
 driver). Stage order mirrors the reference's observable order
 (strip → filter → dedup → cast, transform.py:281-297) where it matters.
 
-Scale shape per batch (10^10-event design):
-  1 Parquet scan (predicate/column pruned) →
-  dead-letter split (no shuffle) →
-  cleaning (JVM exprs or Arrow pandas UDF, no per-row Python) →
-  LWW hash-agg (shuffle #1, map-side partial, salted two-phase on skew) →
-  bucket-pruned MERGE (shuffle #2 confined to touched buckets) →
-  atomic snapshot commit (driver) + one lineage record.
+Scale shape per batch (10^10-event design), merge-on-read mode:
+  ONE Spark job — Parquet scan (pruned) → Observation counters →
+  dead-letter split → vectorized cleaning (Arrow pandas UDF) → bucket
+  hash → shuffle to buckets → delta write — plus a driver-side atomic
+  manifest commit and one lineage record. Per-batch driver overhead
+  (planning + codegen + scheduling) was profiled at ~1.2s per Spark
+  job; collapsing counters/discovery/stats jobs into the write's
+  Observation is what makes small-batch throughput scale with cores.
+  Copy-on-write mode adds the current-state union + LWW shuffle.
 """
 
 from __future__ import annotations
@@ -22,15 +24,15 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions.cleaning import clean_text_col, clean_text_pudf
 from .lake.lineage import LineageLog
-from .lake.minilake import MergeResult, MiniLakeTable
+from .lake.minilake import FENCES_PROP, MergeResult, MiniLakeTable
 from .operators.lww import detect_hot_keys, lww_reduce, lww_reduce_salted
-from .operators.validate import split_valid
+from .operators.validate import split_valid, valid_predicate
 from .schema import KEY_COLS
 
 
@@ -44,8 +46,35 @@ class ApplyConfig:
     salt_on_skew: bool = True
     force_salted: bool = False
     skew_threshold: float = 0.05
+    # the skew probe is a sampling job of its own — only probe batches
+    # big enough that a hot key could actually hurt (file-size estimate)
+    skew_probe_min_bytes: int = 64 * 1024 * 1024
+    # The minilake MERGE resolves LWW itself (read- or write-side), so a
+    # batch pre-reduce is a redundant extra shuffle (default off). Turn
+    # on for sinks that require ≤1 source row per key (real Iceberg
+    # MERGE INTO). The salted reduce still pre-collapses hot keys when
+    # skew is detected, whatever this flag says.
+    pre_reduce: bool = False
+    auto_compact_max_files: int = 12  # MOR delta-chain fold threshold; 0 = off
     dead_letter_dir: str | None = None  # default: <table_root>/_deadletter
     assert_unique_keys: bool = False
+    # "full": one extra aggregation job per batch for exact per-source-
+    #   partition offset ranges in lineage.
+    # "batch": batch-level counters only, collected by Observation during
+    #   the merge write itself — zero extra jobs (the throughput mode).
+    lineage_level: str = "full"
+
+
+def _estimate_batch_bytes(df: DataFrame) -> int | None:
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        )
+    except Exception:
+        return None
 
 
 def apply_batch(
@@ -64,8 +93,6 @@ def apply_batch(
     t0 = time.time()
 
     # 0. Fence first — a replayed batch must cost nothing but a manifest read.
-    from .lake.minilake import FENCES_PROP
-
     highwater = table.snapshot_props().get(FENCES_PROP, {}).get(stream_id, -1)
     if batch_id <= highwater:
         res = MergeResult(
@@ -79,16 +106,75 @@ def apply_batch(
         )
         return res
 
-    # 1. Dead-letter split (null keys / unknown op never applied).
-    valid, dead = split_valid(batch_df, cfg.key_cols)
+    is_valid = F.coalesce(valid_predicate(cfg.key_cols), F.lit(False))
+    counter_aggs = [
+        F.count(F.lit(1)).alias("events"),
+        F.min(cfg.lsn_col).alias("lsn_min"),
+        F.max(cfg.lsn_col).alias("lsn_max"),
+        F.sum(F.when(F.col(cfg.op_col) == "I", 1).otherwise(0)).alias("n_i"),
+        F.sum(F.when(F.col(cfg.op_col) == "U", 1).otherwise(0)).alias("n_u"),
+        F.sum(F.when(F.col(cfg.op_col) == "D", 1).otherwise(0)).alias("n_d"),
+        F.sum(F.when(~is_valid, 1).otherwise(0)).alias("n_dead"),
+    ]
 
-    # 2. Vectorized cleaning on the after-image payload.
+    # 1. Counters. "full" = dedicated aggregation job with exact
+    #    per-source-partition offset ranges; "batch" = Observation piggy-
+    #    backed on the merge write (no extra job, batch-level only).
+    part_ranges: list[dict] = []
+    obs: Observation | None = None
+    upstream = batch_df
+    if cfg.lineage_level == "full":
+        part_key = (
+            F.col("source_part")
+            if "source_part" in batch_df.columns
+            else F.lit(None).cast("int")
+        )
+        part_rows = (
+            batch_df.groupBy(part_key.alias("source_part"))
+            .agg(*counter_aggs)
+            .collect()
+        )
+        c = {
+            "events": sum(r["events"] for r in part_rows),
+            "n_dead": sum(r["n_dead"] or 0 for r in part_rows),
+            "n_i": sum(r["n_i"] or 0 for r in part_rows),
+            "n_u": sum(r["n_u"] or 0 for r in part_rows),
+            "n_d": sum(r["n_d"] or 0 for r in part_rows),
+            "lsn_min": min(
+                (r["lsn_min"] for r in part_rows if r["lsn_min"] is not None),
+                default=None,
+            ),
+            "lsn_max": max(
+                (r["lsn_max"] for r in part_rows if r["lsn_max"] is not None),
+                default=None,
+            ),
+        }
+        part_ranges = [
+            {
+                "source_part": r["source_part"],
+                "lsn_min": r["lsn_min"],
+                "lsn_max": r["lsn_max"],
+                "events": r["events"],
+            }
+            for r in part_rows
+        ]
+    else:
+        obs = Observation()
+        upstream = batch_df.observe(obs, *counter_aggs)
+
+    # 2. Dead-letter split (null keys / unknown op never applied).
+    valid, _ = split_valid(upstream, cfg.key_cols)
+    # dead letters taken from the RAW frame so writing them later cannot
+    # re-fire the Observation node
+    _, dead = split_valid(batch_df, cfg.key_cols)
+
+    # 3. Vectorized cleaning on the after-image payload.
     cleaner = clean_text_pudf if cfg.use_pandas_udf else clean_text_col
-    for c in cfg.clean_cols:
-        if c in valid.columns:
-            valid = valid.withColumn(c, cleaner(F.col(c)))
+    for c_name in cfg.clean_cols:
+        if c_name in valid.columns:
+            valid = valid.withColumn(c_name, cleaner(F.col(c_name)))
 
-    # 3. In-flight additive schema evolution: payload columns the table
+    # 4. In-flight additive schema evolution: payload columns the table
     #    doesn't know yet → ALTER TABLE ADD COLUMN before the merge.
     #    Diffed per batch, never cached at stream start (the stream
     #    outlives the schema change — SURVEY.md §7).
@@ -105,7 +191,7 @@ def apply_batch(
             [T.StructField(f.name, f.dataType, True) for f in batch_payload_fields]
         )
 
-    # 4. LWW pre-reduce (MERGE-source uniqueness; skew-aware).
+    # 5. Optional LWW pre-reduce (MERGE-source uniqueness; skew-aware).
     tschema = table.schema()
     types_by_name = {f.name: f.dataType for f in tschema.fields}
     payload_cols = [f.name for f in tschema.fields if f.name not in cfg.key_cols]
@@ -122,63 +208,64 @@ def apply_batch(
         cfg.lsn_col,
         cfg.op_col,
     )
+    est_bytes = _estimate_batch_bytes(batch_df)
     salted = cfg.force_salted or (
         cfg.salt_on_skew
+        and est_bytes is not None
+        and est_bytes >= cfg.skew_probe_min_bytes
         and detect_hot_keys(src, cfg.key_cols, cfg.skew_threshold)
     )
-    reducer = lww_reduce_salted if salted else lww_reduce
-    reduced = reducer(
-        src,
-        keys=cfg.key_cols,
-        order_col=cfg.lsn_col,
-        payload_cols=payload_cols + [cfg.op_col],
-    )
-
-    # 5. Counters — one pass over the raw batch (cheap aggregates, no
-    #    second scan of the cleaned/deduped lineage stages).
-    counts = batch_df.agg(
-        F.count(F.lit(1)).alias("events_in"),
-        F.min(cfg.lsn_col).alias("lsn_min"),
-        F.max(cfg.lsn_col).alias("lsn_max"),
-        F.sum(F.when(F.col(cfg.op_col) == "I", 1).otherwise(0)).alias("n_i"),
-        F.sum(F.when(F.col(cfg.op_col) == "U", 1).otherwise(0)).alias("n_u"),
-        F.sum(F.when(F.col(cfg.op_col) == "D", 1).otherwise(0)).alias("n_d"),
-    ).collect()[0]
-
-    part_ranges = []
-    if "source_part" in batch_df.columns:
-        part_ranges = [
-            r.asDict()
-            for r in batch_df.groupBy("source_part")
-            .agg(
-                F.min(cfg.lsn_col).alias("lsn_min"),
-                F.max(cfg.lsn_col).alias("lsn_max"),
-                F.count(F.lit(1)).alias("events"),
-            )
-            .collect()
-        ]
-
-    dl_dir = cfg.dead_letter_dir or os.path.join(table.root, "_deadletter")
-    dead_cached = dead.cache()
-    dead_count = dead_cached.count()
-    if dead_count:
-        dead_cached.write.mode("append").parquet(
-            os.path.join(dl_dir, f"batch-{batch_id:06d}")
+    if salted:
+        reduced = lww_reduce_salted(
+            src, keys=cfg.key_cols, order_col=cfg.lsn_col,
+            payload_cols=payload_cols + [cfg.op_col],
         )
-    dead_cached.unpersist()
+    elif cfg.pre_reduce:
+        reduced = lww_reduce(
+            src, keys=cfg.key_cols, order_col=cfg.lsn_col,
+            payload_cols=payload_cols + [cfg.op_col],
+        )
+    else:
+        reduced = src  # merge resolves per-key LWW itself
 
-    # 6. MERGE (atomic snapshot commit, fenced).
+    # 6. MERGE (atomic snapshot commit, fenced). In MOR mode this is the
+    #    batch's ONE Spark job; the Observation fires inside it.
     res = table.merge(
         reduced,
         batch_id=batch_id,
         stream_id=stream_id,
         lsn_col=cfg.lsn_col,
         op_col=cfg.op_col,
-        assert_unique_keys=cfg.assert_unique_keys,
+        assert_unique_keys=cfg.assert_unique_keys and (salted or cfg.pre_reduce),
+    )
+
+    if obs is not None:
+        if res.skipped and res.reason == "fenced":
+            # merge fenced out without running a job (concurrent-writer
+            # race) → the Observation never fired; obs.get would block.
+            c = {"events": 0, "n_dead": 0, "n_i": 0, "n_u": 0, "n_d": 0,
+                 "lsn_min": None, "lsn_max": None}
+        else:
+            # ran (or "empty"-skipped AFTER an action) → metrics are real
+            c = obs.get
+
+    events_in = int(c["events"] or 0)
+    dead_count = int(c["n_dead"] or 0)
+
+    # 7. Dead letters — write only when the counters saw any.
+    if dead_count:
+        dl_dir = cfg.dead_letter_dir or os.path.join(table.root, "_deadletter")
+        dead.write.mode("append").parquet(
+            os.path.join(dl_dir, f"batch-{batch_id:06d}")
+        )
+
+    compacted = (
+        table.maybe_compact(cfg.auto_compact_max_files)
+        if cfg.auto_compact_max_files
+        else None
     )
 
     wall = time.time() - t0
-    events_in = int(counts["events_in"] or 0)
     lineage.append(
         {
             "batch_id": batch_id,
@@ -187,17 +274,18 @@ def apply_batch(
             "events_in": events_in,
             "dead_lettered": dead_count,
             "applied": {
-                "I": int(counts["n_i"] or 0),
-                "U": int(counts["n_u"] or 0),
-                "D": int(counts["n_d"] or 0),
+                "I": int(c["n_i"] or 0),
+                "U": int(c["n_u"] or 0),
+                "D": int(c["n_d"] or 0),
             },
             "offset_range": {
-                "lsn_min": int(counts["lsn_min"]) if counts["lsn_min"] is not None else None,
-                "lsn_max": int(counts["lsn_max"]) if counts["lsn_max"] is not None else None,
+                "lsn_min": int(c["lsn_min"]) if c["lsn_min"] is not None else None,
+                "lsn_max": int(c["lsn_max"]) if c["lsn_max"] is not None else None,
             },
             "source_partitions": part_ranges,
             "salted_reduce": bool(salted),
             "buckets_touched": res.buckets_touched,
+            "compacted_to_version": compacted,
             "commit_version": res.version,
             "commit_snapshot_id": res.snapshot_id,
             "wall_ms": round(wall * 1000, 2),

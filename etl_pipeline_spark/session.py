@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # micro-batch changelog files are tens of MB; default 128MB splits
+        # would pin each batch's map side to one task
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -187,7 +187,10 @@ def write_changelog(cfg: GenConfig, out_dir: str) -> list[str]:
             chunk = chunk.drop(columns=["tool"])
         table = pa.Table.from_pandas(chunk, preserve_index=False)
         path = os.path.join(out_dir, f"batch-{b:06d}.parquet")
-        pq.write_table(table, path)
+        # small row groups keep one batch file splittable across many
+        # scan tasks (a single row group pins the whole map side of a
+        # micro-batch to one core, however many executors exist)
+        pq.write_table(table, path, row_group_size=32_768)
         paths.append(path)
     return paths
 

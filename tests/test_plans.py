@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions — the 100 TB contract.
+
+Right rows are not enough; these tests pin the plan properties that
+decide cluster cost: predicate pushdown reaching the Parquet scan,
+column-pruned read schemas, broadcast joins for dims, hash aggregation
+(not sort) for the analytics aggregates, no cartesian products where a
+blocked equi-join is intended.
+"""
+
+from __future__ import annotations
+
+from etl_pipeline_spark.plans.inspect import explain_str, plan_asserts
+from etl_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_asserts(
+        QUERIES["q1_pricing_summary"](spark, SF),
+        contains=["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"],
+    )
+    # read schema pruned to exactly the referenced columns
+    assert "ReadSchema" in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" not in read_schema  # unused column never read
+    assert "l_quantity" in read_schema
+    # two-phase hash aggregation (map-side partial)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_dims(spark):
+    plan_asserts(
+        QUERIES["q3_shipping_priority"](spark, SF),
+        contains=["BroadcastHashJoin"],
+        not_contains=["CartesianProduct"],
+    )
+
+
+def test_q5_no_shuffle_join_for_dims(spark):
+    plan = explain_str(QUERIES["q5_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lww_uses_partial_aggregation(spark):
+    plan = explain_str(QUERIES["cdc_lww_state"](spark, SF))
+    # partial + final aggregate pair → map-side combine before the wire
+    n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert n_aggs >= 2, plan
+    assert "Window" not in plan  # LWW must not be a row_number window
+
+
+def test_jaccard_is_blocked_not_cartesian_in_library(spark):
+    from etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(ngram_jaccard_pairs(docs, k=1, threshold=0.8))
+    # length-band blocking → equi-join, never a cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_join_is_equi_join(spark):
+    from etl_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(minhash_lsh_candidates(docs))
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = explain_str(QUERIES["emb_knn_bruteforce"](spark, SF))
+    assert "Broadcast" in plan  # query side broadcast, corpus streamed
