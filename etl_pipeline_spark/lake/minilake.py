@@ -321,9 +321,15 @@ class MiniLakeTable:
             if dup:
                 raise ValueError("merge source has multiple rows per key")
 
+        # Schema enforcement at the sink boundary (the reference's
+        # declared-final-schema cast, transform.py:139-201): whatever
+        # types the source arrived with, files are written in the table
+        # schema's types — otherwise a batch with (say) bigint turn_idx
+        # would poison the physical layout for every future reader.
+        types_by_name = {f.name: f.dataType for f in table_schema.fields}
         batch_phys = src.select(
-            *key_cols,
-            *[F.col(c) for c in payload_cols],
+            *[F.col(k).cast(types_by_name[k]).alias(k) for k in key_cols],
+            *[F.col(c).cast(types_by_name[c]).alias(c) for c in payload_cols],
             F.col(lsn_col).cast("long").alias(LSN_COL),
             (F.col(op_col) == "D").alias(DELETED_COL),
         )

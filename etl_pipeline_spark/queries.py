@@ -740,6 +740,168 @@ def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- set ops / rollup etc. --
+
+ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])  # pivot yields null where FILTER yields 0
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("O").alias("status_o"),
+        F.col("F").alias("status_f"),
+        F.col("P").alias("status_p"),
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+UNION_IDS_SQL = """
+SELECT doc_id AS id FROM documents
+UNION
+SELECT vec_id AS id FROM embeddings
+"""
+
+
+def q_union_distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    return d.union(e).distinct()
+
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e))
+         * sqrt(list_dot_product(b.e, b.e))) >= 0.8
+"""
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.8) — the
+    embedding leg of the dedup family, exact variant."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(F.col("vec_id"), as_double(F.col("embedding")).alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+
+
+BIGRAM_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL_FRAG.format(col='text')} AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+                                      i -> toks[i] || ' ' || toks[i + 1]))
+           AS sh
+  FROM t WHERE len(toks) >= 2
+),
+p AS (
+  SELECT a.doc_id AS id_a,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM s a, s b WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, count(*) AS n_near_dups
+FROM p WHERE j >= 0.5 GROUP BY id_a
+"""
+
+
+def q_docs_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram shingle Jaccard near-dups (threshold 0.5). The word-
+    shingle construction is mirrored expression-for-expression in the
+    DuckDB oracle (sliding window over the token array)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    s = d.select(F.col("doc_id"), sh.alias("sh")).filter(
+        F.size(tokens(F.col("text"))) >= 2
+    )
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            (inter.cast("double") / union).alias("j"),
+        )
+    )
+    return (
+        pairs.filter(F.col("j") >= 0.5)
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+
+
 # ---------------------------------------------- rows-only (no SQL oracle) -
 
 
@@ -785,6 +947,12 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_lang_guess": q_docs_lang_guess,
     "docs_jaccard_near_dups": q_docs_jaccard_near_dups,
+    "docs_bigram_jaccard": q_docs_bigram_jaccard,
+    "rollup_order_stats": q_rollup_order_stats,
+    "pivot_status_by_priority": q_pivot_status_by_priority,
+    "customers_without_orders": q_customers_without_orders,
+    "union_distinct_ids": q_union_distinct_ids,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "mm_binary_meta": q_mm_binary_meta,
     "emb_norms": q_emb_norms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
@@ -814,6 +982,12 @@ ORACLE_SQL = {
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_lang_guess": DOCS_LANG_SQL,
     "docs_jaccard_near_dups": DOCS_JACCARD_SQL,
+    "docs_bigram_jaccard": BIGRAM_JACCARD_SQL,
+    "rollup_order_stats": ROLLUP_SQL,
+    "pivot_status_by_priority": PIVOT_SQL,
+    "customers_without_orders": ANTI_JOIN_SQL,
+    "union_distinct_ids": UNION_IDS_SQL,
+    "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "mm_binary_meta": MM_META_SQL,
     "emb_norms": EMB_NORM_SQL,
     "emb_knn_bruteforce": EMB_TOPK_SQL,

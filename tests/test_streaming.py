@@ -80,3 +80,49 @@ def test_streaming_restart_processes_only_new_files(spark, tmp_path):
     assert len(eng) == len(oracle)
     assert _texts(eng) == _texts(oracle)
     assert table.current_version() > v1
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over the change stream
+    (SURVEY §2.8 streaming gap-fill): append mode only emits windows the
+    watermark has closed; the emitted ones must equal the batch
+    computation of the same windows."""
+    import pyspark.sql.functions as F
+
+    cfg = GenConfig(n_events=5_000, batch_size=1_000)
+    changelog = str(tmp_path / "clog")
+    write_changelog(cfg, changelog)
+
+    from etl_pipeline_spark.sources.changelog import read_events_stream
+
+    stream = read_events_stream(spark, changelog, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["w"]["start"], r["op"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got, "watermark should have closed at least one window"
+
+    # batch reference: same windows computed over the full data
+    batch = spark.read.parquet(changelog)
+    ref = {
+        (r["w"]["start"], r["op"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "5 minutes").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for key, n in got.items():
+        assert ref[key] == n, f"window {key}: stream {n} != batch {ref[key]}"
