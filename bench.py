@@ -19,8 +19,9 @@ Workload:
 
 Scaling evidence (north_rule: ≥0.8 efficiency from N to 4N executors;
 sandbox stand-in per driver instruction): run this script twice via
-``BENCH/scaling.py`` — it sets SPARK_GRAFT_CPUS=8 then 32 in fresh
-processes and writes BENCH/BASELINE.md.
+``BENCH/scaling.py`` — it runs this script at N and 4N cores in fresh
+processes (with a hardware-ceiling calibration) and writes
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -106,10 +107,14 @@ def main() -> None:
 
     clog = changelog_dir(n_events)  # untimed
 
+    # Shuffle partitions clamp: this VM's vCPUs are host-multiplexed and
+    # shuffle-heavy stages REGRESS past ~16-way concurrency (measured in
+    # BENCH/BASELINE.md); tasks-per-stage is a tuning knob, not a
+    # correctness one.
     spark = get_spark(
         app_name=f"bench-sf{sf}-c{CPUS}",
         master=f"local[{CPUS}]",
-        shuffle_partitions=CPUS,
+        shuffle_partitions=min(CPUS, 16),
     )
     # JVM/codegen/Python-worker warm-up (untimed): one tiny batch through
     # the full apply pipeline into a throwaway table, so the timed replay

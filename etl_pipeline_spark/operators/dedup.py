@@ -130,10 +130,23 @@ def with_minhash_signature(
     staged = df.withColumn("_sh", word_shingles(F.col(text_col))).withColumn(
         "_hs", F.transform("_sh", lambda s: F.xxhash64(s))
     )
-    sigs = [
-        F.array_min(F.transform("_hs", _perm_hasher(i))) for i in range(n_hashes)
-    ]
-    return staged.withColumn(out_col, F.array(*sigs)).drop("_sh", "_hs")
+    # single aggregate with a running element-wise min — ONE expression
+    # instead of n_hashes separate transform trees (equal output,
+    # verified; keeps the Catalyst tree small for downstream operators)
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        F.col("_hs"),
+        F.array_repeat(F.lit(max_long).cast("long"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.xxhash64(h, i),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return staged.withColumn(out_col, sig).drop("_sh", "_hs")
 
 
 def minhash_lsh_candidates(

@@ -902,6 +902,53 @@ def q_docs_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, v.view_id AS prev_view_id,
+       p.t - v.t AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t
+"""
+
+
+def q_asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    preceding view (operators/asof.py — Spark has no native ASOF; the
+    DuckDB oracle uses its built-in ASOF JOIN). View ties within one
+    second are pre-collapsed to max(event_id) for determinism."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_timestamp("ts").alias("t"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="t", right_ts="t",
+        right_payload=["view_id"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("view_id_asof").alias("prev_view_id"),
+        (F.col("t") - F.col("t_asof")).alias("gap_s"),
+    )
+
+
 # ---------------------------------------------- rows-only (no SQL oracle) -
 
 
@@ -953,6 +1000,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "union_distinct_ids": q_union_distinct_ids,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "asof_purchase_to_view": q_asof_purchase_to_view,
     "mm_binary_meta": q_mm_binary_meta,
     "emb_norms": q_emb_norms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
@@ -988,6 +1036,7 @@ ORACLE_SQL = {
     "customers_without_orders": ANTI_JOIN_SQL,
     "union_distinct_ids": UNION_IDS_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "asof_purchase_to_view": ASOF_SQL,
     "mm_binary_meta": MM_META_SQL,
     "emb_norms": EMB_NORM_SQL,
     "emb_knn_bruteforce": EMB_TOPK_SQL,
