@@ -57,7 +57,6 @@ from ..operators.lww import lww_reduce
 from ..schema import (
     BUCKET_COL,
     DELETED_COL,
-    INTERNAL_COLS,
     LSN_COL,
     schema_from_manifest,
     schema_to_manifest,

@@ -106,14 +106,6 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------- MinHash
 
 
-def _perm_hasher(i: int):
-    """Permutation i of the universal hash family: re-hash the base
-    64-bit shingle hash with the permutation index as a second column.
-    (NB: a default-arg lambda breaks pyspark's lambda-arity detection,
-    hence the closure factory.)"""
-    return lambda h: F.xxhash64(h, F.lit(i))
-
-
 def with_minhash_signature(
     df: DataFrame,
     text_col: str = "text",

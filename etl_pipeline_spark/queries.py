@@ -37,10 +37,7 @@ from .functions.text import (
     STOPWORDS,
     fingerprint,
     lang_guess,
-    normalize_text,
-    punct_ratio,
     quality_score,
-    stopword_ratio,
     token_count,
     tokens,
 )
