@@ -45,15 +45,19 @@ def attach_binary(
 
 def _decode_stub(content: bytes, n_dims: int = 8) -> list[float]:
     """STUB for the real decoder (PIL/librosa/ffmpeg are not in this
-    container). Deterministic fake feature vector derived from content
-    bytes so tests are stable. Replace with a real decode on a cluster
-    with codecs installed."""
+    container). Deterministic fake feature vector derived from the md5 of
+    the content bytes so tests are stable AND the values are computable
+    by the independent SQL oracle (feat[d] = uint16 at hex offset 4d of
+    md5(content), scaled to [0,1]). Replace with a real decode on a
+    cluster with codecs installed."""
+    import hashlib
+
     if content is None:
         raise NotImplementedError("real decode requires codec libraries")
-    acc = [0] * n_dims
-    for i, b in enumerate(content[:1024]):
-        acc[i % n_dims] = (acc[i % n_dims] + b * 31 + i) % 10_007
-    return [x / 10_007 for x in acc]
+    if n_dims > 8:
+        raise ValueError("stub features are limited to 8 dims (md5 width)")
+    h = hashlib.md5(content).hexdigest()
+    return [int(h[4 * d : 4 * d + 4], 16) / 65535.0 for d in range(n_dims)]
 
 
 def extract_features(df: DataFrame, n_dims: int = 8) -> DataFrame:

@@ -32,7 +32,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.cleaning import clean_text_col
+from .functions.cleaning import (
+    clean_colors_col,
+    clean_colors_pudf,
+    clean_price_col,
+    clean_price_pudf,
+    clean_rating_col,
+    clean_rating_pudf,
+    clean_text_col,
+)
 from .functions.text import (
     STOPWORDS,
     fingerprint,
@@ -650,6 +658,125 @@ def q_docs_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ reference cleaning trio --
+#
+# The reference's signature scalar semantics (clean_price / clean_rating /
+# clean_colors, /root/reference/utils/transform.py:23-78) graded against the
+# DuckDB oracle. The dirty inputs are synthesized deterministically from
+# doc_id so both engines see identical strings; each query emits BOTH the
+# JVM Column layer and the Arrow pandas-UDF layer (functions/cleaning.py),
+# which must agree with each other and with the oracle.
+
+_DIRTY_PALETTE = [
+    "$1,234.56",
+    "unavailable",
+    "4.5/5",
+    "Not Rated",
+    "3 colors available",
+    "  42  ",
+    "n/a",
+    "",
+    "12",
+    "4.8 out of 5",
+    "rating: invalid",
+    "7/10",
+]
+
+_PALETTE_SQL = "[" + ", ".join(f"'{s}'" for s in _DIRTY_PALETTE) + "]"
+_DIRTY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ({_PALETTE_SQL})[CAST(doc_id % {len(_DIRTY_PALETTE)} AS INTEGER) + 1]
+           AS dirty
+  FROM documents
+)
+"""
+
+
+def _dirty_col() -> F.Column:
+    pal = F.array(*[F.lit(s) for s in _DIRTY_PALETTE])
+    return F.element_at(
+        pal, (F.col("doc_id") % len(_DIRTY_PALETTE)).cast("int") + 1
+    )
+
+
+CLEAN_PRICE_SQL = (
+    _DIRTY_SQL
+    + """
+SELECT doc_id, dirty,
+       CASE WHEN contains(lower(dirty), 'unavailable') THEN NULL
+            ELSE TRY_CAST(regexp_replace(dirty, '[$,]', '', 'g') AS DOUBLE)
+       END AS price_jvm,
+       CASE WHEN contains(lower(dirty), 'unavailable') THEN NULL
+            ELSE TRY_CAST(regexp_replace(dirty, '[$,]', '', 'g') AS DOUBLE)
+       END AS price_arrow
+FROM t
+"""
+)
+
+_RATING_CASE_SQL = r"""
+       CASE WHEN contains(lower(dirty), 'invalid')
+              OR contains(lower(dirty), 'not rated') THEN NULL
+            WHEN regexp_extract(dirty, '(\d(\.\d)?)\s*(?:/|\s|$)', 1) <> ''
+              THEN TRY_CAST(
+                regexp_extract(dirty, '(\d(\.\d)?)\s*(?:/|\s|$)', 1) AS DOUBLE)
+            ELSE TRY_CAST(trim(dirty) AS DOUBLE)
+       END
+"""
+
+CLEAN_RATING_SQL = (
+    _DIRTY_SQL
+    + "SELECT doc_id, dirty,"
+    + _RATING_CASE_SQL
+    + " AS rating_jvm,"
+    + _RATING_CASE_SQL
+    + " AS rating_arrow FROM t"
+)
+
+CLEAN_COLORS_SQL = (
+    _DIRTY_SQL
+    + r"""
+SELECT doc_id, dirty,
+       TRY_CAST(regexp_extract(dirty, '(\d+)', 1) AS INTEGER) AS colors_jvm,
+       TRY_CAST(regexp_extract(dirty, '(\d+)', 1) AS INTEGER) AS colors_arrow
+FROM t
+"""
+)
+
+
+def q_clean_price_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dirty = _dirty_col()
+    return d.select(
+        "doc_id",
+        dirty.alias("dirty"),
+        clean_price_col(dirty).alias("price_jvm"),
+        clean_price_pudf(dirty).alias("price_arrow"),
+    )
+
+
+def q_clean_rating_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dirty = _dirty_col()
+    return d.select(
+        "doc_id",
+        dirty.alias("dirty"),
+        clean_rating_col(dirty).alias("rating_jvm"),
+        clean_rating_pudf(dirty).alias("rating_arrow"),
+    )
+
+
+def q_clean_colors_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dirty = _dirty_col()
+    return d.select(
+        "doc_id",
+        dirty.alias("dirty"),
+        clean_colors_col(dirty).alias("colors_jvm"),
+        clean_colors_pudf(dirty).alias("colors_arrow"),
+    )
+
+
 MM_META_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -961,12 +1088,50 @@ def q_docs_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+MM_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS id, 'text' AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_hash
+  FROM documents
+),
+f AS (
+  SELECT *,
+         list_transform(range(0, 8),
+             d -> CAST(('0x' || substr(content_hash, 4 * d + 1, 4)) AS BIGINT)
+                  / 65535.0) AS feat
+  FROM b
+)
+SELECT id, modality, byte_len, content_hash,
+       CAST(len(feat) AS INTEGER) AS n_dims,
+       round(feat[1], 6) AS feat0,
+       round(list_sum(feat), 6) AS feat_sum
+FROM f
+"""
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched multimodal feature extraction (stubbed decode)."""
+    """Arrow-batched multimodal feature extraction (stubbed decode).
+
+    The ``mapInPandas`` operator yields the raw ``feat array<double>``;
+    the graded projection reduces it to canonicalizable scalars (first
+    dim, sum, dim count) so the oracle hash compare works — arrays are
+    unhashable in the driver's canonicalizer."""
     from .operators.multimodal import attach_binary, extract_features
 
     d = _t(spark, sf_dir, "documents")
-    return extract_features(attach_binary(d, "doc_id", "text", "text"))
+    feats = extract_features(attach_binary(d, "doc_id", "text", "text"))
+    return feats.select(
+        "id",
+        "modality",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "content_hash",
+        F.size("feat").alias("n_dims"),
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+        F.round(
+            F.aggregate("feat", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_sum"),
+    )
 
 
 # ------------------------------------------------------------- registry --
@@ -992,6 +1157,9 @@ QUERIES = {
     "docs_lang_guess": q_docs_lang_guess,
     "docs_jaccard_near_dups": q_docs_jaccard_near_dups,
     "docs_bigram_jaccard": q_docs_bigram_jaccard,
+    "clean_price_fields": q_clean_price_fields,
+    "clean_rating_fields": q_clean_rating_fields,
+    "clean_colors_fields": q_clean_colors_fields,
     "rollup_order_stats": q_rollup_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "customers_without_orders": q_customers_without_orders,
@@ -1028,6 +1196,9 @@ ORACLE_SQL = {
     "docs_lang_guess": DOCS_LANG_SQL,
     "docs_jaccard_near_dups": DOCS_JACCARD_SQL,
     "docs_bigram_jaccard": BIGRAM_JACCARD_SQL,
+    "clean_price_fields": CLEAN_PRICE_SQL,
+    "clean_rating_fields": CLEAN_RATING_SQL,
+    "clean_colors_fields": CLEAN_COLORS_SQL,
     "rollup_order_stats": ROLLUP_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
@@ -1038,6 +1209,5 @@ ORACLE_SQL = {
     "emb_norms": EMB_NORM_SQL,
     "emb_knn_bruteforce": EMB_TOPK_SQL,
     "emb_label_stats": EMB_LABEL_SQL,
-    # docs_minhash_near_dups / docs_simhash_groups / mm_features:
-    # engine-hash-based or Arrow-UDF ops — rows-only check by design.
+    "mm_features": MM_FEATURES_SQL,
 }
