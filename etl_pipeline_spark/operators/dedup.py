@@ -25,6 +25,8 @@ Scale design notes (per operator):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,25 +67,42 @@ def exact_dup_pairs(
 # --------------------------------------------------------- n-gram Jaccard
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.8,
-    length_band: int = 16,
+def blocked_jaccard_pairs(
+    sets_df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    set_col: str = "sh",
 ) -> DataFrame:
-    """Near-dup pairs by true Jaccard over k-word shingle sets.
+    """All pairs with true Jaccard ≥ ``threshold`` over pre-built element
+    sets — EXACT result via guaranteed geometric size-banding, never a
+    cartesian product.
 
-    Blocked by token-length band (near-dups have near-equal lengths:
-    |A∩B|/|A∪B| ≥ t forces |len_a - len_b| small), so the join is a
-    shuffled equi-join per band — never a full cross product. Adjacent
-    bands are also compared to avoid boundary misses.
+    Why it is exact: j(A,B) ≥ t ⇒ |A∩B|/|A∪B| ≥ t ⇒ min(|A|,|B|) ≥
+    t·max(|A|,|B|), so log-sizes of a qualifying pair differ by at most
+    ln(1/t). Banding on floor(ln(size)/ln(1/t)) therefore puts every
+    qualifying pair in the same or adjacent bands; both band directions
+    are covered by canonicalizing the pair with least/greatest *after*
+    the asymmetric band-shift join (a plain ``a.id < b.id`` filter there
+    silently drops pairs whose lower id sits in the higher band). Width
+    is widened by 1e-9 relative so float rounding can never split a
+    boundary pair two bands apart.
+
+    Empty sets are excluded: they cannot reach a positive threshold
+    (j = 0 against non-empty, 0/0 = null against empty — both fail the
+    filter in Spark and ANSI SQL alike).
+
+    Scale: one shuffled equi-join on the band key per delta ∈ {0, 1};
+    shuffle volume O(n), candidate volume Σ_band |band|·|adjacent| — at
+    100 TB combine with MinHash-LSH to pre-shrink candidate blocks.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("band", (F.size("sh") / length_band).cast("int"))
+    width = math.log(1.0 / threshold) * (1.0 + 1e-9)
+    sh = (
+        sets_df.select(F.col(id_col).alias("id"), F.col(set_col).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn(
+            "band", F.floor(F.log(F.size("sh").cast("double")) / F.lit(width))
+        )
+    )
     a = sh.alias("a")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -92,15 +111,32 @@ def ngram_jaccard_pairs(
         b = sh.withColumn("band", F.col("band") - delta).alias("b")
         p = (
             a.join(b, "band")
-            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(F.col("a.id") != F.col("b.id"))
             .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
                 (inter.cast("double") / union).alias("jaccard"),
             )
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.filter(F.col("jaccard") >= threshold).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by true Jaccard over k-word shingle sets — the
+    exact (non-LSH) member of the dedup family, built on
+    :func:`blocked_jaccard_pairs`."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    return blocked_jaccard_pairs(sh, threshold)
 
 
 # --------------------------------------------------------------- MinHash

@@ -22,7 +22,14 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, bits_to_bucket, cosine, simhash_bits
+from ..functions.vectors import (
+    as_double,
+    bits_to_bucket,
+    cosine,
+    dot,
+    l2_norm,
+    simhash_bits,
+)
 
 
 def cosine_topk_bruteforce(
@@ -60,6 +67,91 @@ def cosine_topk_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dirs: int = 2,
+    seed: int = 41,
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ ``threshold`` — EXACT result via guaranteed
+    random-projection banding, never a cartesian product.
+
+    Why it is exact: for unit vectors u, v with u·v ≥ t, and any unit
+    direction r, |u·r − v·r| ≤ ‖u − v‖ = √(2−2t). Banding each normalized
+    projection with width w = √(2−2t) therefore puts every qualifying
+    pair within ±1 band per direction; the a-side probes the 3^n_dirs
+    neighbor cells via a tiny explode and the join is a shuffled
+    equi-join on the exact cell tuple. Width is widened by 1e-9 relative
+    against float boundary splits.
+
+    Pruning power grows as threshold → 1 (w shrinks); at t = 0.8 in high
+    dimension it is coarse but correct — the approximate scale path for
+    low thresholds is :func:`lsh_topk` / MinHash. Candidates are verified
+    with the exact cosine, so recall is 1.0 by construction.
+    """
+    rng = np.random.default_rng(seed)
+    dirs = rng.standard_normal((n_dirs, _dim_of(df, vec_col)))
+    dirs = [list(d / np.linalg.norm(d)) for d in dirs]
+    width = float(np.sqrt(2.0 - 2.0 * threshold)) * (1.0 + 1e-9)
+
+    v = as_double(F.col(vec_col))
+    norm = l2_norm(v)
+    cells = F.struct(
+        *[
+            F.floor(dot(v, F.array(*[F.lit(float(x)) for x in d])) / norm / width)
+            .alias(f"c{i}")
+            for i, d in enumerate(dirs)
+        ]
+    )
+    base = df.select(F.col(id_col).alias("id"), v.alias("e"), cells.alias("cell"))
+
+    deltas = [[]]
+    for _ in range(n_dirs):
+        deltas = [d + [s] for d in deltas for s in (-1, 0, 1)]
+    probe = base.select(
+        "id",
+        "e",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            (F.col(f"cell.c{i}") + d[i]).alias(f"c{i}")
+                            for i in range(n_dirs)
+                        ]
+                    )
+                    for d in deltas
+                ]
+            )
+        ).alias("cell"),
+    )
+    joined = (
+        probe.alias("a")
+        .join(base.alias("b"), F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    sim = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        joined.filter(sim >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, round_to).alias("cosine_sim"),
+        )
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (driver-side, O(1))."""
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not row:
+        return 1
+    return int(row[0]["d"])
 
 
 def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:

@@ -632,30 +632,19 @@ FROM p WHERE j >= 0.8 GROUP BY id_a
 
 
 def q_docs_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc count of near-duplicate partners by unigram Jaccard ≥ 0.8.
-    Word sets are tiny (≤ ~40 distinct from the corpus vocab), so the
-    pair join is feasible; the MinHash-LSH variant is the scale path."""
+    """Per-doc count of near-duplicate partners by unigram Jaccard ≥ 0.8,
+    via the exact geometric size-banded equi-join (operators/dedup.py
+    blocked_jaccard_pairs) — identical result to the oracle's all-pairs
+    SQL, but never a cartesian product in the plan."""
+    from .operators.dedup import blocked_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents")
     ws = d.select(
-        F.col("doc_id"), F.array_distinct(tokens(F.col("text"))).alias("ws")
+        F.col("doc_id").alias("id"),
+        F.array_distinct(tokens(F.col("text"))).alias("sh"),
     )
-    a = ws.alias("a")
-    b = ws.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            (inter.cast("double") / union).alias("j"),
-        )
-    )
-    return (
-        pairs.filter(F.col("j") >= 0.8)
-        .groupBy("id_a")
-        .agg(F.count(F.lit(1)).alias("n_near_dups"))
-    )
+    pairs = blocked_jaccard_pairs(ws, threshold=0.8)
+    return pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_near_dups"))
 
 
 # ------------------------------------------------ reference cleaning trio --
@@ -950,22 +939,14 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.8) — the
-    embedding leg of the dedup family, exact variant."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.8) — exact
+    variant via guaranteed random-projection banding
+    (operators/similarity.py cosine_pairs_blocked): same rows as the
+    oracle's all-pairs SQL, recall 1.0 by construction, equi-join plan."""
+    from .operators.similarity import cosine_pairs_blocked
+
     e = _t(spark, sf_dir, "embeddings")
-    v = e.select(F.col("vec_id"), as_double(F.col("embedding")).alias("e"))
-    a, b = v.alias("a"), v.alias("b")
-    sim = cosine(F.col("a.e"), F.col("b.e"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(sim >= 0.8)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-    )
+    return cosine_pairs_blocked(e, threshold=0.8)
 
 
 BIGRAM_JACCARD_SQL = f"""
@@ -992,9 +973,12 @@ FROM p WHERE j >= 0.5 GROUP BY id_a
 
 
 def q_docs_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-gram shingle Jaccard near-dups (threshold 0.5). The word-
-    shingle construction is mirrored expression-for-expression in the
-    DuckDB oracle (sliding window over the token array)."""
+    """2-gram shingle Jaccard near-dups (threshold 0.5) via the exact
+    geometric size-banded equi-join. The word-shingle construction is
+    mirrored expression-for-expression in the DuckDB oracle (sliding
+    window over the token array)."""
+    from .operators.dedup import blocked_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     sh = F.array_distinct(
@@ -1005,25 +989,11 @@ def q_docs_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    s = d.select(F.col("doc_id"), sh.alias("sh")).filter(
-        F.size(tokens(F.col("text"))) >= 2
+    s = d.select(F.col("doc_id").alias("id"), sh.alias("sh")).filter(
+        F.size(toks) >= 2
     )
-    a, b = s.alias("a"), s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            (inter.cast("double") / union).alias("j"),
-        )
-    )
-    return (
-        pairs.filter(F.col("j") >= 0.5)
-        .groupBy("id_a")
-        .agg(F.count(F.lit(1)).alias("n_near_dups"))
-    )
+    pairs = blocked_jaccard_pairs(s, threshold=0.5)
+    return pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_near_dups"))
 
 
 ASOF_SQL = """
