@@ -9,14 +9,15 @@ Scale design notes (per operator):
 
 - **exact**: one hash-agg shuffle on the md5 fingerprint; map-side
   partial aggregation collapses local duplicates before the wire.
-- **ngram-Jaccard**: O(n²) cross product is only viable within small
-  candidate blocks — here gated by a cheap length-band blocking key so
-  Catalyst plans a shuffled equi-join on the block, never a full
-  cartesian. For web scale use the MinHash-LSH variant.
+- **ngram-Jaccard**: exact result via geometric size-band blocking
+  (provably covers every qualifying pair), so Catalyst plans a shuffled
+  equi-join on the band, never a full cartesian. For web scale combine
+  with the MinHash-LSH variant.
 - **MinHash-LSH**: shingle → k minhashes → band buckets → equi-join on
   (band, bucket). Candidate pairs are verified with true Jaccard.
-  Everything is built-in exprs: xxhash64 with per-permutation seeds
-  plays the universal-hash family.
+  Everything is built-in exprs: the md5-derived 60-bit family
+  (:func:`md5long`) plays the universal hashes — chosen so the DuckDB
+  oracle reproduces every value bit-for-bit.
 - **SimHash**: 64-bit signature from token-hash sign sums; near-dups =
   equal signature (or banded sub-signatures for Hamming<k).
 - **embedding-cosine**: see operators/similarity.py — near-dup = cosine
@@ -139,42 +140,48 @@ def ngram_jaccard_pairs(
     return blocked_jaccard_pairs(sh, threshold)
 
 
+# ------------------------------------------------------------ hash family
+
+
+def md5long(c: F.Column) -> F.Column:
+    """60-bit non-negative hash, md5-derived — chosen over xxhash64 so the
+    independent DuckDB oracle computes the IDENTICAL value:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``. 15 hex chars =
+    60 bits: always positive, no signed-overflow divergence in either
+    engine. The permutation family is ``md5long(h || ':' || i)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _perm_hash(h: F.Column, i: int) -> F.Column:
+    return md5long(F.concat_ws(":", h.cast("string"), F.lit(str(i))))
+
+
 # --------------------------------------------------------------- MinHash
 
 
-def with_minhash_signature(
+def minhash_signatures(
     df: DataFrame,
+    id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
-    out_col: str = "sig",
+    k: int = 3,
 ) -> DataFrame:
-    """Append an ``array<long>`` MinHash signature column.
+    """Per-doc MinHash signature as ``n_hashes`` columns ``m0..m{n-1}``.
 
-    Staged on purpose: shingles → base hashes → n permutations. A naive
-    single expression embeds the whole shingle tree n times, which blows
-    up Catalyst analysis + codegen (measured 30s/query at n=32 — plan
-    compilation, not data). Staging keeps the tree linear: shingle+hash
-    each token string ONCE, then n cheap long→long re-hashes."""
-    staged = df.withColumn("_sh", word_shingles(F.col(text_col))).withColumn(
-        "_hs", F.transform("_sh", lambda s: F.xxhash64(s))
+    Physical shape: explode shingles → one md5long base hash per shingle
+    row → n cheap permutation hashes → ONE hash aggregation of per-doc
+    MINs. Map-side partial aggregation collapses each partition's
+    shingles before the shuffle, so the wire carries O(docs · n_hashes),
+    never O(shingles). This replaced a nested higher-order-function
+    expression whose Catalyst analysis alone cost seconds per query
+    (r01 bench: 11s at sf0.1, all plan-compile, no data volume)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    ).withColumn("h", md5long(F.col("s")))
+    return ex.groupBy("id").agg(
+        *[F.min(_perm_hash(F.col("h"), i)).alias(f"m{i}") for i in range(n_hashes)]
     )
-    # single aggregate with a running element-wise min — ONE expression
-    # instead of n_hashes separate transform trees (equal output,
-    # verified; keeps the Catalyst tree small for downstream operators)
-    max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        F.col("_hs"),
-        F.array_repeat(F.lit(max_long).cast("long"), n_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.xxhash64(h, i),
-            ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return staged.withColumn(out_col, sig).drop("_sh", "_hs")
 
 
 def minhash_lsh_candidates(
@@ -183,6 +190,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n_hashes: int = 32,
     bands: int = 8,
+    k: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -191,9 +199,7 @@ def minhash_lsh_candidates(
     cost is O(n · bands), never O(n²).
     """
     rows = n_hashes // bands
-    sig = with_minhash_signature(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, n_hashes
-    ).select("id", "sig")
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
     banded = sig.select(
         "id",
         F.explode(
@@ -201,11 +207,14 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows + r + 1)
-                                for r in range(rows)
-                            ]
+                        md5long(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{b * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -231,8 +240,10 @@ def minhash_dedup_pairs(
     bands: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """LSH candidates verified with true shingle Jaccard ≥ threshold."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands)
+    """LSH candidates verified with true shingle Jaccard ≥ threshold.
+    The shingle order ``k`` is shared between the LSH signature and the
+    verify step so the candidate filter and the verdict see one universe."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, k)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
@@ -249,49 +260,48 @@ def minhash_dedup_pairs(
 
 # --------------------------------------------------------------- SimHash
 
-
-def _simhash_from_hashes(hashes_col) -> F.Column:
-    """64-bit SimHash from a pre-staged array<long> of token hashes:
-    per-bit sign of the ±1 votes, packed little-endian."""
-
-    def _voter(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        vote = F.aggregate(hashes_col, F.lit(0), _voter(i))
-        out = out + F.when(
-            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+# md5long is 60-bit, so bits 60..63 of a 64-bit simhash would vote
+# uniformly negative and carry zero signal — the signature uses 60 bits.
+SIMHASH_BITS = 60
 
 
-def simhash64(text_col) -> F.Column:
-    """64-bit SimHash over tokens (single-expression form — prefer
-    :func:`with_simhash` on DataFrames: staging the token hashes keeps
-    the Catalyst tree from embedding the tokenizer 64 times)."""
-    return _simhash_from_hashes(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
-
-
-def with_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    staged = df.withColumn("_hs", F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)))
-    return staged.withColumn(out_col, _simhash_from_hashes(F.col("_hs"))).drop(
-        "_hs"
+    """(id, simhash) per doc: explode tokens → md5long per token →
+    ``SIMHASH_BITS`` per-bit ±1 vote sums in ONE hash aggregation →
+    bit-pack the vote signs. Duplicate tokens vote multiply (simhash is
+    a multiset sketch). Docs with zero tokens drop out (no votes) — the
+    oracle's ``unnest`` mirrors this exactly."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", md5long(F.col("t")))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
     )
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_dup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Docs sharing an identical 64-bit simhash (strongest near-dup
-    signal without Hamming banding)."""
-    sh = with_simhash(df.select(F.col(id_col), text_col), text_col)
+    """Docs sharing an identical simhash (strongest near-dup signal
+    without Hamming banding)."""
+    sig = simhash_signatures(df, id_col, text_col)
     return (
-        sh.groupBy("simhash")
-        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        sig.groupBy("simhash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )

@@ -1043,12 +1043,113 @@ def q_asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------- rows-only (no SQL oracle) -
+# ------------------------------------------------- MinHash / SimHash ----
+#
+# Both use the md5-derived 60-bit hash family (operators/dedup.py md5long)
+# precisely so the DuckDB oracle can reproduce every hash value — the LSH
+# bucketing, candidate set and verify step are mirrored end to end.
+
+
+def _md5long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_SHINGLE_K1_SQL = (
+    f"CASE WHEN len({TOKENIZE_SQL_FRAG.format(col='text')}) = 0 THEN ['']"
+    f" ELSE list_distinct({TOKENIZE_SQL_FRAG.format(col='text')}) END"
+)
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.5, n_hashes: int = 32, bands: int = 8
+) -> str:
+    rows = n_hashes // bands
+    min_parts = []
+    for i in range(n_hashes):
+        perm = f"h::VARCHAR || ':{i}'"
+        min_parts.append(f"min({_md5long_sql(perm)}) AS m{i}")
+    mins = ",\n       ".join(min_parts)
+
+    def _bk(b: int) -> str:
+        concat = " || ',' || ".join(
+            f"m{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        return f"{_md5long_sql(concat)} AS bk{b}"
+
+    bucket_exprs = ",\n       ".join(_bk(b) for b in range(bands))
+    band_list = ", ".join(str(b) for b in range(bands))
+    bk_list = ", ".join(f"bk{b}" for b in range(bands))
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, {_SHINGLE_K1_SQL} AS sh FROM documents
+),
+e AS (SELECT id, unnest(sh) AS tok FROM s),
+h AS (SELECT id, {_md5long_sql('tok')} AS h FROM e),
+sig AS (
+  SELECT id,
+       {mins}
+  FROM h GROUP BY id
+),
+bk AS (
+  SELECT id,
+       {bucket_exprs}
+  FROM sig
+),
+bb AS (
+  SELECT id, unnest([{band_list}]) AS band, unnest([{bk_list}]) AS bucket
+  FROM bk
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+v AS (
+  SELECT c.id_a, c.id_b, {jac} AS jaccard
+  FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(n_bits: int = 60) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    packs = "\n       + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH e AS (
+  SELECT doc_id AS id, unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS tok
+  FROM documents
+),
+h AS (SELECT id, {_md5long_sql('tok')} AS h FROM e),
+v AS (SELECT id,
+       {votes}
+      FROM h GROUP BY id),
+sig AS (SELECT id,
+       {packs} AS simhash
+     FROM v)
+SELECT simhash, min(id) AS keep_id, count(*) AS n_docs
+FROM sig GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+DOCS_MINHASH_SQL = _minhash_oracle_sql(threshold=0.5, n_hashes=32, bands=8)
+DOCS_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs verified by true Jaccard (xxhash64-based
-    — no DuckDB equivalent, rows-only check)."""
+    """MinHash-LSH near-dup pairs verified by true Jaccard. md5-derived
+    hash family → the DuckDB oracle replays the identical LSH pipeline
+    (signatures, band buckets, candidates, verify) value-for-value."""
     return minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=32, bands=8, k=1
     )
@@ -1180,4 +1281,6 @@ ORACLE_SQL = {
     "emb_knn_bruteforce": EMB_TOPK_SQL,
     "emb_label_stats": EMB_LABEL_SQL,
     "mm_features": MM_FEATURES_SQL,
+    "docs_minhash_near_dups": DOCS_MINHASH_SQL,
+    "docs_simhash_groups": DOCS_SIMHASH_SQL,
 }
