@@ -422,7 +422,6 @@ class MiniLakeTable:
         # no extra read-back job over the new files.
         stats_row = obs.get
 
-        untouched_live = base["stats"].get("live_rows", 0)
         m2 = {
             "version": version + 1,
             "snapshot_id": str(uuid.uuid4()),

@@ -19,16 +19,18 @@ from pyspark.sql import functions as F
 from ..schema import KEY_COLS, OPS
 
 
-def valid_predicate(key_cols: list[str] | None = None) -> Column:
+def valid_predicate(
+    key_cols: list[str] | None = None, op_col: str = "op"
+) -> Column:
     keys = key_cols or KEY_COLS
-    pred = F.col("op").isin(list(OPS))
+    pred = F.col(op_col).isin(list(OPS))
     for k in keys:
         pred = pred & F.col(k).isNotNull()
     return pred
 
 
 def split_valid(
-    df: DataFrame, key_cols: list[str] | None = None
+    df: DataFrame, key_cols: list[str] | None = None, op_col: str = "op"
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(valid, dead_letter)`` — two lazy views of the input.
 
@@ -36,5 +38,5 @@ def split_valid(
     logic; coalesce to false so such rows land in dead-letter instead of
     vanishing from both sides.
     """
-    pred = F.coalesce(valid_predicate(key_cols), F.lit(False))
+    pred = F.coalesce(valid_predicate(key_cols, op_col), F.lit(False))
     return df.filter(pred), df.filter(~pred)

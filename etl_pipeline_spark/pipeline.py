@@ -58,11 +58,11 @@ class ApplyConfig:
     auto_compact_max_files: int = 12  # MOR delta-chain fold threshold; 0 = off
     dead_letter_dir: str | None = None  # default: <table_root>/_deadletter
     assert_unique_keys: bool = False
-    # "full": one extra aggregation job per batch for exact per-source-
-    #   partition offset ranges in lineage.
-    # "batch": batch-level counters only, collected by Observation during
-    #   the merge write itself — zero extra jobs (the throughput mode).
-    lineage_level: str = "full"
+    # "batch" (default): batch-level counters only, collected by
+    #   Observation during the merge write itself — zero extra jobs.
+    # "full": opt-in; one extra aggregation job per batch for exact
+    #   per-source-partition offset ranges in lineage.
+    lineage_level: str = "batch"
 
 
 def _estimate_batch_bytes(df: DataFrame) -> int | None:
@@ -106,7 +106,7 @@ def apply_batch(
         )
         return res
 
-    is_valid = F.coalesce(valid_predicate(cfg.key_cols), F.lit(False))
+    is_valid = F.coalesce(valid_predicate(cfg.key_cols, cfg.op_col), F.lit(False))
     counter_aggs = [
         F.count(F.lit(1)).alias("events"),
         F.min(cfg.lsn_col).alias("lsn_min"),
@@ -163,10 +163,10 @@ def apply_batch(
         upstream = batch_df.observe(obs, *counter_aggs)
 
     # 2. Dead-letter split (null keys / unknown op never applied).
-    valid, _ = split_valid(upstream, cfg.key_cols)
+    valid, _ = split_valid(upstream, cfg.key_cols, cfg.op_col)
     # dead letters taken from the RAW frame so writing them later cannot
     # re-fire the Observation node
-    _, dead = split_valid(batch_df, cfg.key_cols)
+    _, dead = split_valid(batch_df, cfg.key_cols, cfg.op_col)
 
     # 3. Vectorized cleaning on the after-image payload.
     cleaner = clean_text_pudf if cfg.use_pandas_udf else clean_text_col
@@ -209,11 +209,14 @@ def apply_batch(
         cfg.op_col,
     )
     est_bytes = _estimate_batch_bytes(batch_df)
+    # Probe the RAW batch frame, not `src`: keys are untouched by the
+    # cleaning stage, and probing src would re-run scan + pandas-UDF
+    # cleaning for exactly the large batches where that hurts most.
     salted = cfg.force_salted or (
         cfg.salt_on_skew
         and est_bytes is not None
         and est_bytes >= cfg.skew_probe_min_bytes
-        and detect_hot_keys(src, cfg.key_cols, cfg.skew_threshold)
+        and detect_hot_keys(batch_df, cfg.key_cols, cfg.skew_threshold)
     )
     if salted:
         reduced = lww_reduce_salted(

@@ -25,6 +25,7 @@ identical stream with zero side-channel data.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -134,6 +135,12 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     → bucket-pruned MERGE into a MiniLake table (atomic snapshots,
     fencing, tombstones), and the final table state is read back. The
     oracle is plain LWW SQL — the engine must land on exactly that state.
+
+    Everything data-sized stays on executors: the changelog is written by
+    a ``partitionBy`` job over an lsn-range batch column (the driver only
+    renames partition directories into the ordered ``batch-NNNNNN``
+    layout), and the result is the table's own lazy scan — no
+    ``toPandas``/``collect`` anywhere on the data path.
     """
     ce = (
         derive_change_events(spark, sf_dir)
@@ -141,44 +148,45 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source_part", (F.col("lsn") % 4).cast("int"))
     )
     tmp = tempfile.mkdtemp(prefix="cdc_replay_")
-    try:
-        changelog = os.path.join(tmp, "changelog")
-        os.makedirs(changelog)
-        pdf = ce.orderBy("lsn").toPandas()
-        # pandas ns-precision timestamps write TIMESTAMP(NANOS) parquet,
-        # which Spark's vectorized reader rejects — downcast to micros.
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        batch = 20_000
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        for b in range(0, max(len(pdf), 1), batch):
-            chunk = pdf.iloc[b : b + batch]
-            if len(chunk):
-                pq.write_table(
-                    pa.Table.from_pandas(chunk, preserve_index=False),
-                    os.path.join(changelog, f"batch-{b // batch:06d}.parquet"),
-                )
-        table = MiniLakeTable.create(
-            spark,
-            os.path.join(tmp, "table"),
-            TRANSCRIPT_SCHEMA,
-            key_cols=["conv_id", "turn_idx"],
-            n_buckets=16,
-        )
-        replay_files(spark, changelog, table)
-        out = table.read().select(
-            "conv_id",
-            "turn_idx",
-            "role",
-            "text",
-            F.unix_timestamp("ts").alias("ts_epoch"),
-        )
-        # materialize before the temp dir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # the returned DataFrame lazily scans the lake files — clean up at
+    # process exit, not before the caller evaluates
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    staging = os.path.join(tmp, "staging")
+    changelog = os.path.join(tmp, "changelog")
+    os.makedirs(changelog)
+    batch = 20_000
+    (
+        ce.withColumn("_b", F.floor(F.col("lsn") / batch).cast("int"))
+        .repartition("_b")
+        .sortWithinPartitions("lsn")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    # rename each _b=K partition dir to an ordered batch "file" (a dir of
+    # parquet parts reads identically) — metadata-only driver work
+    for name in os.listdir(staging):
+        if name.startswith("_b="):
+            b = int(name.split("=", 1)[1])
+            os.rename(
+                os.path.join(staging, name),
+                os.path.join(changelog, f"batch-{b:06d}.parquet"),
+            )
+    table = MiniLakeTable.create(
+        spark,
+        os.path.join(tmp, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=16,
+    )
+    replay_files(spark, changelog, table)
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
 
 
 CDC_OP_STATS_SQL = f"""
@@ -339,7 +347,10 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)  # dims broadcast
+        # customer leg left to AQE: at 100x scale a forced broadcast of a
+        # filtered-but-still-large dim can OOM executors; AQE broadcasts
+        # it whenever it actually fits the threshold.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -376,10 +387,11 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    dims = F.broadcast(
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-            F.broadcast(r), n.n_regionkey == r.r_regionkey
-        )
+    # nation/region are tiny constants → forced broadcast; the customer
+    # leg is left to AQE (forcing it would pin 1.5M+ rows per executor
+    # at 100x scale).
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)

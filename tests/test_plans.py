@@ -44,6 +44,17 @@ def test_q5_no_shuffle_join_for_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_no_forced_broadcast_on_large_dims(spark):
+    """VERDICT r01 #9: only the tiny constants (nation/region) carry an
+    explicit broadcast hint; the customer leg is AQE's call — a forced
+    broadcast of a 1.5M+-row dim can OOM executors at 100x scale."""
+    q3 = QUERIES["q3_shipping_priority"](spark, SF)
+    assert "ResolvedHint" not in q3._jdf.queryExecution().analyzed().toString()
+    q5 = QUERIES["q5_nation_revenue"](spark, SF)
+    hints = q5._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    assert hints == 2  # nation + region only
+
+
 def test_lww_uses_partial_aggregation(spark):
     plan = explain_str(QUERIES["cdc_lww_state"](spark, SF))
     # partial + final aggregate pair → map-side combine before the wire
