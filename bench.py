@@ -115,6 +115,16 @@ def main() -> None:
         app_name=f"bench-sf{sf}-c{CPUS}",
         master=f"local[{CPUS}]",
         shuffle_partitions=min(CPUS, 16),
+        extra_conf={
+            # Changelog batch files are ~165MB; at the default 128MB split
+            # size a 2-file micro-batch scans as FOUR map tasks — the
+            # scan → clean → bucket-hash stage then caps at 4 cores at ANY
+            # parallelism level (r01's 0.465 scaling number was exactly
+            # this). 16MB splits give the map stage ~20 tasks per batch,
+            # the same split sizing a real cluster would use to keep
+            # every executor fed.
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
     )
     # JVM/codegen/Python-worker warm-up (untimed): one tiny batch through
     # the full apply pipeline into a throwaway table, so the timed replay

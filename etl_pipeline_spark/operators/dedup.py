@@ -156,6 +156,18 @@ def _perm_hash(h: F.Column, i: int) -> F.Column:
     return md5long(F.concat_ws(":", h.cast("string"), F.lit(str(i))))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give CPU-heavy per-doc expression work (tokenize → shingle → hash)
+    enough input splits. A small file scans as ONE task, serializing the
+    whole stage on one core (measured 4x on the minhash bench query); at
+    real scale inputs arrive with >= defaultParallelism splits and this
+    is a no-op — the shuffle is only inserted when the scan is starved."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------- MinHash
 
 
@@ -175,8 +187,8 @@ def minhash_signatures(
     never O(shingles). This replaced a nested higher-order-function
     expression whose Catalyst analysis alone cost seconds per query
     (r01 bench: 11s at sf0.1, all plan-compile, no data volume)."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     ).withColumn("h", md5long(F.col("s")))
     return ex.groupBy("id").agg(
@@ -244,8 +256,8 @@ def minhash_dedup_pairs(
     The shingle order ``k`` is shared between the LSH signature and the
     verify step so the candidate filter and the verdict see one universe."""
     cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, k)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", word_shingles(F.col(text_col), k).alias("sh")
     )
     joined = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -273,8 +285,8 @@ def simhash_signatures(
     bit-pack the vote signs. Duplicate tokens vote multiply (simhash is
     a multiset sketch). Docs with zero tokens drop out (no votes) — the
     oracle's ``unnest`` mirrors this exactly."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", md5long(F.col("t")))
     votes = ex.groupBy("id").agg(
         *[

@@ -1130,14 +1130,21 @@ def _md5long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-_SHINGLE_K1_SQL = (
-    f"CASE WHEN len({TOKENIZE_SQL_FRAG.format(col='text')}) = 0 THEN ['']"
-    f" ELSE list_distinct({TOKENIZE_SQL_FRAG.format(col='text')}) END"
-)
+def _shingle_expr_sql(k: int) -> str:
+    """DuckDB mirror of functions.text.word_shingles(col, k) as an
+    expression over a ``toks`` column: k-word shingles when len >= k,
+    else the whole-doc single shingle."""
+    joined = " || ' ' || ".join(f"toks[i + {j + 1}]" for j in range(k))
+    return (
+        f"CASE WHEN len(toks) >= {k} "
+        f"THEN list_distinct(list_transform("
+        f"range(0, len(toks) - {k - 1}), i -> {joined})) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
 
 
 def _minhash_oracle_sql(
-    threshold: float = 0.5, n_hashes: int = 32, bands: int = 8
+    threshold: float = 0.8, n_hashes: int = 32, bands: int = 8, k: int = 3
 ) -> str:
     rows = n_hashes // bands
     min_parts = []
@@ -1160,8 +1167,12 @@ def _minhash_oracle_sql(
         " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
     )
     return f"""
-WITH s AS (
-  SELECT doc_id AS id, {_SHINGLE_K1_SQL} AS sh FROM documents
+WITH tk AS (
+  SELECT doc_id AS id, {TOKENIZE_SQL_FRAG.format(col='text')} AS toks
+  FROM documents
+),
+s AS (
+  SELECT id, {_shingle_expr_sql(k)} AS sh FROM tk
 ),
 e AS (SELECT id, unnest(sh) AS tok FROM s),
 h AS (SELECT id, {_md5long_sql('tok')} AS h FROM e),
@@ -1218,16 +1229,18 @@ FROM sig GROUP BY simhash HAVING count(*) > 1
 """
 
 
-DOCS_MINHASH_SQL = _minhash_oracle_sql(threshold=0.5, n_hashes=32, bands=8)
+DOCS_MINHASH_SQL = _minhash_oracle_sql(threshold=0.8, n_hashes=32, bands=8, k=3)
 DOCS_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by true Jaccard. md5-derived
     hash family → the DuckDB oracle replays the identical LSH pipeline
-    (signatures, band buckets, candidates, verify) value-for-value."""
+    (signatures, band buckets, candidates, verify) value-for-value.
+    Trigram shingles at 0.8: whole-phrase near-identity, not the
+    shared-vocabulary blowup unigrams give on a template corpus."""
     return minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=32, bands=8, k=1
+        _t(spark, sf_dir, "documents"), threshold=0.8, n_hashes=32, bands=8, k=3
     )
 
 
