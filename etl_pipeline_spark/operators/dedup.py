@@ -43,7 +43,8 @@ def exact_dedup(
     """Keep one representative (lowest id) per normalized-text group.
     Output: fingerprint, keep_id, n_dups."""
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),

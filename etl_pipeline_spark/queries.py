@@ -648,9 +648,9 @@ def q_docs_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the exact geometric size-banded equi-join (operators/dedup.py
     blocked_jaccard_pairs) — identical result to the oracle's all-pairs
     SQL, but never a cartesian product in the plan."""
-    from .operators.dedup import blocked_jaccard_pairs
+    from .operators.dedup import _spread, blocked_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     ws = d.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(tokens(F.col("text"))).alias("sh"),
@@ -1053,9 +1053,9 @@ def q_docs_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric size-banded equi-join. The word-shingle construction is
     mirrored expression-for-expression in the DuckDB oracle (sliding
     window over the token array)."""
-    from .operators.dedup import blocked_jaccard_pairs
+    from .operators.dedup import _spread, blocked_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = tokens(F.col("text"))
     sh = F.array_distinct(
         F.transform(
