@@ -1072,6 +1072,124 @@ def q_docs_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_near_dups"))
 
 
+RANGE_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS view_t
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, count(v.view_t) AS n_views_1h
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id AND v.view_t BETWEEN p.t - 3600 AND p.t
+GROUP BY p.purchase_id
+"""
+
+
+def q_purchase_views_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: views per user within the hour preceding each purchase
+    (operators/ranges.py — bucketed equi-join rewrite; the oracle uses a
+    plain inequality join, which Spark would plan as a nested loop)."""
+    from .operators.ranges import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_timestamp("ts").alias("view_t")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    j = range_join_bucketed(
+        purchases, views, on=["user_id"], left_ts="t", right_ts="view_t",
+        lower=-3600, upper=0, how="left",
+    )
+    return j.groupBy("purchase_id").agg(F.count("view_t").alias("n_views_1h"))
+
+
+CDC_DEADLETTER_SQL = f"""
+WITH ce AS ({CE_SQL}),
+inj AS (
+  SELECT CASE WHEN lsn % 97 = 0 THEN NULL ELSE conv_id END AS conv_id,
+         turn_idx,
+         CASE WHEN lsn % 101 = 0 THEN 'X' ELSE op END AS op
+  FROM ce
+)
+SELECT CASE WHEN op IN ('I', 'U', 'D')
+             AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
+            THEN 'valid' ELSE 'dead' END AS status,
+       op, count(*) AS n
+FROM inj GROUP BY 1, 2
+"""
+
+
+def q_cdc_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split (S2/P1 failure isolation) oracle-gated: events
+    with deterministically injected null keys / unknown ops are diverted
+    by operators/validate.split_valid, never silently dropped — valid +
+    dead partitions must cover the input exactly."""
+    from .operators.validate import split_valid
+
+    ce = derive_change_events(spark, sf_dir)
+    inj = ce.withColumn(
+        "conv_id",
+        F.when(F.col("lsn") % 97 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    ).withColumn(
+        "op", F.when(F.col("lsn") % 101 == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    valid, dead = split_valid(inj, ["conv_id", "turn_idx"])
+    tagged = valid.withColumn("status", F.lit("valid")).unionByName(
+        dead.withColumn("status", F.lit("dead"))
+    )
+    return tagged.groupBy("status", "op").agg(F.count(F.lit(1)).alias("n"))
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation) — the exact-aggregation
+    end of the sketch family; at 100 TB swap for approx_percentile."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+DOCS_DUP_PAIRS_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
+SELECT f.doc_id AS dup_id, k.keep_id, f.fp
+FROM fp f JOIN keep k USING (fp)
+WHERE f.doc_id <> k.keep_id
+"""
+
+
+def q_docs_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dup_pairs
+
+    return exact_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
 ASOF_SQL = """
 WITH v AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
@@ -1326,6 +1444,10 @@ QUERIES = {
     "union_distinct_ids": q_union_distinct_ids,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "asof_purchase_to_view": q_asof_purchase_to_view,
+    "purchase_views_within_hour": q_purchase_views_within_hour,
+    "cdc_dead_letter_split": q_cdc_dead_letter_split,
+    "events_value_percentiles": q_events_value_percentiles,
+    "docs_exact_dup_pairs": q_docs_exact_dup_pairs,
     "mm_binary_meta": q_mm_binary_meta,
     "emb_norms": q_emb_norms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
@@ -1366,6 +1488,10 @@ ORACLE_SQL = {
     "union_distinct_ids": UNION_IDS_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "asof_purchase_to_view": ASOF_SQL,
+    "purchase_views_within_hour": RANGE_JOIN_SQL,
+    "cdc_dead_letter_split": CDC_DEADLETTER_SQL,
+    "events_value_percentiles": PERCENTILES_SQL,
+    "docs_exact_dup_pairs": DOCS_DUP_PAIRS_SQL,
     "mm_binary_meta": MM_META_SQL,
     "emb_norms": EMB_NORM_SQL,
     "emb_knn_bruteforce": EMB_TOPK_SQL,
