@@ -97,7 +97,9 @@ def blocked_jaccard_pairs(
     shuffle volume O(n), candidate volume Σ_band |band|·|adjacent| — at
     100 TB combine with MinHash-LSH to pre-shrink candidate blocks.
     """
-    width = math.log(1.0 / threshold) * (1.0 + 1e-9)
+    # t = 1.0 → width 0 (only equal sizes can qualify); clamp to a tiny
+    # positive width so banding degenerates to exact-size grouping
+    width = max(math.log(1.0 / threshold) * (1.0 + 1e-9), 1e-12)
     sh = (
         sets_df.select(F.col(id_col).alias("id"), F.col(set_col).alias("sh"))
         .filter(F.size("sh") > 0)

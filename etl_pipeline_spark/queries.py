@@ -973,6 +973,48 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+TUMBLING_SQL = """
+SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS window_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling windows via Spark's native `window()` — the
+    same operator Structured Streaming uses with a watermark; graded here
+    in batch mode where an oracle is expressible."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"), "n", "sum_value"
+        )
+    )
+
+
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -1439,6 +1481,8 @@ QUERIES = {
     "clean_rating_fields": q_clean_rating_fields,
     "clean_colors_fields": q_clean_colors_fields,
     "rollup_order_stats": q_rollup_order_stats,
+    "cube_lineitem_stats": q_cube_lineitem_stats,
+    "events_tumbling_windows": q_events_tumbling_windows,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "customers_without_orders": q_customers_without_orders,
     "union_distinct_ids": q_union_distinct_ids,
@@ -1483,6 +1527,8 @@ ORACLE_SQL = {
     "clean_rating_fields": CLEAN_RATING_SQL,
     "clean_colors_fields": CLEAN_COLORS_SQL,
     "rollup_order_stats": ROLLUP_SQL,
+    "cube_lineitem_stats": CUBE_SQL,
+    "events_tumbling_windows": TUMBLING_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "union_distinct_ids": UNION_IDS_SQL,
