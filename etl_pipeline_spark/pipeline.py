@@ -50,10 +50,15 @@ class ApplyConfig:
     # big enough that a hot key could actually hurt (file-size estimate)
     skew_probe_min_bytes: int = 64 * 1024 * 1024
     # The minilake MERGE resolves LWW itself (read- or write-side), so a
-    # batch pre-reduce is a redundant extra shuffle (default off). Turn
-    # on for sinks that require ≤1 source row per key (real Iceberg
-    # MERGE INTO). The salted reduce still pre-collapses hot keys when
-    # skew is detected, whatever this flag says.
+    # batch pre-reduce is semantically redundant — but NOT always
+    # performance-redundant: on update-heavy streams (bench: 20M events
+    # → 2.2M keys) the pre-reduce shrinks every MOR delta write ~9x and
+    # cuts compaction proportionally (measured: replay+compact 29s → 18s
+    # at sf0.1). Enable when the per-batch dup ratio is high or the sink
+    # requires ≤1 source row per key (real Iceberg MERGE INTO); leave
+    # off for low-dup streams where the extra shuffle buys nothing. The
+    # salted reduce still pre-collapses hot keys when skew is detected,
+    # whatever this flag says.
     pre_reduce: bool = False
     auto_compact_max_files: int = 12  # MOR delta-chain fold threshold; 0 = off
     dead_letter_dir: str | None = None  # default: <table_root>/_deadletter

@@ -129,19 +129,25 @@ def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP: full engine replay. The derived change stream is written
-    as ordered changelog batches, replayed through validate → clean → LWW
-    → bucket-pruned MERGE into a MiniLake table (atomic snapshots,
-    fencing, tombstones), and the final table state is read back. The
-    oracle is plain LWW SQL — the engine must land on exactly that state.
+# One replayed table per (session, sf_dir): the flagship replay query
+# and the time-travel query read different snapshots of the same run.
+_REPLAY_CACHE: dict = {}
+_REPLAY_BATCH_LSNS = 20_000  # lsn-range width of one changelog batch
+
+
+def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
+    """Build (once per session+sf) the fully replayed MiniLake table.
 
     Everything data-sized stays on executors: the changelog is written by
     a ``partitionBy`` job over an lsn-range batch column (the driver only
     renames partition directories into the ordered ``batch-NNNNNN``
-    layout), and the result is the table's own lazy scan — no
+    layout), and readers get the table's own lazy scan — no
     ``toPandas``/``collect`` anywhere on the data path.
     """
+    key = (id(spark), sf_dir)
+    cached = _REPLAY_CACHE.get(key)
+    if cached is not None:
+        return cached
     ce = (
         derive_change_events(spark, sf_dir)
         .withColumn("tool", F.lit(None).cast("string"))
@@ -154,7 +160,7 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = os.path.join(tmp, "staging")
     changelog = os.path.join(tmp, "changelog")
     os.makedirs(changelog)
-    batch = 20_000
+    batch = _REPLAY_BATCH_LSNS
     (
         ce.withColumn("_b", F.floor(F.col("lsn") / batch).cast("int"))
         .repartition("_b")
@@ -180,13 +186,52 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
     )
     replay_files(spark, changelog, table)
-    return table.read().select(
+    _REPLAY_CACHE[key] = table
+    return table
+
+
+def _state_projection(df: DataFrame) -> DataFrame:
+    return df.select(
         "conv_id",
         "turn_idx",
         "role",
         "text",
         F.unix_timestamp("ts").alias("ts_epoch"),
     )
+
+
+def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full engine replay. The derived change stream is written
+    as ordered changelog batches, replayed through validate → clean → LWW
+    → bucket-pruned MERGE into a MiniLake table (atomic snapshots,
+    fencing, tombstones), and the final table state is read back. The
+    oracle is plain LWW SQL — the engine must land on exactly that state.
+    """
+    return _state_projection(_replayed_table(spark, sf_dir).read())
+
+
+TIME_TRAVEL_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce WHERE lsn < 20000
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: read the table AS OF the version committed
+    by the first micro-batch (v1 = empty create, v2 = after batch 0).
+    The oracle recomputes LWW over only that batch's lsn range — the
+    engine's historical snapshot must equal it exactly, proving commits
+    are immutable and isolated from every later merge/compaction."""
+    table = _replayed_table(spark, sf_dir)
+    return _state_projection(table.read(version=2))
 
 
 CDC_OP_STATS_SQL = f"""
@@ -1458,6 +1503,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cdc_engine_replay": q_cdc_engine_replay,
+    "cdc_time_travel": q_cdc_time_travel,
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_lww_cleaned": q_cdc_lww_cleaned,
     "cdc_op_stats": q_cdc_op_stats,
@@ -1504,6 +1550,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_engine_replay": LWW_STATE_SQL,
+    "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_lww_state": LWW_STATE_SQL,
     "cdc_lww_cleaned": CDC_CLEANED_SQL,
     "cdc_op_stats": CDC_OP_STATS_SQL,
