@@ -176,12 +176,12 @@ def main() -> None:
             write_mode="mor",
         )
         t0 = time.time()
-        # pre_reduce on: this stream is update-heavy (~9 events/key), so
-        # the per-batch LWW shuffle shrinks delta writes + compaction far
-        # more than it costs (see ApplyConfig.pre_reduce).
+        # The MOR merge bucket-clusters + LWW-pre-reduces in ONE shuffle
+        # (minilake.merge), so pipeline-level pre_reduce would only add a
+        # redundant keys-shuffle here.
         replay_files(
             spark, clog, rep_table, files_per_batch=FILES_PER_BATCH,
-            cfg=ApplyConfig(lineage_level="batch", pre_reduce=True),
+            cfg=ApplyConfig(lineage_level="batch"),
         )
         rep_table.compact(drop_tombstones=False)  # end-of-replay fold, counted
         replay_runs.append(round(time.time() - t0, 3))

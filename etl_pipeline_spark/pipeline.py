@@ -49,15 +49,14 @@ class ApplyConfig:
     # the skew probe is a sampling job of its own — only probe batches
     # big enough that a hot key could actually hurt (file-size estimate)
     skew_probe_min_bytes: int = 64 * 1024 * 1024
-    # The minilake MERGE resolves LWW itself (read- or write-side), so a
-    # batch pre-reduce is semantically redundant — but NOT always
-    # performance-redundant: on update-heavy streams (bench: 20M events
-    # → 2.2M keys) the pre-reduce shrinks every MOR delta write ~9x and
-    # cuts compaction proportionally (measured: replay+compact 29s → 18s
-    # at sf0.1). Enable when the per-batch dup ratio is high or the sink
-    # requires ≤1 source row per key (real Iceberg MERGE INTO); leave
-    # off for low-dup streams where the extra shuffle buys nothing. The
-    # salted reduce still pre-collapses hot keys when skew is detected,
+    # The minilake MERGE resolves LWW itself: MOR mode bucket-clusters +
+    # LWW-reduces the batch inside its one delta-write shuffle (measured:
+    # replay+compact 29s → 18s at sf0.1 on an update-heavy stream), and
+    # COW reduces across {current ∪ batch}. A pipeline-level pre-reduce
+    # is therefore a redundant extra keys-shuffle on the minilake backend
+    # — enable it only for sinks that require ≤1 source row per key and
+    # don't reduce themselves (real Iceberg MERGE INTO). The salted
+    # reduce still pre-collapses hot keys when skew is detected,
     # whatever this flag says.
     pre_reduce: bool = False
     auto_compact_max_files: int = 12  # MOR delta-chain fold threshold; 0 = off

@@ -109,6 +109,35 @@ def test_minhash_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mor_merge_reduce_reuses_bucket_shuffle(spark):
+    """The MOR delta path must plan exactly ONE Exchange: the LWW
+    group-by reuses the bucket repartition's clustering
+    (HashPartitioning(bucket) satisfies ClusteredDistribution(bucket,
+    keys...)) — a second shuffle here would double per-batch wire cost."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.lww import lww_reduce
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).cast("string").alias("conv_id"),
+        (F.col("id") % 20).cast("int").alias("turn_idx"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+        F.pmod(F.xxhash64((F.col("id") % 97).cast("string")), F.lit(16)).alias(
+            "_bucket"
+        ),
+    )
+    clustered = df.repartition(16, F.col("_bucket"))
+    red = lww_reduce(
+        clustered,
+        keys=["_bucket", "conv_id", "turn_idx"],
+        order_col="_lsn",
+        payload_cols=["_deleted"],
+    )
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_knn_broadcasts_queries(spark):
     plan = explain_str(QUERIES["emb_knn_bruteforce"](spark, SF))
     assert "Broadcast" in plan  # query side broadcast, corpus streamed
