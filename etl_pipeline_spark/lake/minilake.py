@@ -386,13 +386,16 @@ class MiniLakeTable:
                 BUCKET_COL, bexpr
             )
 
-            # LWW across {current state ∪ batch} per key — one hash-agg
-            # shuffle, partial-aggregated map-side. Tombstones survive.
+            # LWW across {current state ∪ batch} per key, reduced inside
+            # the rewrite's bucket clustering — same single-Exchange
+            # shape as the MOR branch. Tombstones survive.
             merged = lww_reduce(
-                current.unionByName(batch_phys),
-                keys=key_cols,
+                current.unionByName(batch_phys).repartition(
+                    len(touched), F.col(BUCKET_COL)
+                ),
+                keys=[BUCKET_COL] + list(key_cols),
                 order_col=LSN_COL,
-                payload_cols=payload_cols + [DELETED_COL, BUCKET_COL],
+                payload_cols=payload_cols + [DELETED_COL],
             )
 
         obs = Observation()
@@ -404,9 +407,8 @@ class MiniLakeTable:
         )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{version + 1:06d}-{commit_id}")
-        if touched is not None:  # cow: cluster the rewritten buckets
-            merged = merged.repartition(len(touched), F.col(BUCKET_COL))
-        # mor: already bucket-clustered by the pre-reduce — no reshuffle
+        # both branches arrive bucket-clustered from the reduce — the
+        # write never reshuffles
         (
             merged.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
