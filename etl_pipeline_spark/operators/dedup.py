@@ -320,3 +320,54 @@ def simhash_dup_groups(
         .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+    bands: int = 5,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming`` —
+    EXACT by pigeonhole banding: the 60-bit signature splits into
+    ``bands`` disjoint sub-signatures; ≤ max_hamming bit flips can dirty
+    at most max_hamming bands, so any qualifying pair agrees exactly on
+    ≥ 1 band whenever ``bands > max_hamming`` (enforced). Candidates =
+    equi-join on (band_idx, band_value); verify = ``bit_count(xor)``.
+    Never a cartesian; shuffle O(n · bands)."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming (pigeonhole bound)")
+    band_bits = SIMHASH_BITS // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_signatures(df, id_col, text_col)
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1408,7 +1408,9 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}
 """
 
 
-def _simhash_oracle_sql(n_bits: int = 60) -> str:
+def _simhash_sig_ctes(n_bits: int = 60) -> str:
+    """Shared CTE chain ending in ``sig(id, simhash)`` — the DuckDB
+    replay of operators.dedup.simhash_signatures."""
     votes = ",\n       ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(n_bits)
@@ -1417,8 +1419,7 @@ def _simhash_oracle_sql(n_bits: int = 60) -> str:
         f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(n_bits)
     )
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT doc_id AS id, unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS tok
   FROM documents
 ),
@@ -1428,10 +1429,81 @@ v AS (SELECT id,
       FROM h GROUP BY id),
 sig AS (SELECT id,
        {packs} AS simhash
-     FROM v)
+     FROM v)"""
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+WITH {_simhash_sig_ctes()}
 SELECT simhash, min(id) AS keep_id, count(*) AS n_docs
 FROM sig GROUP BY simhash HAVING count(*) > 1
 """
+
+
+def _simhash_near_dups_sql(max_hamming: int = 4, bands: int = 5) -> str:
+    band_bits = 60 // bands
+    mask = (1 << band_bits) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    val_list = ", ".join(
+        f"(simhash >> {b * band_bits}) & {mask}" for b in range(bands)
+    )
+    return f"""
+WITH {_simhash_sig_ctes()},
+bb AS (
+  SELECT id, simhash,
+         unnest([{band_list}]) AS band,
+         unnest([{val_list}]) AS val
+  FROM sig
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bb a JOIN bb b ON a.band = b.band AND a.val = b.val
+WHERE a.id < b.id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+DOCS_SIMHASH_PAIRS_SQL = _simhash_near_dups_sql()
+
+
+def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dups (exact by pigeonhole: 5 disjoint
+    12-bit bands cover every pair within Hamming distance 4)."""
+    from .operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+USER_PATHS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(event_type, '->' ORDER BY event_id) AS path
+FROM events GROUP BY user_id
+"""
+
+
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow path (`applyInPandas`): per-user ordered event
+    path assembly — the session-trajectory extraction a training-data
+    pipeline runs per conversation. Each group arrives as one pandas
+    frame; the oracle is an ordered string_agg."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+
+    def _path(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "path": ["->".join(pdf["event_type"])],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        _path, "user_id long, n_events long, path string"
+    )
 
 
 DOCS_MINHASH_SQL = _minhash_oracle_sql(threshold=0.8, n_hashes=32, bands=8, k=3)
@@ -1545,6 +1617,8 @@ QUERIES = {
     "emb_label_stats": q_emb_label_stats,
     "docs_minhash_near_dups": q_docs_minhash_near_dups,
     "docs_simhash_groups": q_docs_simhash_groups,
+    "docs_simhash_near_dups": q_docs_simhash_near_dups,
+    "user_event_paths": q_user_event_paths,
     "mm_features": q_mm_features,
 }
 
@@ -1593,4 +1667,6 @@ ORACLE_SQL = {
     "mm_features": MM_FEATURES_SQL,
     "docs_minhash_near_dups": DOCS_MINHASH_SQL,
     "docs_simhash_groups": DOCS_SIMHASH_SQL,
+    "docs_simhash_near_dups": DOCS_SIMHASH_PAIRS_SQL,
+    "user_event_paths": USER_PATHS_SQL,
 }
