@@ -57,7 +57,9 @@ def exact_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(dup_id, keep_id) pairs for exact duplicates beyond the keeper."""
-    fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    fps = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
     keep = fps.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
     return (
         fps.join(keep, "fp")
