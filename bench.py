@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "docs_exact_dedup",
     "docs_minhash_near_dups",
     "emb_knn_bruteforce",
+    "purchase_views_within_hour",
+    "user_event_paths",
 ]
 
 
