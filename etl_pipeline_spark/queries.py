@@ -50,7 +50,7 @@ from .functions.text import (
     token_count,
     tokens,
 )
-from .functions.vectors import as_double, cosine, l2_norm
+from .functions.vectors import as_double, l2_norm
 from .lake.minilake import MiniLakeTable
 from .operators.dedup import minhash_dedup_pairs, simhash_dup_groups
 from .operators.lww import lww_reduce
