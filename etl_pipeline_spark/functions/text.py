@@ -103,6 +103,26 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+def chunk_texts(c: Column, size: int = 10, stride: int = 5) -> Column:
+    """Sliding token-window chunks as array<string> — the LLM-training
+    chunking primitive (context-window packing). Chunk i covers tokens
+    [i·stride, i·stride + size); the last window is allowed short; empty
+    docs yield no chunks. Built-ins only, so chunking 100 TB of text
+    never leaves whole-stage codegen."""
+    toks = tokens(c)
+    n = F.size(toks)
+    i_max = F.ceil(
+        F.greatest(n - size, F.lit(0)) / F.lit(float(stride))
+    ).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), i_max),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, size)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(c: Column, k: int = 3) -> Column:
     """k-word shingles as array<string> (distinct). The shingle set
     feeds n-gram Jaccard and MinHash. Built-ins only: split →

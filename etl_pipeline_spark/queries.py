@@ -44,6 +44,7 @@ from .functions.cleaning import (
 )
 from .functions.text import (
     STOPWORDS,
+    chunk_texts,
     fingerprint,
     lang_guess,
     quality_score,
@@ -1474,6 +1475,62 @@ def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 10, 5
+
+DOCS_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENIZE_SQL_FRAG.format(col='text')} AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         CAST(ceil(greatest(len(toks) - {_CHUNK_SIZE}, 0)
+                   / {_CHUNK_STRIDE}.0) AS INTEGER) AS i_max
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       unnest(range(0, i_max + 1)) AS chunk_idx,
+       unnest(list_transform(range(0, i_max + 1),
+              i -> array_to_string(
+                toks[i * {_CHUNK_STRIDE} + 1 :
+                     i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')))
+         AS chunk_text,
+       unnest(list_transform(range(0, i_max + 1),
+              i -> CAST(len(toks[i * {_CHUNK_STRIDE} + 1 :
+                              i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}])
+                        AS INTEGER)))
+         AS n_tokens
+FROM b
+"""
+
+
+def q_docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (functions/text.chunk_texts) — context-
+    window packing for LLM training corpora; one output row per chunk
+    via posexplode, oracle mirrors the slice arithmetic exactly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    out = d.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.posexplode(chunk_texts(F.col("text"), _CHUNK_SIZE, _CHUNK_STRIDE)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(
+            F.slice(
+                F.col("_toks"),
+                F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+                _CHUNK_SIZE,
+            )
+        ).alias("n_tokens"),
+    )
+
+
 USER_PATHS_SQL = """
 SELECT user_id,
        count(*) AS n_events,
@@ -1619,6 +1676,7 @@ QUERIES = {
     "docs_simhash_groups": q_docs_simhash_groups,
     "docs_simhash_near_dups": q_docs_simhash_near_dups,
     "user_event_paths": q_user_event_paths,
+    "docs_chunked": q_docs_chunked,
     "mm_features": q_mm_features,
 }
 
@@ -1669,4 +1727,5 @@ ORACLE_SQL = {
     "docs_simhash_groups": DOCS_SIMHASH_SQL,
     "docs_simhash_near_dups": DOCS_SIMHASH_PAIRS_SQL,
     "user_event_paths": USER_PATHS_SQL,
+    "docs_chunked": DOCS_CHUNKS_SQL,
 }
