@@ -14,8 +14,10 @@ Design rules that keep the two engines hash-identical:
 - doubles that cross a non-deterministic summation order are ``round``-ed
   (2-6 dp) so partial-aggregation order can't flip the hash.
 - deterministic tie-breaks on every top-k / row_number.
-- only hash functions both engines share (md5) appear in oracle-checked
-  queries; engine-internal hashing (xxhash64) stays in rows-only ops.
+- every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
+  uses the md5-derived 60-bit family both engines compute bit-identically
+  (operators/dedup.md5long) — there are NO rows-only queries: all 47
+  entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
 (lsn=event_id, op from event_id mod 10 at the generator's 60/30/10 I/U/D
