@@ -227,7 +227,9 @@ class MiniLakeTable:
         dirs = [d for ds in m["buckets"].values() for d in ds]
         return self._read_files(dirs, version=m["version"])
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, _dirs: list[str] | None = None
+    ) -> DataFrame:
         """The logical read view: live rows only, bookkeeping hidden.
 
         On a merge-on-read table the per-key LWW resolution happens here
@@ -236,7 +238,11 @@ class MiniLakeTable:
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
         cols = [f.name for f in schema.fields]
-        phys = self.read_physical(version)
+        phys = (
+            self._read_files(_dirs, version=m["version"])
+            if _dirs is not None
+            else self.read_physical(version)
+        )
         if m.get("write_mode", "cow") == "mor":
             payload = [c for c in cols if c not in m["key_cols"]]
             phys = lww_reduce(
@@ -246,6 +252,64 @@ class MiniLakeTable:
                 payload_cols=payload + [DELETED_COL],
             )
         return phys.filter(~F.col(DELETED_COL)).select(*cols)
+
+    def read_for_keys(
+        self, values: list, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read path: the bucket layout makes single-key
+        access O(table / n_buckets). The keys' buckets are computed with
+        the SAME expression the writer used (one tiny job over the key
+        literals — never a guess that could silently diverge), and only
+        those buckets' files are scanned before the usual LWW resolve +
+        tombstone filter."""
+        m = self.manifest(version)
+        key0 = m["key_cols"][0]
+        schema = schema_from_manifest(m["schema"])
+        ktype = next(f.dataType for f in schema.fields if f.name == key0)
+        vals_df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField(key0, ktype)]),
+        )
+        buckets = sorted(
+            r[0]
+            for r in vals_df.select(self._bucket_expr(key0, m["n_buckets"]))
+            .distinct()
+            .collect()
+        )
+        dirs = [d for b in buckets for d in m["buckets"].get(str(b), [])]
+        return self.read(version, _dirs=dirs).filter(
+            F.col(key0).isin(list(values))
+        )
+
+    def read_changes_since(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC-out: the delta rows appended by MERGE commits in
+        (from_version, to_version] — on a MOR table each merge's delta is
+        exactly its batch's per-key LWW winners INCLUDING tombstones,
+        i.e. the change feed a downstream consumer tails (bookkeeping
+        columns ``_lsn``/``_deleted`` stay visible). Compaction rewrites
+        are maintenance, not changes, and are excluded; deltas that a
+        later compaction folded away are still served (compaction never
+        deletes the underlying files — no vacuum here)."""
+        to_version = to_version if to_version is not None else self.current_version()
+        seen = {
+            d
+            for ds in self.manifest(from_version)["buckets"].values()
+            for d in ds
+        }
+        new_dirs: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            for ds in self.manifest(v)["buckets"].values():
+                for d in ds:
+                    if d in seen:
+                        continue
+                    seen.add(d)
+                    if os.path.basename(os.path.dirname(d)).startswith(
+                        "commit-"
+                    ):
+                        new_dirs.append(d)
+        return self._read_files(sorted(new_dirs), version=to_version)
 
     def snapshot_props(self) -> dict:
         return self.manifest()["properties"]

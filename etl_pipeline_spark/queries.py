@@ -237,6 +237,72 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(table.read(version=2))
 
 
+_POINT_KEYS = ["conv-7", "conv-23", "conv-64"]
+_POINT_KEYS_SQL = ", ".join(f"'{k}'" for k in _POINT_KEYS)
+
+POINT_LOOKUP_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce WHERE conv_id IN ({_POINT_KEYS_SQL})
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup (minilake.read_for_keys): single-key
+    state access scans O(1/n_buckets) of the table — the serving-path
+    read the bucket layout exists for. Plan-tested to touch only the
+    keys' bucket files."""
+    table = _replayed_table(spark, sf_dir)
+    return _state_projection(table.read_for_keys(_POINT_KEYS))
+
+
+INCREMENTAL_SQL = f"""
+WITH ce AS ({CE_SQL}),
+b AS (
+  SELECT *, CAST(floor(lsn / {_REPLAY_BATCH_LSNS}.0) AS BIGINT) AS batch
+  FROM ce WHERE lsn >= {_REPLAY_BATCH_LSNS}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY batch, conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM b
+)
+SELECT batch, conv_id, turn_idx, role,
+       CASE WHEN lower(trim(text)) IN ('[unavailable]', 'not rated', 'n/a', '')
+            THEN NULL ELSE trim(text) END AS text,
+       lsn, (op = 'D') AS deleted,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1
+"""
+
+
+def q_cdc_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out (minilake.read_changes_since): everything appended after
+    the first batch's commit = per-batch LWW winners incl. tombstones,
+    with cleaned payloads — what a downstream consumer tailing the table
+    receives. The oracle recomputes each batch's winners from the raw
+    stream."""
+    table = _replayed_table(spark, sf_dir)
+    ch = table.read_changes_since(2)
+    return ch.select(
+        F.floor(F.col("_lsn") / _REPLAY_BATCH_LSNS).cast("long").alias("batch"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.col("_lsn").alias("lsn"),
+        F.col("_deleted").alias("deleted"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 CDC_OP_STATS_SQL = f"""
 WITH ce AS ({CE_SQL})
 SELECT op,
@@ -1635,6 +1701,8 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_engine_replay": q_cdc_engine_replay,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_point_lookup": q_cdc_point_lookup,
+    "cdc_incremental_changes": q_cdc_incremental_changes,
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_lww_cleaned": q_cdc_lww_cleaned,
     "cdc_op_stats": q_cdc_op_stats,
@@ -1685,6 +1753,8 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_engine_replay": LWW_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
+    "cdc_point_lookup": POINT_LOOKUP_SQL,
+    "cdc_incremental_changes": INCREMENTAL_SQL,
     "cdc_lww_state": LWW_STATE_SQL,
     "cdc_lww_cleaned": CDC_CLEANED_SQL,
     "cdc_op_stats": CDC_OP_STATS_SQL,
