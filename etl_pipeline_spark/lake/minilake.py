@@ -45,6 +45,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -544,6 +545,40 @@ class MiniLakeTable:
             buckets_touched=len(touched),
             wall_ms=(time.time() - t0) * 1000,
         )
+
+    # ---------------------------------------------------------- retention
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Retention GC (Iceberg ``expire_snapshots`` analog): drop
+        manifests older than the newest ``keep_last`` versions and delete
+        every data directory no retained manifest references. Time
+        travel and incremental reads older than the horizon become
+        unavailable — the standard retention trade. Never touches the
+        current version. Returns counts of removed manifests/dirs."""
+        keep_last = max(int(keep_last), 1)
+        versions = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        )
+        kept, dropped = versions[-keep_last:], versions[:-keep_last]
+        referenced = {
+            d
+            for v in kept
+            for ds in self.manifest(v)["buckets"].values()
+            for d in ds
+        }
+        # data dirs are <data>/<commit-or-compact dir>/<bucket=..>; a
+        # top-level dir survives iff ANY of its bucket dirs is referenced
+        live_tops = {os.path.dirname(d) for d in referenced}
+        removed_dirs = []
+        for name in os.listdir(self.data_dir):
+            top = os.path.join(self.data_dir, name)
+            if top not in live_tops:
+                shutil.rmtree(top, ignore_errors=True)
+                removed_dirs.append(top)
+        for v in dropped:
+            os.remove(self._manifest_path(v))
+        return {"manifests_removed": len(dropped), "dirs_removed": len(removed_dirs)}
 
     # ------------------------------------------------------------ compact
 

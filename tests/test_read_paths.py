@@ -57,6 +57,26 @@ def test_incremental_changes_are_per_batch_winners(table):
     assert table.read_changes_since(table.current_version()).count() == 0
 
 
+def test_expire_snapshots_retention(spark, table):
+    table.compact(drop_tombstones=False)
+    v_head = table.current_version()
+    state_before = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in table.read().collect()
+    )
+    res = table.expire_snapshots(keep_last=1)
+    assert res["manifests_removed"] >= 2
+    assert res["dirs_removed"] >= 1  # folded delta dirs reclaimed
+    # head snapshot intact, state identical
+    assert table.current_version() == v_head
+    after = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in table.read().collect()
+    )
+    assert after == state_before
+    # time travel past the horizon is gone — the standard retention trade
+    with pytest.raises(FileNotFoundError):
+        table.manifest(2)
+
+
 def test_incremental_changes_survive_compaction(spark, table):
     # fold everything, then land one more batch: the pre-compaction
     # deltas must still be served (compaction is maintenance, not change)
