@@ -1543,6 +1543,72 @@ def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+TOP_TOKENS_SQL = f"""
+WITH tok AS (
+  SELECT unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM c
+)
+SELECT rank, token, n FROM r WHERE rank <= 100
+"""
+
+
+def q_docs_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: global top-100 token frequencies —
+    explode → hash-agg (map-side partials collapse each partition's
+    vocabulary before the shuffle) → single tiny top-k sort. At 100 TB
+    the shuffle carries O(|vocab|) rows, not O(tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "token", "n")
+    )
+
+
+_SAMPLE_PCT = 10
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH lg AS ({_lang_guess_sql()})
+SELECT doc_id, lang_guess,
+       CAST(({_md5long_sql("'s:' || doc_id::VARCHAR")}) % 100 AS INTEGER)
+         AS sample_slot
+FROM lg
+WHERE ({_md5long_sql("'s:' || doc_id::VARCHAR")}) % 100 < {_SAMPLE_PCT}
+"""
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling for dataset curation: ~10% of docs,
+    reproducible across engines and runs (md5-derived slot, never
+    rand()), stratum label carried for per-language quota accounting."""
+    from .operators.dedup import md5long
+
+    d = _t(spark, sf_dir, "documents")
+    slot = md5long(
+        F.concat(F.lit("s:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        d.select(
+            "doc_id",
+            lang_guess(F.col("text")).alias("lang_guess"),
+            slot.cast("int").alias("sample_slot"),
+        )
+        .filter(F.col("sample_slot") < _SAMPLE_PCT)
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 10, 5
 
 DOCS_CHUNKS_SQL = f"""
@@ -1747,6 +1813,8 @@ QUERIES = {
     "docs_simhash_near_dups": q_docs_simhash_near_dups,
     "user_event_paths": q_user_event_paths,
     "docs_chunked": q_docs_chunked,
+    "docs_top_tokens": q_docs_top_tokens,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "mm_features": q_mm_features,
 }
 
@@ -1800,4 +1868,6 @@ ORACLE_SQL = {
     "docs_simhash_near_dups": DOCS_SIMHASH_PAIRS_SQL,
     "user_event_paths": USER_PATHS_SQL,
     "docs_chunked": DOCS_CHUNKS_SQL,
+    "docs_top_tokens": TOP_TOKENS_SQL,
+    "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
 }
