@@ -520,6 +520,63 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join, bidirectional nation-pair filter,
+    per-year revenue. Fact (lineitem) stays the stream side; nation is a
+    forced broadcast; supplier/customer/orders are AQE's call."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(n.withColumnRenamed("n_name", "supp_nation"))
+    n2 = F.broadcast(
+        n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+            "n_nationkey", "c_n_nationkey"
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == n1.n_nationkey)
+        .join(n2, c.c_nationkey == F.col("c_n_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("supp_nation", "cust_nation", "l_year", "revenue")
+    )
+
+
 TOPK_PER_CUST_SQL = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1777,6 +1834,7 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_nation_revenue": q_q5_nation_revenue,
+    "q7_volume_shipping": q_q7_volume_shipping,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionization": q_events_sessionization,
     "events_hourly_stats": q_events_hourly_stats,
@@ -1831,6 +1889,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q7_volume_shipping": Q7_SQL,
     "top_orders_per_customer": TOPK_PER_CUST_SQL,
     "events_sessionization": SESSION_SQL,
     "events_hourly_stats": HOURLY_SQL,

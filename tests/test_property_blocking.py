@@ -53,6 +53,43 @@ def test_blocked_jaccard_equals_bruteforce(spark, sets, threshold):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.sampled_from(["u1", "u2"]),
+                             st.integers(-50, 50)), min_size=1, max_size=8),
+    rights=st.lists(st.tuples(st.sampled_from(["u1", "u2"]),
+                              st.integers(-50, 50)), min_size=0, max_size=8),
+    lower=st.integers(-20, 0),
+    width=st.integers(0, 25),
+)
+def test_range_join_equals_bruteforce(spark, lefts, rights, lower, width):
+    from etl_pipeline_spark.operators.ranges import range_join_bucketed
+
+    upper = lower + width
+    ldf = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(lefts)],
+        "pid long, user string, t long",
+    )
+    rdf = spark.createDataFrame(rights, "user string, rt long") if rights else (
+        spark.createDataFrame([], "user string, rt long")
+    )
+    got = sorted(
+        (r["pid"], r["rt"])
+        for r in range_join_bucketed(
+            ldf, rdf, on=["user"], left_ts="t", right_ts="rt",
+            lower=lower, upper=upper,
+        ).collect()
+    )
+    want = sorted(
+        (i, rt)
+        for i, (u, t) in enumerate(lefts)
+        for (ru, rt) in rights
+        if ru == u and t + lower <= rt <= t + upper
+    )
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(seed=st.integers(0, 10_000),
