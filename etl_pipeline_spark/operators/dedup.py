@@ -173,6 +173,75 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# ----------------------------------------------------------- containment
+
+
+def containment_pairs(
+    sets_df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """Directed near-containment pairs: (a, b) with
+    |A ∩ B| / |A| ≥ ``threshold`` — the quote/subset dedup case, where
+    size-banding is useless (a tiny doc can live inside a huge one).
+
+    EXACT by pigeonhole posting: if B contains ≥ t·|A| of A's shingles,
+    B misses < (1−t)·|A| + 1 of them — so posting ANY
+    ``floor((1−t)·|A|) + 1`` shingles of A guarantees B holds at least
+    one posted shingle. Posts are chosen as the smallest-md5long
+    shingles (deterministic, biased toward globally rare values exactly
+    like prefix filtering); candidates come from an equi-join of A's
+    posts against B's exploded shingles, then the true containment is
+    verified. Shuffle is O(total shingles), never all-pairs.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = sets_df.select(
+        F.col(id_col).alias("id"), F.col(set_col).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    by_hash = F.array_sort(
+        F.col("sh"),
+        lambda l, r: F.when(md5long(l) < md5long(r), -1)
+        .when(md5long(l) > md5long(r), 1)
+        .otherwise(0),
+    )
+    # +1e-9 before the floor: (1 - 0.9) is 0.0999… in binary, so
+    # 20·(1−t) floors to 1 instead of 2 and the boundary pair
+    # (containment exactly t) loses its guarantee. Nudging up can only
+    # over-post (more candidates), never under-post — exactness holds.
+    n_posts = (
+        F.floor(F.size("sh") * (1.0 - threshold) + 1e-9).cast("int") + 1
+    )
+    posts = sh.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.slice(by_hash, 1, n_posts)).alias("s"),
+    )
+    exploded = sh.select(F.col("id").alias("id_b"), F.explode("sh").alias("s"))
+    cand = (
+        posts.join(exploded, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        "sh_a"
+    )
+    return verify.select(
+        "id_a", "id_b", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 # --------------------------------------------------------------- MinHash
 
 

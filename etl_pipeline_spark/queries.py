@@ -52,6 +52,7 @@ from .functions.text import (
     quality_score,
     token_count,
     tokens,
+    word_shingles,
 )
 from .functions.vectors import as_double, l2_norm
 from .lake.minilake import MiniLakeTable
@@ -1600,6 +1601,37 @@ def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+CONTAINMENT_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         {TOKENIZE_SQL_FRAG.format(col='text')} AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id AS id, {_shingle_expr_sql(3)} AS sh FROM tk
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS containment
+  FROM s a, s b WHERE a.id <> b.id AND len(a.sh) > 0
+)
+SELECT id_a, id_b, containment FROM p WHERE containment >= 0.9
+"""
+
+
+def q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment (quote/subset detection) via the exact
+    pigeonhole posting join (operators/dedup.containment_pairs) — the
+    oracle's all-pairs SQL must agree row-for-row."""
+    from .operators.dedup import _spread, containment_pairs
+
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = d.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh")
+    )
+    return containment_pairs(sh, threshold=0.9)
+
+
 TOP_TOKENS_SQL = f"""
 WITH tok AS (
   SELECT unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS token
@@ -1873,6 +1905,7 @@ QUERIES = {
     "docs_chunked": q_docs_chunked,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_containment": q_docs_containment,
     "mm_features": q_mm_features,
 }
 
@@ -1929,4 +1962,5 @@ ORACLE_SQL = {
     "docs_chunked": DOCS_CHUNKS_SQL,
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "docs_containment": CONTAINMENT_SQL,
 }

@@ -55,6 +55,29 @@ def test_blocked_jaccard_equals_bruteforce(spark, sets, threshold):
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sets=doc_sets, threshold=st.sampled_from([0.5, 0.75, 0.9, 1.0]))
+def test_containment_equals_bruteforce(spark, sets, threshold):
+    """Includes exact-boundary cases (containment == t): the pigeonhole
+    post count must survive binary-float (1 - t) truncation."""
+    from etl_pipeline_spark.operators.dedup import containment_pairs
+
+    rows = [(i, sorted(s)) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "id long, sh array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold).collect()
+    }
+    want = {
+        (i, j)
+        for i, a in enumerate(sets)
+        for j, b in enumerate(sets)
+        if i != j and a and len(a & b) / len(a) >= threshold
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     lefts=st.lists(st.tuples(st.sampled_from(["u1", "u2"]),
                              st.integers(-50, 50)), min_size=1, max_size=8),
