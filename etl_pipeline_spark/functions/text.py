@@ -103,6 +103,30 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+# PII patterns, written to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backrefs, explicit classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d[\d-]{6,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(c: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern — JVM ``regexp_count``."""
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(c: Column) -> Column:
+    """Scrub emails / phone numbers / IPv4 addresses to typed placeholder
+    tokens — the pre-training privacy pass. Pure ``regexp_replace`` chain
+    (JVM, codegen); order matters: emails first so their host part isn't
+    half-eaten by the IP rule."""
+    out = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+    return F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+
+
 def chunk_texts(c: Column, size: int = 10, stride: int = 5) -> Column:
     """Sliding token-window chunks as array<string> — the LLM-training
     chunking primitive (context-window packing). Chunk i covers tokens

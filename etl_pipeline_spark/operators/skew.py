@@ -1,0 +1,60 @@
+"""Explicit skew-defused aggregation (salted two-phase).
+
+Spark's hash aggregation already collapses per-key duplicates map-side;
+what it cannot fix is ONE reducer receiving the partials of a single
+pathological hot key from tens of thousands of map tasks. The salted
+two-phase aggregate bounds that fan-in: phase 1 groups by
+``(keys…, salt)`` so a hot key's partials land on ``n_salts`` reducers;
+phase 2 folds the ≤ ``n_salts`` partial rows per key.
+
+Companion to :func:`..operators.lww.lww_reduce_salted` (the same defense
+for the LWW reduce), per the north_rule's explicit skew-handling
+requirement. The salt is deterministic (hash of a uniform column, never
+``rand()``) so retries and replays aggregate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RESPLITTABLE = {"sum", "count", "min", "max"}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregate.
+
+    ``aggs`` maps output alias → ``(fn, input_col)`` with fn in
+    {sum, count, min, max} — the algebraic aggregates whose partials
+    re-combine losslessly (count folds via sum in phase 2). avg callers
+    compose sum/count themselves.
+    """
+    for alias, (fn, _) in aggs.items():
+        if fn not in _RESPLITTABLE:
+            raise ValueError(f"{alias}: {fn} is not two-phase-combinable")
+    salt_src = F.col(salt_col) if salt_col else F.monotonically_increasing_id()
+    if salt_col is None:
+        # monotonically_increasing_id is partition-deterministic but not
+        # replay-stable; callers with a stable unique column should pass it.
+        pass
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[
+            getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(alias)
+            for alias, (fn, col) in aggs.items()
+        ]
+    )
+    refold = {"count": "sum"}
+    phase2 = phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, refold.get(fn, fn))(alias).alias(alias)
+            for alias, (fn, _) in aggs.items()
+        ]
+    )
+    return phase2

@@ -1851,6 +1851,324 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ corpus curation --
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\+\d[\d-]{6,}\d"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+PII_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text
+              ELSE text || ' u' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.org +62-812-'
+                   || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                   || ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST((doc_id * 3) % 256 AS VARCHAR)
+         END AS dirty
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_PII_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '{_PII_PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       CAST(len(regexp_extract_all(dirty, '{_PII_IP_RE}')) AS INTEGER)
+         AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(dirty, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g'),
+         '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM t
+"""
+
+
+def q_docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.redact_pii): emails, phone numbers
+    and IPv4 addresses — deterministically injected from doc_id so both
+    engines see identical dirty text — are counted and replaced with
+    typed placeholders. Pure JVM regexp chain; patterns restricted to
+    the Java-regex ∩ RE2 common subset."""
+    from .functions.text import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org +62-812-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+    )
+    dirty = F.when(F.col("doc_id") % 5 == 0, F.col("text")).otherwise(injected)
+    return d.select(
+        "doc_id",
+        pii_count(dirty, "email").cast("int").alias("n_emails"),
+        pii_count(dirty, "phone").cast("int").alias("n_phones"),
+        pii_count(dirty, "ipv4").cast("int").alias("n_ips"),
+        redact_pii(dirty).alias("redacted"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS token
+  FROM documents
+),
+c AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top_n
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+       round(top_n::DOUBLE / n_tokens, 6) AS top_token_frac,
+       (top_n::DOUBLE / n_tokens) <= 0.25 AS keep
+FROM s
+"""
+
+
+def q_docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (operators/curation.py): distinct-
+    token ratio and most-frequent-token share per doc, keep/drop verdict.
+    Explode → two hash aggregations; shuffle carries per-doc vocabularies,
+    never raw tokens."""
+    from .operators.curation import token_repetition_stats
+
+    return token_repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS token
+  FROM documents
+),
+c AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
+def q_docs_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (nats) — the vocabulary-diversity
+    signal; factored form ln(n) − Σc·ln(c)/n keeps only integer counts
+    inside the aggregate."""
+    from .operators.curation import unigram_entropy
+
+    return unigram_entropy(_t(spark, sf_dir, "documents"))
+
+
+_BOILER_K, _BOILER_FRAC = 5, 0.05
+
+BOILERPLATE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKENIZE_SQL_FRAG.format(col='text')} AS toks
+  FROM documents
+),
+s AS (SELECT doc_id AS id, {_shingle_expr_sql(_BOILER_K)} AS sh FROM tk),
+e AS (SELECT id, unnest(sh) AS sh FROM s),
+dfq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
+nd AS (SELECT count(*) AS n FROM documents),
+b AS (SELECT sh FROM dfq, nd WHERE df >= n * {_BOILER_FRAC}),
+m AS (
+  SELECT e.id, (b.sh IS NOT NULL) AS boiler
+  FROM e LEFT JOIN b ON e.sh = b.sh
+)
+SELECT id AS doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN boiler THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS boiler_frac
+FROM m GROUP BY id
+"""
+
+
+def q_docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate detection (operators/curation.py): fraction of
+    each doc's 5-word shingles that appear in ≥5% of all docs (navigation
+    chrome / license footers). Doc frequency is one hash-agg; the
+    boilerplate set is tiny by construction and broadcast back."""
+    from .operators.curation import boilerplate_fraction
+
+    return boilerplate_fraction(
+        _t(spark, sf_dir, "documents"), k=_BOILER_K, min_doc_frac=_BOILER_FRAC
+    )
+
+
+# ------------------------------------------------ arg-agg / windows / joins --
+
+LAST_VALUE_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(arg_max(value, event_id), 6) AS last_value,
+       round(arg_min(value, event_id), 6) AS first_value,
+       max(event_id) AS last_event_id
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_last_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last event value via max_by/min_by (arg aggregates)
+    — single hash aggregation, no window sort; event_id is unique so the
+    result is deterministic in both engines."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max_by("value", "event_id"), 6).alias("last_value"),
+        F.round(F.min_by("value", "event_id"), 6).alias("first_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+CUM_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+FROM orders
+"""
+
+
+def q_customer_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (cumulative window frame ROWS UNBOUNDED
+    PRECEDING), deterministic order by (o_orderdate, o_orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+VIEW_VS_PURCHASE_SQL = """
+WITH v AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+         count(*) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+         count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(v.h, p.h) AS hour_epoch,
+       COALESCE(v.n_views, 0) AS n_views,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM v FULL OUTER JOIN p ON v.h = p.h
+"""
+
+
+def q_hourly_view_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates (hours where only one side has
+    traffic survive with zero-fill) — the funnel-coverage report shape."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = v.join(p, "h", "full_outer")
+    return j.select(
+        F.col("h").alias("hour_epoch"),
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — completes the join-type surface next to
+    the anti-join query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_user_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals via the explicit salted two-phase aggregate
+    (operators/skew.py) — the adversarial-hot-key path; must equal the
+    oracle's plain GROUP BY exactly."""
+    from .operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+CONV_STATS_SQL = f"""
+WITH state AS ({LWW_STATE_SQL})
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(DISTINCT role) AS n_roles,
+       max(ts_epoch) AS last_ts_epoch
+FROM state GROUP BY conv_id
+"""
+
+
+def q_cdc_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream-consumer query over the replayed lake table itself:
+    per-conversation turn counts / role diversity / recency, computed by
+    scanning the MiniLake table state the engine materialized."""
+    state = _replayed_table(spark, sf_dir).read()
+    return state.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
+    )
+
+
 # ------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -1906,6 +2224,16 @@ QUERIES = {
     "docs_top_tokens": q_docs_top_tokens,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_containment": q_docs_containment,
+    "docs_pii_redaction": q_docs_pii_redaction,
+    "docs_repetition_stats": q_docs_repetition_stats,
+    "docs_unigram_entropy": q_docs_unigram_entropy,
+    "docs_boilerplate": q_docs_boilerplate,
+    "events_last_value_per_user": q_events_last_value_per_user,
+    "customer_cumulative_revenue": q_customer_cumulative_revenue,
+    "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
+    "customers_with_orders": q_customers_with_orders,
+    "events_user_value_salted": q_events_user_value_salted,
+    "cdc_conv_stats": q_cdc_conv_stats,
     "mm_features": q_mm_features,
 }
 
@@ -1963,4 +2291,14 @@ ORACLE_SQL = {
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "docs_containment": CONTAINMENT_SQL,
+    "docs_pii_redaction": PII_SQL,
+    "docs_repetition_stats": REPETITION_SQL,
+    "docs_unigram_entropy": ENTROPY_SQL,
+    "docs_boilerplate": BOILERPLATE_SQL,
+    "events_last_value_per_user": LAST_VALUE_SQL,
+    "customer_cumulative_revenue": CUM_REVENUE_SQL,
+    "hourly_view_vs_purchase": VIEW_VS_PURCHASE_SQL,
+    "customers_with_orders": SEMI_JOIN_SQL,
+    "events_user_value_salted": SALTED_AGG_SQL,
+    "cdc_conv_stats": CONV_STATS_SQL,
 }

@@ -17,11 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schema import CHANGE_EVENT_SCHEMA
 
-_BATCH_RE = re.compile(r"batch-(\d+)\.parquet$")
+_BATCH_RE = re.compile(r"batch-(\d+)\.(parquet|jsonl|csv)$")
 
 
 def list_batch_files(changelog_dir: str) -> list[str]:
-    """Ordered batch files in the changelog directory."""
+    """Ordered batch files in the changelog directory. Formats may be
+    mixed (a feed that migrated from CSV dumps to Parquet keeps its
+    history readable)."""
     out = []
     for name in os.listdir(changelog_dir):
         m = _BATCH_RE.search(name)
@@ -30,20 +32,51 @@ def list_batch_files(changelog_dir: str) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
+def _fmt(path: str) -> str:
+    return path.rsplit(".", 1)[-1]
+
+
 def read_events(
     spark: SparkSession, paths: str | list[str], with_schema: bool = True
 ) -> DataFrame:
-    """Batch-read change events.
+    """Batch-read change events (Parquet, JSONL or CSV batch files).
 
-    With ``with_schema`` the superset schema is applied: Parquet files
-    written before the schema-evolution point (no ``tool`` column) read
-    that column as null — Spark's schema-projection behavior, no
-    ``mergeSchema`` full-footer scan needed.
+    With ``with_schema`` the superset schema is applied: files written
+    before the schema-evolution point (no ``tool`` column) read that
+    column as null — Spark's schema-projection behavior, no
+    ``mergeSchema`` full-footer scan needed. JSONL/CSV always take the
+    explicit schema (never inferSchema — inference is a second full scan
+    and non-deterministic on dirty feeds; the declared contract is the
+    reference's fixed-schema rule, transform.py:139-165).
     """
-    reader = spark.read
-    if with_schema:
-        reader = reader.schema(CHANGE_EVENT_SCHEMA)
-    return reader.parquet(*([paths] if isinstance(paths, str) else paths))
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    by_fmt: dict[str, list[str]] = {}
+    for p in path_list:
+        by_fmt.setdefault(_fmt(p), []).append(p)
+    parts: list[DataFrame] = []
+    for fmt, group in sorted(by_fmt.items()):
+        reader = spark.read
+        if with_schema or fmt != "parquet":
+            reader = reader.schema(CHANGE_EVENT_SCHEMA)
+        if fmt == "parquet":
+            parts.append(reader.parquet(*group))
+        elif fmt == "jsonl":
+            parts.append(
+                reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(*group)
+            )
+        elif fmt == "csv":
+            parts.append(
+                reader.option("header", "true")
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+                .option("nullValue", "")
+                .csv(*group)
+            )
+        else:  # pragma: no cover - regex guards extensions
+            raise ValueError(f"unsupported changelog format: {fmt}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_events_stream(

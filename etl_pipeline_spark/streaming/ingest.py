@@ -30,7 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..lake.lineage import LineageLog
 from ..lake.minilake import MiniLakeTable
 from ..pipeline import ApplyConfig, apply_batch
-from ..sources.changelog import list_batch_files, read_events_stream
+from ..sources.changelog import list_batch_files, read_events, read_events_stream
 
 
 def run_ingest_stream(
@@ -106,7 +106,14 @@ def replay_files(
             continue
         if stop_after is not None and applied >= stop_after:
             break
-        batch_df = spark.read.parquet(*group)  # per-batch inferred schema
+        if all(p.endswith(".parquet") for p in group):
+            batch_df = spark.read.parquet(*group)  # per-batch inferred schema
+        else:
+            # JSONL/CSV batches carry no self-describing schema — read with
+            # the declared superset contract (schema birth stays a
+            # Parquet-era feature; text feeds are fixed-schema by decree,
+            # the reference's rule at transform.py:139-165).
+            batch_df = read_events(spark, group)
         apply_batch(
             table, batch_df, batch_id, cfg=cfg, lineage=lineage,
             stream_id=stream_id,
