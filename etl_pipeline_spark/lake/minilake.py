@@ -583,25 +583,43 @@ class MiniLakeTable:
     # ------------------------------------------------------------ compact
 
     def maybe_compact(self, max_files_per_bucket: int = 8) -> int | None:
-        """Amortized MOR maintenance: when any bucket's delta chain grows
-        past the threshold, fold everything back to one file per bucket
-        (tombstones kept — see compact note). Manifest check only when
-        below threshold. Returns the new version or None."""
+        """Amortized MOR maintenance: fold ONLY the buckets whose delta
+        chain grew past the threshold back to one file each (tombstones
+        kept — see compact note). Hot buckets pay their own maintenance;
+        cold buckets are never rewritten — at 10^10 events with skewed
+        keys this is the difference between O(hot) and O(table) per
+        maintenance cycle. Manifest check only when below threshold.
+        Returns the new version or None."""
         m = self.manifest()
-        worst = max((len(v) for v in m["buckets"].values()), default=0)
-        if worst <= max_files_per_bucket:
+        hot = [
+            int(b)
+            for b, dirs in m["buckets"].items()
+            if len(dirs) > max_files_per_bucket
+        ]
+        if not hot:
             return None
-        return self.compact(drop_tombstones=False)
+        return self.compact(drop_tombstones=False, buckets=hot)
 
-    def compact(self, drop_tombstones: bool = True) -> int:
-        """Rewrite all buckets into fresh files; optionally hard-delete
-        tombstones (safe once no straggler events below max LSN remain)."""
+    def compact(
+        self, drop_tombstones: bool = True, buckets: list[int] | None = None
+    ) -> int:
+        """Rewrite buckets into fresh files (all buckets, or only the
+        given subset — partial compaction); optionally hard-delete
+        tombstones (safe once no straggler events below max LSN remain).
+        Untouched buckets keep their existing files byte-identical —
+        readers of the new snapshot see the union."""
         base = self.manifest()
         version = base["version"]
         n_buckets = base["n_buckets"]
         key0 = base["key_cols"][0]
         schema = schema_from_manifest(base["schema"])
-        df = self.read_physical()
+        if buckets is None:
+            target = sorted(int(b) for b in base["buckets"])
+            df = self.read_physical()
+        else:
+            target = sorted(int(b) for b in buckets)
+            dirs = [d for b in target for d in base["buckets"].get(str(b), [])]
+            df = self._read_files(dirs, version=version)
         if base.get("write_mode", "cow") == "mor":
             payload = [f.name for f in schema.fields if f.name not in base["key_cols"]]
             df = lww_reduce(
@@ -620,16 +638,18 @@ class MiniLakeTable:
             self.data_dir, f"compact-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
         )
         (
-            df.repartition(n_buckets, F.col(BUCKET_COL))
+            df.repartition(max(len(target), 1), F.col(BUCKET_COL))
             .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
-        new_buckets = {}
-        for b in range(n_buckets):
+        new_buckets = dict(base["buckets"]) if buckets is not None else {}
+        for b in target:
             bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
             if os.path.exists(bucket_dir):
                 new_buckets[str(b)] = [bucket_dir]
+            elif buckets is not None:
+                new_buckets.pop(str(b), None)  # bucket emptied out
         m2 = dict(base)
         m2["version"] = version + 1
         m2["parent_snapshot_id"] = base["snapshot_id"]

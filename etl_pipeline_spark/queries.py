@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 47
+  (operators/dedup.md5long) — there are NO rows-only queries: all 63 entries
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table

@@ -83,6 +83,39 @@ def test_mor_compaction_folds_deltas(spark, tmp_path):
     assert t.maybe_compact(max_files_per_bucket=3) is None
 
 
+def test_mor_partial_compaction_rewrites_only_hot_buckets(spark, tmp_path):
+    """maybe_compact folds only buckets past the threshold: cold buckets'
+    files survive byte-identical (O(hot) maintenance, not O(table))."""
+    t = _mor_table(spark, tmp_path, n_buckets=8)
+    seed = [(f"k{i}", 0, "user", f"v{i}", None, i + 1, "I") for i in range(40)]
+    t.merge(_src(spark, seed), batch_id=0)
+    for i in range(6):  # hammer one key -> one hot bucket
+        t.merge(
+            _src(spark, [("k3", 0, "user", f"hot{i}", None, 100 + i, "U")]),
+            batch_id=i + 1,
+        )
+    before_state = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    m0 = t.manifest()
+    hot = [b for b, v in m0["buckets"].items() if len(v) > 3]
+    cold_files = {
+        b: tuple(v) for b, v in m0["buckets"].items() if len(v) <= 3
+    }
+    assert hot and cold_files
+    assert t.maybe_compact(max_files_per_bucket=3) is not None
+    m1 = t.manifest()
+    for b in hot:  # hot buckets folded to one dir
+        assert len(m1["buckets"][b]) == 1
+    for b, v in cold_files.items():  # cold buckets untouched
+        assert tuple(m1["buckets"][b]) == v
+    after_state = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert after_state == before_state
+    assert after_state[("k3", 0)] == "hot5"
+
+
 def test_mor_golden_replay_with_auto_compaction(spark, tmp_path):
     cfg = GenConfig(
         n_events=20_000, batch_size=1_000, shuffle_window=500,
