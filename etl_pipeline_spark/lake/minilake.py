@@ -228,14 +228,39 @@ class MiniLakeTable:
         dirs = [d for ds in m["buckets"].values() for d in ds]
         return self._read_files(dirs, version=m["version"])
 
+    def version_as_of(self, ts: float) -> int:
+        """Largest committed version with ``committed_at <= ts`` (Iceberg
+        ``TIMESTAMP AS OF`` analog). Raises if the table is younger than
+        ``ts`` reaches back (or retention GC dropped the snapshots)."""
+        versions = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        )
+        best = None
+        for v in versions:
+            if self.manifest(v).get("committed_at", 0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {ts}")
+        return best
+
     def read(
-        self, version: int | None = None, _dirs: list[str] | None = None
+        self,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+        _dirs: list[str] | None = None,
     ) -> DataFrame:
         """The logical read view: live rows only, bookkeeping hidden.
+        ``version`` / ``as_of_ts`` select a historical snapshot
+        (VERSION AS OF / TIMESTAMP AS OF).
 
         On a merge-on-read table the per-key LWW resolution happens here
         (deltas may hold many versions of a key); copy-on-write tables
         are already key-unique on disk and skip the shuffle."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
         cols = [f.name for f in schema.fields]

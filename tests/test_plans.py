@@ -101,6 +101,39 @@ def test_blocked_jaccard_catches_cross_band_pair_either_id_order(spark):
         assert abs(got[0]["jaccard"] - 0.75) < 1e-12
 
 
+def test_curation_queries_plan_shapes(spark):
+    """Curation queries stay equi-join + hash-agg: no cartesian product
+    anywhere; the only nested-loop join allowed is the boilerplate
+    query's 1-row corpus-count broadcast."""
+    for name in ("docs_repetition_stats", "docs_unigram_entropy",
+                 "docs_pii_redaction"):
+        plan = explain_str(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = explain_str(QUERIES["docs_boilerplate"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_joins_plan(spark):
+    semi = explain_str(QUERIES["customers_with_orders"](spark, SF))
+    anti = explain_str(QUERIES["customers_without_orders"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_salted_agg_is_two_phase(spark):
+    """The salted aggregate must actually group by (keys, salt) first:
+    two aggregation tiers above the scan, no window."""
+    from etl_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    plan = explain_str(
+        salted_agg(df, ["user_id"], {"s": ("sum", "value")}, salt_col="event_id")
+    )
+    assert plan.count("HashAggregate") >= 4  # 2 phases x partial/final
+    assert "Window" not in plan
+
+
 def test_minhash_join_is_equi_join(spark):
     from etl_pipeline_spark.operators.dedup import minhash_lsh_candidates
 

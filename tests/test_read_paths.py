@@ -57,6 +57,25 @@ def test_incremental_changes_are_per_batch_winners(table):
     assert table.read_changes_since(table.current_version()).count() == 0
 
 
+def test_timestamp_as_of_time_travel(spark, table):
+    """TIMESTAMP AS OF: a read pinned between two commits sees exactly
+    the earlier snapshot; before-creation timestamps are an error."""
+    t1 = table.manifest(2)["committed_at"]  # after batch 0
+    t2 = table.manifest(3)["committed_at"]  # after batch 1
+    mid = (t1 + t2) / 2
+    got = {r["conv_id"]: r["text"]
+           for r in table.read(as_of_ts=mid).collect()}
+    assert got["c3"] == "v3" and "c40" not in got  # pre-batch-1 state
+    head = {r["conv_id"]: r["text"]
+            for r in table.read(as_of_ts=t2 + 1).collect()}
+    assert head["c3"] == "v3b" and head["c40"] == "new"
+    assert table.version_as_of(mid) == 2
+    with pytest.raises(ValueError):
+        table.version_as_of(0.0)
+    with pytest.raises(ValueError):
+        table.read(version=2, as_of_ts=mid)
+
+
 def test_expire_snapshots_retention(spark, table):
     table.compact(drop_tombstones=False)
     v_head = table.current_version()
