@@ -2169,6 +2169,351 @@ def q_cdc_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- schema evolution (E2E) --
+
+# `tool` is the additive-evolution column (SURVEY.md §1.3): changelog
+# batches below this lsn are written WITHOUT the column (true Parquet
+# schema birth), batches at/after it carry deterministic values. The
+# engine must ALTER the table in-flight; pre-birth winners read NULL.
+_EVO_TOOL_LSN = 5_000
+_EVO_BATCH_LSNS = 5_000
+
+SCHEMA_EVOLUTION_SQL = f"""
+WITH ce AS ({CE_SQL}),
+w AS (
+  SELECT ce.*,
+         CASE WHEN lsn >= {_EVO_TOOL_LSN}
+              THEN 'fn-' || CAST(lsn % 7 AS VARCHAR) END AS tool
+  FROM ce
+),
+r AS (
+  SELECT w.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM w
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+_EVO_CACHE: dict = {}
+
+
+def _evolution_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
+    """Replay where the ``tool`` column is BORN mid-stream: the table is
+    created on the pre-evolution schema, batch files below the birth lsn
+    physically lack the column, and apply_batch's per-batch schema diff
+    issues the additive ALTER when the first post-birth batch arrives."""
+    key = (id(spark), sf_dir)
+    cached = _EVO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .schema import TRANSCRIPT_SCHEMA_V0
+
+    ce = derive_change_events(spark, sf_dir).withColumn(
+        "tool",
+        F.when(
+            F.col("lsn") >= _EVO_TOOL_LSN,
+            F.concat(F.lit("fn-"), (F.col("lsn") % 7).cast("string")),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_evolution_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    changelog = os.path.join(tmp, "changelog")
+    os.makedirs(changelog)
+
+    def _stage(df: DataFrame, sub: str) -> str:
+        staging = os.path.join(tmp, sub)
+        (
+            df.withColumn("_b", F.floor(F.col("lsn") / _EVO_BATCH_LSNS).cast("int"))
+            .repartition("_b")
+            .sortWithinPartitions("lsn")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        return staging
+
+    pre = _stage(ce.filter(F.col("lsn") < _EVO_TOOL_LSN).drop("tool"), "pre")
+    post = ce.filter(F.col("lsn") >= _EVO_TOOL_LSN)
+    post_staging = _stage(post, "post") if not post.isEmpty() else None
+    for staging in filter(None, (pre, post_staging)):
+        for name in os.listdir(staging):
+            if name.startswith("_b="):
+                b = int(name.split("=", 1)[1])
+                os.rename(
+                    os.path.join(staging, name),
+                    os.path.join(changelog, f"batch-{b:06d}.parquet"),
+                )
+    table = MiniLakeTable.create(
+        spark,
+        os.path.join(tmp, "table"),
+        TRANSCRIPT_SCHEMA_V0,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=16,
+    )
+    replay_files(spark, changelog, table)
+    _EVO_CACHE[key] = table
+    return table
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight additive schema evolution, end to end: the final state
+    must carry post-birth ``tool`` values AND NULL tool for keys whose
+    LWW winner predates the column — proving old rows survive the ALTER
+    unrewritten and the merge path handles mixed-schema batches."""
+    state = _evolution_table(spark, sf_dir).read()
+    if "tool" not in state.columns:  # sub-birth-lsn inputs (tiny sf)
+        state = state.withColumn("tool", F.lit(None).cast("string"))
+    return state.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+# ------------------------------------------------- dedup clustering (CC) --
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct({TOKENIZE_SQL_FRAG.format(col='text')}) AS ws
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a, t b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.ws, b.ws))::DOUBLE
+        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+),
+reach (u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS cluster_id,
+       least(u, min(v)) = u AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not pairs: unigram-Jaccard ≥ 0.8 edges →
+    connected components via Pregel-style min-label propagation
+    (operators/graph.py) → one keeper per component. The oracle computes
+    the same transitive closure with a recursive CTE — Spark's iterative
+    join/agg rounds must land on the identical labeling."""
+    from .operators.dedup import _spread, blocked_jaccard_pairs
+    from .operators.graph import dup_clusters
+
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(tokens(F.col("text"))).alias("sh"),
+    )
+    pairs = blocked_jaccard_pairs(ws, threshold=0.8)
+    return dup_clusters(pairs)
+
+
+# ----------------------------------------------- stats / sketch surface --
+
+LINEITEM_STATS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile aggregates (stddev/corr/covar) — the data-
+    profiling surface; single hash-agg, map-side partials, all JVM."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+    )
+
+
+# DuckDB has no width_bucket — the oracle spells out the ANSI formula
+# (x < lo → 0, x >= hi → n+1, else floor((x-lo)/(hi-lo)*n)+1).
+HISTOGRAM_SQL = """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(floor(o_totalprice / 600000.0 * 12) AS BIGINT) + 1
+       END AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY bucket
+"""
+
+
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ANSI width_bucket (identical bucketing
+    semantics in both engines) — the distribution-profiling primitive."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+DECILES_SQL = """
+WITH s AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT o_custkey, spend,
+         ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM s
+)
+SELECT decile, count(*) AS n_customers,
+       round(sum(spend), 2) AS decile_spend,
+       round(min(spend), 2) AS min_spend
+FROM d GROUP BY decile
+"""
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles (global ntile over per-customer spend).
+    The unpartitioned window is a deliberate single-reducer stage over
+    the already-aggregated per-customer rows (|customers| ≪ |orders|);
+    at 100 TB swap for range-partitioned rank + broadcast offsets."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        s.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("decile_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint margins, no cross product —
+    completes the rollup/cube family) through Spark SQL."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+SENTENCE_DEDUP_SQL = r"""
+WITH s AS (
+  SELECT doc_id, trim(sent) AS sent
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '[.!?]+\s+')) AS sent
+    FROM documents
+  )
+  WHERE trim(sent) <> ''
+)
+SELECT lower(sent) AS sent_norm,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_docs_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level cross-doc dedup: sentences appearing in ≥2 docs
+    (the sub-document analog of boilerplate removal). Explode → hash-agg;
+    the shuffle carries distinct sentences, not raw text."""
+    d = _t(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+\s+")).alias("sent"),
+        )
+        .select("doc_id", F.trim("sent").alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    return (
+        s.groupBy(F.lower("sent").alias("sent_norm"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+USERS_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+USERS_EXCEPT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_users_view_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (funnel conversion cohort)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.intersect(p)
+
+
+def q_users_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (drop-off cohort)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.subtract(p)  # EXCEPT (distinct) semantics
+
+
 # ------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -2234,6 +2579,15 @@ QUERIES = {
     "customers_with_orders": q_customers_with_orders,
     "events_user_value_salted": q_events_user_value_salted,
     "cdc_conv_stats": q_cdc_conv_stats,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "docs_dup_clusters": q_docs_dup_clusters,
+    "lineitem_stats_profile": q_lineitem_stats_profile,
+    "orders_price_histogram": q_orders_price_histogram,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "order_grouping_sets": q_order_grouping_sets,
+    "docs_sentence_dedup": q_docs_sentence_dedup,
+    "users_view_and_purchase": q_users_view_and_purchase,
+    "users_view_no_purchase": q_users_view_no_purchase,
     "mm_features": q_mm_features,
 }
 
@@ -2301,4 +2655,13 @@ ORACLE_SQL = {
     "customers_with_orders": SEMI_JOIN_SQL,
     "events_user_value_salted": SALTED_AGG_SQL,
     "cdc_conv_stats": CONV_STATS_SQL,
+    "cdc_schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "docs_dup_clusters": DUP_CLUSTERS_SQL,
+    "lineitem_stats_profile": LINEITEM_STATS_SQL,
+    "orders_price_histogram": HISTOGRAM_SQL,
+    "customer_spend_deciles": DECILES_SQL,
+    "order_grouping_sets": GROUPING_SETS_SQL,
+    "docs_sentence_dedup": SENTENCE_DEDUP_SQL,
+    "users_view_and_purchase": USERS_INTERSECT_SQL,
+    "users_view_no_purchase": USERS_EXCEPT_SQL,
 }
