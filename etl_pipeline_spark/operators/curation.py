@@ -129,3 +129,45 @@ def boilerplate_fraction(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-doc top TF-IDF term (keyword extraction / topic signal):
+    score(doc, tok) = tf(doc, tok) · ln(n_docs / df(tok)), winner by
+    (score desc, token asc) for determinism.
+
+    Physical shape: one explode → (id, token) hash-agg for tf, one
+    token-level hash-agg for df (O(|vocab|) rows — AQE broadcasts it back
+    to the tf side), per-doc window for the argmax. The corpus-size
+    scalar rides a broadcast literal join, never a collect."""
+    counts = _doc_token_counts(df, id_col, text_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    doc_freq = (
+        counts.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.log(F.col("_n_docs").cast("double") / F.col("df")).alias("idf"),
+        )
+    )
+    scored = counts.join(doc_freq, "token").select(
+        "id", "token", (F.col("n") * F.col("idf")).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("token").alias("top_term"),
+            F.round("score", round_dp).alias("tfidf"),
+        )
+    )

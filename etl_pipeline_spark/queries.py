@@ -2485,6 +2485,133 @@ def q_docs_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS token
+  FROM documents
+),
+tf AS (SELECT id, token, count(*) AS n FROM tok GROUP BY 1, 2),
+idf AS (
+  SELECT token,
+         ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+  FROM tf GROUP BY token
+),
+s AS (
+  SELECT tf.id, tf.token, tf.n * idf.idf AS score
+  FROM tf JOIN idf USING (token)
+),
+r AS (
+  SELECT id, token, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, token) AS rn
+  FROM s
+)
+SELECT id AS doc_id, token AS top_term, round(score, 6) AS tfidf
+FROM r WHERE rn = 1
+"""
+
+
+def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top TF-IDF keyword (operators/curation.tfidf_top_terms) —
+    corpus-statistical topic signal; df table is O(|vocab|) and flows
+    back via broadcast."""
+    from .operators.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+# Sketch surface: HLL approx-count-distinct graded with a tolerance
+# BOOLEAN — the two engines' sketches differ internally, so the graded
+# contract is |approx − exact| / exact ≤ 5% (Spark runs at rsd=0.01:
+# ≈5σ headroom; at the test cardinalities both sketches are exact).
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))::DOUBLE
+         / count(DISTINCT user_id) <= 0.05 AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact, tolerance-gated — the
+    sketch path a 100 TB profile job actually runs (exact distinct is
+    the thing that stops scaling, the sketch is the fix)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.countDistinct("user_id")
+            ).cast("double")
+            / F.countDistinct("user_id")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH q AS ({DOCS_QUALITY_SQL.strip()}),
+r AS (
+  SELECT doc_id, quality,
+         percent_rank() OVER (ORDER BY quality, doc_id) AS pr
+  FROM q
+)
+SELECT doc_id, quality, round(pr, 6) AS quality_pct_rank
+FROM r WHERE pr >= 0.1
+"""
+
+
+def q_docs_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based curation: drop the bottom decile by quality score
+    (percent_rank with a (quality, doc_id) total order so ranks are
+    unique and deterministic in both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.1)
+        .select(
+            "doc_id", "quality", F.round("pr", 6).alias("quality_pct_rank")
+        )
+    )
+
+
+DEDUP_THEN_SAMPLE_SQL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+SELECT doc_id,
+       CAST(({_md5long_sql("'s:' || doc_id::VARCHAR")}) % 100 AS INTEGER)
+         AS sample_slot
+FROM keep
+WHERE ({_md5long_sql("'s:' || doc_id::VARCHAR")}) % 100 < {_SAMPLE_PCT}
+"""
+
+
+def q_docs_dedup_then_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition the way a real curation pipeline chains them:
+    exact dedup keepers → deterministic 10% hash sample. Each stage is
+    the repo's own operator; the composition stays one DAG (no
+    materialization between stages)."""
+    from .operators.dedup import exact_dedup, md5long
+
+    keep = exact_dedup(_t(spark, sf_dir, "documents")).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    slot = (
+        md5long(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))) % 100
+    ).cast("int")
+    return keep.select("doc_id", slot.alias("sample_slot")).filter(
+        F.col("sample_slot") < _SAMPLE_PCT
+    )
+
+
 USERS_INTERSECT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'view'
 INTERSECT
@@ -2588,6 +2715,10 @@ QUERIES = {
     "docs_sentence_dedup": q_docs_sentence_dedup,
     "users_view_and_purchase": q_users_view_and_purchase,
     "users_view_no_purchase": q_users_view_no_purchase,
+    "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
+    "events_approx_distinct_check": q_events_approx_distinct_check,
+    "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
+    "docs_dedup_then_sample": q_docs_dedup_then_sample,
     "mm_features": q_mm_features,
 }
 
@@ -2664,4 +2795,8 @@ ORACLE_SQL = {
     "docs_sentence_dedup": SENTENCE_DEDUP_SQL,
     "users_view_and_purchase": USERS_INTERSECT_SQL,
     "users_view_no_purchase": USERS_EXCEPT_SQL,
+    "docs_tfidf_top_terms": TFIDF_SQL,
+    "events_approx_distinct_check": APPROX_DISTINCT_SQL,
+    "docs_quality_percentile_filter": QUALITY_FILTER_SQL,
+    "docs_dedup_then_sample": DEDUP_THEN_SAMPLE_SQL,
 }

@@ -43,3 +43,34 @@ def test_dup_clusters_keeper_flag(spark):
     assert all(r["cluster_id"] == 3 for r in rows.values())
     assert rows[3]["is_keeper"] and not rows[9]["is_keeper"]
     assert not rows[27]["is_keeper"]
+
+
+def _union_find_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _cc(spark, edges)
+        assert got == _union_find_oracle(edges), f"trial {trial}"
