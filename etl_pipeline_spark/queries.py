@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 63 entries
+  (operators/dedup.md5long) — there are NO rows-only queries: all 79
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1098,6 +1098,94 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         e, e.filter(F.col("vec_id") < 10), _ann_planes(), k=_ANN_K
+    )
+
+
+# ---------------------------------------------------------------- IVF ----
+#
+# The second classic ANN layout next to random-hyperplane LSH: seeded
+# unit-norm centroids embedded as literals into BOTH engines; corpus
+# vectors live in their nearest cell, queries probe the top-2 cells,
+# exact cosine re-rank inside. The oracle replays assignment (chained-
+# CASE argmax, strict >, lowest index on ties — exactly array_sort's
+# tie-break on (negsim, cell)).
+
+_IVF_N_CENTROIDS, _IVF_SEED, _IVF_NPROBE, _IVF_K = 8, 43, 2, 5
+
+
+def _ivf_centroids() -> list[list[float]]:
+    from .operators.similarity import make_centroids
+
+    return make_centroids(_ANN_DIM, n_centroids=_IVF_N_CENTROIDS, seed=_IVF_SEED)
+
+
+def _ivf_oracle_sql() -> str:
+    def lit_list(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    cents = _ivf_centroids()
+    n = len(cents)
+    sims = ",\n         ".join(
+        f"list_dot_product(e, {lit_list(c)})"
+        f" / sqrt(list_dot_product(e, e)) AS s{i}"
+        for i, c in enumerate(cents)
+    )
+    best_c, best_v = "0", "s0"
+    for i in range(1, n):
+        best_c = f"CASE WHEN s{i} > ({best_v}) THEN {i} ELSE {best_c} END"
+        best_v = f"CASE WHEN s{i} > ({best_v}) THEN s{i} ELSE {best_v} END"
+    sec_c, sec_v = "-1", "CAST('-infinity' AS DOUBLE)"
+    for i in range(n):
+        cond = f"(s{i} > ({sec_v}) AND {i} <> best)"
+        sec_c = f"CASE WHEN {cond} THEN {i} ELSE {sec_c} END"
+        sec_v = f"CASE WHEN {cond} THEN s{i} ELSE {sec_v} END"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         {sims}
+  FROM v
+),
+b AS (SELECT *, {best_c} AS best FROM s),
+b2 AS (SELECT *, {sec_c} AS second FROM b),
+c AS (SELECT vec_id AS neighbor_id, e, best AS cell FROM b2),
+q AS (
+  SELECT vec_id AS query_id, e, unnest([best, second]) AS cell
+  FROM b2 WHERE vec_id < 10
+),
+sc AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+  FROM q JOIN c USING (cell)
+  WHERE q.query_id <> c.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= {_IVF_K}
+"""
+
+
+EMB_ANN_IVF_SQL = _ivf_oracle_sql()
+
+
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (nearest-centroid cells + nprobe=2 probing
+    + exact re-rank) — operators/similarity.ivf_topk graded end to end
+    against an oracle replaying the identical seeded assignment."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        _ivf_centroids(),
+        k=_IVF_K,
+        nprobe=_IVF_NPROBE,
     )
 
 
@@ -2612,6 +2700,88 @@ def q_docs_dedup_then_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BRAND_REVENUE_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(CASE WHEN p.p_type = 'ECONOMY'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 2) AS economy_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q_brand_revenue_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ broadcast part dim + conditional
+    aggregation — per-brand revenue with the ECONOMY-type share."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(disc), 2).alias("revenue"),
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", disc).otherwise(0.0)),
+                2,
+            ).alias("economy_revenue"),
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+l AS (
+  SELECT user_id, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+g AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       min(t) AS session_start,
+       max(t) + 1800 AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (the operator Structured Streaming uses
+    for session aggregation, graded here in batch mode): per-user
+    30-minute-gap sessions. Events are pre-truncated to epoch seconds so
+    both engines see identical times; Spark's half-open windows mean a
+    gap of exactly 1800s starts a new session — the oracle's interval
+    merge mirrors that (``>= 1800``)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("timestamp").alias("tsec")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("tsec", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 USERS_INTERSECT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'view'
 INTERSECT
@@ -2687,6 +2857,7 @@ QUERIES = {
     "emb_norms": q_emb_norms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ann_ivf": q_emb_ann_ivf,
     "emb_label_stats": q_emb_label_stats,
     "docs_minhash_near_dups": q_docs_minhash_near_dups,
     "docs_simhash_groups": q_docs_simhash_groups,
@@ -2719,6 +2890,8 @@ QUERIES = {
     "events_approx_distinct_check": q_events_approx_distinct_check,
     "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
     "docs_dedup_then_sample": q_docs_dedup_then_sample,
+    "brand_revenue_promo_share": q_brand_revenue_promo_share,
+    "events_session_windows": q_events_session_windows,
     "mm_features": q_mm_features,
 }
 
@@ -2766,6 +2939,7 @@ ORACLE_SQL = {
     "emb_norms": EMB_NORM_SQL,
     "emb_knn_bruteforce": EMB_TOPK_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
+    "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "emb_label_stats": EMB_LABEL_SQL,
     "mm_features": MM_FEATURES_SQL,
     "docs_minhash_near_dups": DOCS_MINHASH_SQL,
@@ -2799,4 +2973,6 @@ ORACLE_SQL = {
     "events_approx_distinct_check": APPROX_DISTINCT_SQL,
     "docs_quality_percentile_filter": QUALITY_FILTER_SQL,
     "docs_dedup_then_sample": DEDUP_THEN_SAMPLE_SQL,
+    "brand_revenue_promo_share": BRAND_REVENUE_SQL,
+    "events_session_windows": SESSION_WINDOW_SQL,
 }

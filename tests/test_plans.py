@@ -174,3 +174,31 @@ def test_mor_merge_reduce_reuses_bucket_shuffle(spark):
 def test_knn_broadcasts_queries(spark):
     plan = explain_str(QUERIES["emb_knn_bruteforce"](spark, SF))
     assert "Broadcast" in plan  # query side broadcast, corpus streamed
+
+
+def test_new_round2_query_plan_shapes(spark):
+    # fact ⋈ part dim must broadcast, never shuffle the fact twice
+    plan_asserts(
+        QUERIES["brand_revenue_promo_share"](spark, SF),
+        contains=["BroadcastHashJoin"],
+        not_contains=["CartesianProduct"],
+    )
+    # ANN paths stay equi-joins on cell/bucket — candidate generation is
+    # the whole point; a cartesian would defeat it
+    for name in ("emb_ann_ivf", "docs_sentence_dedup"):
+        plan_asserts(
+            QUERIES[name](spark, SF),
+            not_contains=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    # tfidf carries ONE BroadcastNestedLoopJoin: the 1-row corpus-size
+    # scalar (the scalar-subquery pattern) — O(1) broadcast, fine at any
+    # scale; a cartesian between real relations is still forbidden
+    plan_asserts(
+        QUERIES["docs_tfidf_top_terms"](spark, SF),
+        not_contains=["CartesianProduct"],
+    )
+
+
+def test_tfidf_is_hash_aggregated(spark):
+    plan = explain_str(QUERIES["docs_tfidf_top_terms"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # tf and df, both partial+final
