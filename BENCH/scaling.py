@@ -7,9 +7,9 @@ input, in fresh JVMs.
 Methodology notes (all reflected in BENCH/BASELINE.md):
 
 - This VM (Firecracker, 32 vCPU) shows heavy steal/throttle variance:
-  identical runs vary up to 3x. Every number is therefore min-of-k
-  (best case = least interference), k=2 for the bench, k=3 for the
-  calibration.
+  identical runs vary up to 4x (observed: a 1.6s calibration job drawing
+  16s under steal). Every number is therefore min-of-k (best case =
+  least interference), k=2 for the bench, k=5 for the calibration.
 - The box cannot express 0.8 efficiency for ANY workload: a pure-JVM
   embarrassingly-parallel baseline (sum(sqrt(id)) over 8B rows, zero
   shuffle/IO/Python) is measured as the **hardware ceiling** and the
@@ -43,7 +43,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(10**6).selectExpr("sum(id)").collect()
 times = []
-for _ in range(3):
+for _ in range(5):
     t0 = time.time()
     spark.range(8_000_000_000).selectExpr("sum(sqrt(id))").collect()
     times.append(time.time() - t0)
@@ -116,7 +116,7 @@ def main() -> None:
         "north_rule's N → 4N executor scaling criterion is evidenced by "
         "running the SAME job on the SAME input at two parallelism levels "
         f"in fresh JVMs: `local[{lo}]` (N) and `local[{hi}]` (4N cores). "
-        f"All numbers are best-of-{BENCH_REPS} (min-of-3 for calibration) — "
+        f"All numbers are best-of-{BENCH_REPS} (min-of-5 for calibration) — "
         "this Firecracker VM shows up to 3x run-to-run variance from "
         "host-level steal.",
         "",

@@ -180,10 +180,13 @@ def main() -> None:
         t0 = time.time()
         # The MOR merge bucket-clusters + LWW-pre-reduces in ONE shuffle
         # (minilake.merge), so pipeline-level pre_reduce would only add a
-        # redundant keys-shuffle here.
+        # redundant keys-shuffle here. pipeline_depth=2 overlaps batch
+        # k+1's job with batch k's (commits stay batch-ordered): the
+        # overlap fills each batch's serial driver time AND its stage
+        # idle phases — measured 24.3s → 14.7s at local[16].
         replay_files(
             spark, clog, rep_table, files_per_batch=FILES_PER_BATCH,
-            cfg=ApplyConfig(lineage_level="batch"),
+            cfg=ApplyConfig(lineage_level="batch"), pipeline_depth=2,
         )
         rep_table.compact(drop_tombstones=False)  # end-of-replay fold, counted
         replay_runs.append(round(time.time() - t0, 3))

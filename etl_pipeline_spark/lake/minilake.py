@@ -357,6 +357,7 @@ class MiniLakeTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         assert_unique_keys: bool = False,
+        pre_commit: "object | None" = None,
     ) -> MergeResult:
         """Apply a (LWW-pre-reduced) change batch as a key-partitioned
         MERGE: tombstone DELETE / UPDATE / INSERT in one atomic snapshot.
@@ -376,9 +377,19 @@ class MiniLakeTable:
 
         (with tombstones retained as soft-delete rows so out-of-order
         stale updates lose; see module docstring).
+
+        ``pre_commit`` (callable, optional — **MOR mode only**) enables
+        pipelined ingest: the expensive write job runs immediately, then
+        the hook blocks until it is this batch's turn to commit, after
+        which the CAS base is RE-READ so the manifest delta applies on
+        top of whatever predecessors committed meanwhile. Sound for MOR
+        because delta files are independent of the base snapshot; COW
+        reads current state up front and must stay serial (rejected).
         """
         t0 = time.time()
         base = self.manifest()  # fence + CAS base: the SAME snapshot
+        if pre_commit is not None and base.get("write_mode", "cow") != "mor":
+            raise ValueError("pre_commit pipelining requires merge-on-read mode")
         version = base["version"]
         highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
         if batch_id <= highwater:
@@ -512,6 +523,20 @@ class MiniLakeTable:
             )
         else:
             batch_phys.unpersist()
+
+        if pre_commit is not None:
+            pre_commit()  # block until it is this batch's commit turn
+            # predecessors committed while our write job ran — re-read the
+            # CAS base so the bucket/fence deltas apply on top of theirs
+            base = self.manifest()
+            version = base["version"]
+            highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
+            if batch_id <= highwater:  # a concurrent replay raced us
+                shutil.rmtree(out_dir, ignore_errors=True)
+                return MergeResult(
+                    skipped=True, reason="fenced",
+                    version=version, snapshot_id=base["snapshot_id"],
+                )
 
         new_buckets = dict(base["buckets"])
         for b in touched:

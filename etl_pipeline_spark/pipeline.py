@@ -88,6 +88,7 @@ def apply_batch(
     cfg: ApplyConfig | None = None,
     lineage: LineageLog | None = None,
     stream_id: str = "default",
+    pre_commit=None,
 ) -> MergeResult:
     """Apply one change-event micro-batch exactly once (within the
     ``stream_id`` source lineage; cross-lineage redelivery is made
@@ -244,6 +245,7 @@ def apply_batch(
         lsn_col=cfg.lsn_col,
         op_col=cfg.op_col,
         assert_unique_keys=cfg.assert_unique_keys and (salted or cfg.pre_reduce),
+        pre_commit=pre_commit,
     )
 
     if obs is not None:

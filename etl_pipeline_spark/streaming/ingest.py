@@ -84,6 +84,7 @@ def replay_files(
     files_per_batch: int = 1,
     start_batch: int | None = None,
     stop_after: int | None = None,
+    pipeline_depth: int = 1,
 ) -> int:
     """Bounded replay: ordered batch files → micro-batches, schema
     inferred per batch (true in-flight column birth). Idempotent and
@@ -92,6 +93,16 @@ def replay_files(
 
     ``stop_after`` applies N batches then returns (crash-simulation hook
     for the resume tests).
+
+    ``pipeline_depth > 1`` overlaps up to that many batches (MOR tables
+    only): batch k+1's plan/scan/write job runs while batch k's is still
+    executing, and COMMITS stay strictly batch-ordered via a per-batch
+    gate threaded down to ``merge(pre_commit=...)`` — fencing, resume and
+    final state are byte-identical to the serial path (tested). Hides the
+    per-batch serial driver time (planning/codegen/commit) that otherwise
+    caps scaling as per-batch wall shrinks with executor count. Batches
+    whose Parquet schema births a new column drain the pipeline first, so
+    in-flight additive evolution keeps its serialized semantics.
     """
     lineage = LineageLog(table.root)
     stream_id = f"replay:{os.path.abspath(changelog_dir)}:k{files_per_batch}"
@@ -99,24 +110,112 @@ def replay_files(
     batches = [
         files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)
     ]
-    applied = 0
     first = start_batch or 0
-    for batch_id, group in enumerate(batches):
-        if batch_id < first:
-            continue
-        if stop_after is not None and applied >= stop_after:
-            break
+    todo = [
+        (batch_id, group)
+        for batch_id, group in enumerate(batches)
+        if batch_id >= first
+    ]
+    if stop_after is not None:
+        todo = todo[:stop_after]
+
+    def _read(group: list[str]):
         if all(p.endswith(".parquet") for p in group):
-            batch_df = spark.read.parquet(*group)  # per-batch inferred schema
-        else:
-            # JSONL/CSV batches carry no self-describing schema — read with
-            # the declared superset contract (schema birth stays a
-            # Parquet-era feature; text feeds are fixed-schema by decree,
-            # the reference's rule at transform.py:139-165).
-            batch_df = read_events(spark, group)
+            return spark.read.parquet(*group)  # per-batch inferred schema
+        # JSONL/CSV batches carry no self-describing schema — read with
+        # the declared superset contract (schema birth stays a
+        # Parquet-era feature; text feeds are fixed-schema by decree,
+        # the reference's rule at transform.py:139-165).
+        return read_events(spark, group)
+
+    if pipeline_depth > 1 and table.manifest().get("write_mode") == "mor":
+        return _replay_pipelined(
+            table, todo, _read, cfg, lineage, stream_id, pipeline_depth
+        )
+
+    applied = 0
+    for batch_id, group in todo:
         apply_batch(
-            table, batch_df, batch_id, cfg=cfg, lineage=lineage,
+            table, _read(group), batch_id, cfg=cfg, lineage=lineage,
             stream_id=stream_id,
         )
         applied += 1
+    return applied
+
+
+def _replay_pipelined(
+    table: MiniLakeTable,
+    todo: list[tuple[int, list[str]]],
+    read_fn,
+    cfg: ApplyConfig | None,
+    lineage: LineageLog,
+    stream_id: str,
+    depth: int,
+) -> int:
+    """Ordered-commit pipelined apply (see :func:`replay_files`).
+
+    Safety properties:
+    - commits happen in batch order (per-batch threading.Event chain →
+      ``merge`` re-reads its CAS base after the gate), so fences /
+      crash-resume behave exactly as in serial mode;
+    - auto-compaction is deferred to the caller (a compact commit racing
+      an in-flight merge would CAS-conflict); callers compact after the
+      replay, as the bench and maintenance paths already do;
+    - a batch that births new columns drains the pipeline first, keeping
+      additive evolution's serialized semantics.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from dataclasses import replace
+
+    cfg = replace(cfg or ApplyConfig(), auto_compact_max_files=0)
+    done = {todo[0][0] - 1: threading.Event()} if todo else {}
+    if todo:
+        done[todo[0][0] - 1].set()
+    for batch_id, _ in todo:
+        done[batch_id] = threading.Event()
+    failed = threading.Event()
+
+    def _run(batch_id: int, df) -> None:
+        def _gate() -> None:
+            while not done[batch_id - 1].wait(timeout=1.0):
+                if failed.is_set():
+                    raise RuntimeError(
+                        f"pipelined replay aborted: predecessor of batch "
+                        f"{batch_id} failed"
+                    )
+
+        try:
+            apply_batch(
+                table, df, batch_id, cfg=cfg, lineage=lineage,
+                stream_id=stream_id, pre_commit=_gate,
+            )
+            done[batch_id].set()
+        except BaseException:
+            failed.set()
+            raise
+
+    applied = 0
+    with ThreadPoolExecutor(max_workers=depth) as pool:
+        pending: list = []
+        for batch_id, group in todo:
+            df = read_fn(group)
+            table_cols = {f.name for f in table.schema().fields}
+            births = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in table_cols
+                and f.name not in ("lsn", "op", "source_part")
+                and not f.name.startswith("_")
+            ]
+            if births:  # drain: evolution must see a quiesced table
+                for fut in pending:
+                    fut.result()
+                pending = []
+            pending.append(pool.submit(_run, batch_id, df))
+            applied += 1
+            if len(pending) >= depth:
+                pending.pop(0).result()  # bound in-flight work
+        for fut in pending:
+            fut.result()
     return applied

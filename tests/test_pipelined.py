@@ -1,0 +1,102 @@
+"""Pipelined (ordered-commit, overlapped-execution) replay must be
+byte-identical to serial replay: same final state, same fences, same
+crash-resume behavior, evolution drains correctly, COW falls back."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_pipeline_spark.lake.minilake import FENCES_PROP, MiniLakeTable
+from etl_pipeline_spark.pipeline import ApplyConfig
+from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA, TRANSCRIPT_SCHEMA_V0
+from etl_pipeline_spark.sources.genlog import (
+    GenConfig,
+    expected_final_state,
+    generate_delivered_events,
+    write_changelog,
+)
+from etl_pipeline_spark.streaming.ingest import replay_files
+
+KEYS = ["conv_id", "turn_idx"]
+
+CFG = GenConfig(
+    n_events=12_000,
+    batch_size=2_000,
+    hot_key_fraction=0.3,
+    shuffle_window=400,
+    dup_delivery_rate=0.02,
+    dead_letter_rate=0.01,
+)
+
+
+def _mor_table(spark, root, schema=TRANSCRIPT_SCHEMA):
+    return MiniLakeTable.create(
+        spark, str(root), schema, key_cols=KEYS, n_buckets=8, write_mode="mor"
+    )
+
+
+def _state(table) -> pd.DataFrame:
+    pdf = table.read().toPandas().sort_values(KEYS).reset_index(drop=True)
+    return pdf[["conv_id", "turn_idx", "role", "text"]].astype(object).where(
+        pdf[["conv_id", "turn_idx", "role", "text"]].notna(), None
+    )
+
+
+def test_pipelined_equals_serial(spark, tmp_path):
+    changelog = str(tmp_path / "clog")
+    write_changelog(CFG, changelog)
+    serial = _mor_table(spark, tmp_path / "serial")
+    replay_files(spark, changelog, serial)
+    piped = _mor_table(spark, tmp_path / "piped")
+    n = replay_files(spark, changelog, piped, pipeline_depth=3)
+    assert n == 7  # 12k events + 2% dup redeliveries → 7 files of 2k
+    assert _state(piped).equals(_state(serial))
+    # commits landed in batch order → fence is the last batch id
+    assert list(piped.snapshot_props()[FENCES_PROP].values()) == [6]
+
+
+def test_pipelined_crash_resume_exactly_once(spark, tmp_path):
+    changelog = str(tmp_path / "clog")
+    write_changelog(CFG, changelog)
+    table = _mor_table(spark, tmp_path / "t")
+    replay_files(spark, changelog, table, pipeline_depth=2, stop_after=3)
+    v_crash = table.current_version()
+    # resume from scratch: fenced batches must be skipped, rest applied
+    replay_files(spark, changelog, table, pipeline_depth=2)
+    assert table.current_version() > v_crash
+    exp = expected_final_state(generate_delivered_events(CFG))
+    got = _state(table)
+    assert len(got) == len(exp)
+    assert list(got["text"]) == [
+        None if pd.isna(t) else t for t in exp["text"]
+    ]
+
+
+def test_pipelined_evolution_drains(spark, tmp_path):
+    cfg = GenConfig(
+        n_events=10_000, batch_size=2_000, evolution_batch=3,
+        dup_delivery_rate=0.01,
+    )
+    changelog = str(tmp_path / "clog")
+    write_changelog(cfg, changelog)
+    table = _mor_table(spark, tmp_path / "t", schema=TRANSCRIPT_SCHEMA_V0)
+    replay_files(spark, changelog, table, pipeline_depth=3)
+    assert "tool" in {f.name for f in table.schema().fields}
+    exp = expected_final_state(generate_delivered_events(cfg))
+    got = table.read().toPandas().sort_values(KEYS).reset_index(drop=True)
+    assert len(got) == len(exp)
+    got_tool = [None if pd.isna(t) else t for t in got["tool"]]
+    exp_tool = [None if pd.isna(t) else t for t in exp["tool"]]
+    assert got_tool == exp_tool
+
+
+def test_cow_falls_back_to_serial(spark, tmp_path):
+    changelog = str(tmp_path / "clog")
+    write_changelog(CFG, changelog)
+    cow = MiniLakeTable.create(
+        spark, str(tmp_path / "cow"), TRANSCRIPT_SCHEMA,
+        key_cols=KEYS, n_buckets=8, write_mode="cow",
+    )
+    replay_files(spark, changelog, cow, pipeline_depth=4)  # silently serial
+    exp = expected_final_state(generate_delivered_events(CFG))
+    assert len(_state(cow)) == len(exp)
