@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--files-per-trigger", type=int, default=4)
     ap.add_argument("--lineage-level", choices=["full", "batch"], default="full")
+    ap.add_argument(
+        "--pipeline-depth", type=int, default=1,
+        help="replay mode, MOR tables: overlap up to N batches "
+        "(commits stay batch-ordered)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -70,6 +75,7 @@ def main() -> None:
         replay_files(
             spark, args.changelog, table, cfg=cfg,
             files_per_batch=args.files_per_trigger,
+            pipeline_depth=args.pipeline_depth,
         )
 
     # summarize only THIS invocation's lineage records (the log persists
