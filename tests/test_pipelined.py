@@ -100,3 +100,37 @@ def test_cow_falls_back_to_serial(spark, tmp_path):
     replay_files(spark, changelog, cow, pipeline_depth=4)  # silently serial
     exp = expected_final_state(generate_delivered_events(CFG))
     assert len(_state(cow)) == len(exp)
+
+
+def test_failed_batch_blocks_successor_commits(spark, tmp_path):
+    """If batch k's job dies, batch k+1 must NOT commit — a fence
+    high-water of k+1 with k unapplied would make resume skip k's
+    events forever."""
+    import pytest
+
+    from etl_pipeline_spark.streaming.ingest import _replay_pipelined
+    from etl_pipeline_spark.lake.lineage import LineageLog
+    from pyspark.sql import functions as F
+
+    changelog = str(tmp_path / "clog")
+    write_changelog(CFG, changelog)
+    table = _mor_table(spark, tmp_path / "t")
+    from etl_pipeline_spark.sources.changelog import list_batch_files
+
+    files = list_batch_files(changelog)
+
+    def read_fn(group):
+        df = spark.read.parquet(*group)
+        if group[0] == files[1]:  # batch 1 fails AT EXECUTION time
+            # ANSI mode: division by zero throws inside the write job
+            df = df.withColumn("lsn", F.col("lsn") / F.lit(0))
+        return df
+
+    todo = [(i, [f]) for i, f in enumerate(files[:4])]
+    with pytest.raises(Exception):
+        _replay_pipelined(
+            table, todo, read_fn, ApplyConfig(lineage_level="batch"),
+            LineageLog(table.root), "failtest", depth=3,
+        )
+    fences = table.snapshot_props().get(FENCES_PROP, {}).get("failtest", -1)
+    assert fences == 0  # batch 0 committed; 1 failed; 2/3 never committed
