@@ -452,3 +452,75 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def winnowing_fp_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fp) rows of the winnowing selection — the raw fingerprint
+    sets; join two docs' rows on fp to detect shared substrings of
+    length ≥ k + window − 1. See :func:`winnowing_fingerprints`."""
+    from pyspark.sql import Window as W
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = _spread(df.select(F.col(id_col).alias("id"), norm.alias("t"))).filter(
+        F.length("t") >= k + window - 1
+    )
+    grams = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        F.col("t"),
+    ).select("id", "pos", md5long(F.expr(f"substr(t, pos, {k})")).alias("h"))
+    w_frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    n_grams = W.partitionBy("id")
+    return (
+        grams.withColumn("win_min", F.min("h").over(w_frame))
+        .withColumn("n_pos", F.count(F.lit(1)).over(n_grams))
+        .filter(F.col("pos") <= F.col("n_pos") - (window - 1))
+        .select("id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, then keep the MINIMUM hash of every window of
+    ``window`` consecutive k-grams. Guarantees: any shared substring of
+    length ≥ k + window − 1 between two documents yields at least one
+    shared fingerprint, while only ~2/(window+1) of all k-gram hashes
+    are kept — the local-sampling property that makes plagiarism /
+    quote detection work at corpus scale.
+
+    The classic presentation uses a polynomial *rolling* hash for O(1)
+    per-position updates on a sequential machine; in a vectorized
+    engine every k-gram is hashed independently (md5long — shared with
+    the DuckDB oracle), which preserves the selection semantics
+    exactly. Ties keep the plain minimum VALUE (deterministic in both
+    engines), a standard winnowing variant.
+
+    Output: one row per doc — ``n_fps`` distinct fingerprints kept,
+    ``fp_min``/``fp_max`` extremes (compact, hash-comparable summary).
+    Physical shape: positions exploded via ``sequence`` (no Python),
+    window-min over a per-doc ordered frame, distinct + hash-agg. All
+    shuffles O(total k-grams).
+    """
+    selected = winnowing_fp_rows(df, id_col, text_col, k, window)
+    return selected.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )

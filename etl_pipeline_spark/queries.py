@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 79
+  (operators/dedup.md5long) — there are NO rows-only queries: all 80
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -2785,6 +2785,56 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K, _WINNOW_W = 5, 4
+
+WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+ok AS (SELECT * FROM base WHERE length(t) >= {_WINNOW_K + _WINNOW_W - 1}),
+g AS (
+  SELECT id, unnest(range(1, length(t) - {_WINNOW_K - 1} + 1)) AS pos, t
+  FROM ok
+),
+h AS (
+  SELECT id, pos,
+         CAST(('0x' || substr(md5(substr(t, pos, {_WINNOW_K})), 1, 15))
+              AS BIGINT) AS h,
+         count(*) OVER (PARTITION BY id) AS n_pos
+  FROM g
+),
+wmin AS (
+  SELECT id,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+         pos, n_pos
+  FROM h
+),
+sel AS (
+  SELECT DISTINCT id, fp FROM wmin WHERE pos <= n_pos - {_WINNOW_W - 1}
+)
+SELECT id AS doc_id,
+       count(*) AS n_fps,
+       min(fp) AS fp_min,
+       max(fp) AS fp_max
+FROM sel GROUP BY id
+"""
+
+
+def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints — local window-min sampling of
+    char-5-gram hashes (operators/dedup.winnowing_fingerprints); the
+    oracle replays the identical selection with SQL window functions."""
+    from .operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WINNOW_K, window=_WINNOW_W
+    )
+
+
 USERS_INTERSECT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'view'
 INTERSECT
@@ -2895,6 +2945,7 @@ QUERIES = {
     "docs_dedup_then_sample": q_docs_dedup_then_sample,
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_session_windows": q_events_session_windows,
+    "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "mm_features": q_mm_features,
 }
 
@@ -2978,4 +3029,5 @@ ORACLE_SQL = {
     "docs_dedup_then_sample": DEDUP_THEN_SAMPLE_SQL,
     "brand_revenue_promo_share": BRAND_REVENUE_SQL,
     "events_session_windows": SESSION_WINDOW_SQL,
+    "docs_winnow_fingerprints": WINNOW_SQL,
 }

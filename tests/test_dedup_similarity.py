@@ -121,3 +121,37 @@ def test_multimodal_plumbing(spark, docs):
     assert r1["content_hash"] == hashlib.md5(
         b"the quick brown fox jumps over the lazy dog"
     ).hexdigest()
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; unrelated docs
+    (disjoint alphabets) share none."""
+    from etl_pipeline_spark.operators.dedup import winnowing_fp_rows
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, "AAAA xxxx " + shared + " yyyy BBBB"),
+        (2, "qqqq " + shared + " zzzz"),
+        (3, "0123 4567 89.. ,,,, ;;;; !!!!"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = winnowing_fp_rows(df, k=5, window=4).collect()
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in rows:
+        fps[r["id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnowing_density(spark):
+    """Selection keeps roughly 2/(w+1) of k-gram positions (distinct
+    fps can only be fewer), never all of them."""
+    from etl_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    text = "abcdefghij" * 30  # 300 chars, highly repetitive
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = winnowing_fingerprints(df, k=5, window=4).collect()[0]
+    n_kgrams = 300 - 4
+    assert 0 < row["n_fps"] < n_kgrams * 0.5
