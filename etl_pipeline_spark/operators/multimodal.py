@@ -89,3 +89,89 @@ def extract_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
             yield out
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "id long, modality string, frame_idx int, frame_pos int, "
+    "frame_hash string, f0 double"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    modality: str = "video",
+    n_frames: int = 4,
+    frame_len: int = 48,
+) -> DataFrame:
+    """Frame sampling for temporal media: emit ``n_frames`` rows per
+    payload at evenly spaced offsets (the standard keyframe-sampling
+    shape for video/audio pipelines). One input row → many output rows
+    THROUGH the Arrow batch — ``mapInPandas`` is the right operator for
+    row-expanding extraction because the fan-out happens inside the
+    Python worker without a Spark-side explode of the heavy payload.
+
+    The frame *decode* is the documented stub (no codecs in this
+    container): a "frame" is a fixed-length window of the payload and
+    its feature is md5-derived — deterministic, so the independent SQL
+    oracle reproduces every value. Payloads shorter than one frame are
+    skipped (no full frame exists)."""
+    import hashlib
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).cast("string").alias("t"),
+    ).filter(F.length("t") >= frame_len)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, t in zip(pdf["id"], pdf["t"]):
+                span = len(t) - frame_len
+                for f in range(n_frames):
+                    pos = int(span * f / (n_frames - 1)) + 1  # 1-based
+                    frame = t[pos - 1 : pos - 1 + frame_len]
+                    h = hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    rows.append(
+                        (_id, modality, f, pos, h, int(h[:4], 16) / 65535.0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "modality", "frame_idx", "frame_pos",
+                    "frame_hash", "f0",
+                ],
+            )
+
+    return src.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def resize_stub(
+    df: DataFrame, target_bytes: int = 256
+) -> DataFrame:
+    """Resize/transcode stub: binary → binary with updated metadata —
+    the payload is truncated (or kept) to ``target_bytes`` in columnar
+    Arrow batches; a real deployment swaps the body for PIL/ffmpeg.
+    Keeps the (id, modality, content, meta) multimodal contract so the
+    downstream feature/frame operators compose unchanged."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"].map(
+                lambda b: b[:target_bytes] if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "content": content,
+                    "byte_len": content.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+
+    return df.select("id", "modality", "content").mapInPandas(
+        _resize, schema="id long, modality string, content binary, byte_len int"
+    )

@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 80
+  (operators/dedup.md5long) — there are NO rows-only queries: all 81
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1939,6 +1939,54 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_N, _FRAME_LEN = 4, 48
+
+MM_FRAMES_SQL = f"""
+WITH b AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  WHERE length(text) >= {_FRAME_LEN}
+),
+f AS (
+  SELECT id, t, unnest(range(0, {_FRAME_N})) AS frame_idx FROM b
+),
+p AS (
+  SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         CAST(floor((length(t) - {_FRAME_LEN}) * frame_idx
+                    / {_FRAME_N - 1}.0) AS INTEGER) + 1 AS frame_pos,
+         t
+  FROM f
+),
+h AS (
+  SELECT id, frame_idx, frame_pos,
+         md5(substr(t, frame_pos, {_FRAME_LEN})) AS frame_hash
+  FROM p
+)
+SELECT id, 'video' AS modality, frame_idx, frame_pos, frame_hash,
+       round(CAST(('0x' || substr(frame_hash, 1, 4)) AS BIGINT)
+             / 65535.0, 6) AS f0
+FROM h
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling (operators/multimodal.frame_sample): N evenly
+    spaced frames per payload, one output row per frame THROUGH the
+    Arrow batch (row-expanding mapInPandas — no Spark-side explode of
+    the heavy payload). Decode is the documented stub; the oracle
+    replays the offsets and md5-derived features exactly."""
+    from .operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = frame_sample(
+        d, id_col="doc_id", payload_col="text", modality="video",
+        n_frames=_FRAME_N, frame_len=_FRAME_LEN,
+    )
+    return out.select(
+        "id", "modality", "frame_idx", "frame_pos", "frame_hash",
+        F.round("f0", 6).alias("f0"),
+    )
+
+
 # ------------------------------------------------------ corpus curation --
 
 _PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -2946,6 +2994,7 @@ QUERIES = {
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_session_windows": q_events_session_windows,
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
+    "mm_frame_sample": q_mm_frame_sample,
     "mm_features": q_mm_features,
 }
 
@@ -3030,4 +3079,5 @@ ORACLE_SQL = {
     "brand_revenue_promo_share": BRAND_REVENUE_SQL,
     "events_session_windows": SESSION_WINDOW_SQL,
     "docs_winnow_fingerprints": WINNOW_SQL,
+    "mm_frame_sample": MM_FRAMES_SQL,
 }

@@ -155,3 +155,20 @@ def test_winnowing_density(spark):
     row = winnowing_fingerprints(df, k=5, window=4).collect()[0]
     n_kgrams = 300 - 4
     assert 0 < row["n_fps"] < n_kgrams * 0.5
+
+
+def test_resize_stub_contract(spark):
+    """resize_stub keeps the multimodal contract and truncates payloads
+    columnar-side."""
+    from etl_pipeline_spark.operators.multimodal import attach_binary, resize_stub
+
+    df = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short")], ["doc_id", "text"]
+    )
+    out = resize_stub(
+        attach_binary(df, "doc_id", "text", "image"), target_bytes=100
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["byte_len"] == 100 and len(by_id[1]["content"]) == 100
+    assert by_id[2]["byte_len"] == 5
+    assert by_id[1]["modality"] == "image"
