@@ -45,6 +45,29 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+# common subset (no lookahead): contraction suffixes, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+)
+
+
+def bpe_pretokens(c: Column) -> Column:
+    """BPE-ish pre-tokenization (the GPT-2 regex family): the token
+    boundaries a byte-pair-encoding tokenizer merges within. Whitespace
+    runs are dropped from the result (they carry no merge content).
+    Pure JVM regex — identical matches in RE2 (DuckDB oracle)."""
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0),
+        lambda t: ~t.rlike(r"^\s+$"),
+    )
+
+
+def bpe_pretoken_count(c: Column) -> Column:
+    return F.size(bpe_pretokens(c))
+
+
 def char_len(c: Column) -> Column:
     return F.length(c)
 

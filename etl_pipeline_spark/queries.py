@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 81
+  (operators/dedup.md5long) — there are NO rows-only queries: all 82
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1939,6 +1939,38 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the pattern itself contains apostrophes — doubled for the SQL literal
+_BPE_RE_SQL = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+).replace("'", "''")
+
+BPE_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE_SQL}'),
+                            x -> NOT regexp_matches(x, '^\\s+$')))
+            AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split_regex(lower(text),
+                                               '[^\\p{{L}}\\p{{N}}]+'),
+                            x -> x <> '')) AS INTEGER) AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under BOTH families the brief names: the
+    whitespace/punct tokenizer and the GPT-2-style BPE pre-tokenizer
+    regex (functions/text.bpe_pretokens — Java∩RE2 subset, so the
+    DuckDB oracle matches token-for-token)."""
+    from .functions.text import bpe_pretoken_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_pretoken_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
 _FRAME_N, _FRAME_LEN = 4, 48
 
 MM_FRAMES_SQL = f"""
@@ -2995,6 +3027,7 @@ QUERIES = {
     "events_session_windows": q_events_session_windows,
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "mm_frame_sample": q_mm_frame_sample,
+    "docs_bpe_token_stats": q_docs_bpe_token_stats,
     "mm_features": q_mm_features,
 }
 
@@ -3080,4 +3113,5 @@ ORACLE_SQL = {
     "events_session_windows": SESSION_WINDOW_SQL,
     "docs_winnow_fingerprints": WINNOW_SQL,
     "mm_frame_sample": MM_FRAMES_SQL,
+    "docs_bpe_token_stats": BPE_TOKENS_SQL,
 }
