@@ -167,8 +167,29 @@ def md5long(c: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def _perm_hash(h: F.Column, i: int) -> F.Column:
-    return md5long(F.concat_ws(":", h.cast("string"), F.lit(str(i))))
+# Universal-hash permutation family over a prime field: perm_i(h) =
+# (a_i·(h mod p) + b_i) mod p with seeded constants. One md5 per shingle
+# feeds ALL n permutations as multiply-adds — vs the previous
+# md5-per-permutation family this removes 31 of 32 md5 evaluations per
+# shingle row AND shrinks the Catalyst expression tree (the minhash
+# query's cost was plan-compile + hash CPU, not data). (h mod p) < 2^31
+# and a_i < 2^31 keep every product inside int64 in both engines.
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_ab(n: int, seed: int = 40) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) constants shared with the SQL oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(n)
+    ]
+
+
+def _perm_hash(h: F.Column, a: int, b: int) -> F.Column:
+    return (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -275,8 +296,12 @@ def minhash_signatures(
         "id",
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     ).withColumn("h", md5long(F.col("s")))
+    ab = minhash_ab(n_hashes)
     return ex.groupBy("id").agg(
-        *[F.min(_perm_hash(F.col("h"), i)).alias(f"m{i}") for i in range(n_hashes)]
+        *[
+            F.min(_perm_hash(F.col("h"), a, b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(ab)
+        ]
     )
 
 

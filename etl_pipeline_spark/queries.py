@@ -1566,11 +1566,13 @@ def _shingle_expr_sql(k: int) -> str:
 def _minhash_oracle_sql(
     threshold: float = 0.8, n_hashes: int = 32, bands: int = 8, k: int = 3
 ) -> str:
+    from .operators.dedup import MINHASH_P, minhash_ab
+
     rows = n_hashes // bands
     min_parts = []
-    for i in range(n_hashes):
-        perm = f"h::VARCHAR || ':{i}'"
-        min_parts.append(f"min({_md5long_sql(perm)}) AS m{i}")
+    for i, (a, b) in enumerate(minhash_ab(n_hashes)):
+        perm = f"({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}"
+        min_parts.append(f"min({perm}) AS m{i}")
     mins = ",\n       ".join(min_parts)
 
     def _bk(b: int) -> str:
