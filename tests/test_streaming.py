@@ -126,3 +126,37 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     }
     for key, n in got.items():
         assert ref[key] == n, f"window {key}: stream {n} != batch {ref[key]}"
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming-native at-least-once dedup: duplicate deliveries of the
+    same lsn within the watermark horizon collapse to one row BEFORE the
+    sink (dropDuplicatesWithinWatermark keeps state only for the
+    watermark window — O(recent lsns), not O(all lsns ever)."""
+    from etl_pipeline_spark.sources.changelog import read_events_stream
+
+    cfg = GenConfig(
+        n_events=5_000, batch_size=1_000, dup_delivery_rate=0.05,
+        evolution_batch=0,
+    )
+    clog = str(tmp_path / "clog")
+    write_changelog(cfg, clog)
+
+    events = (
+        read_events_stream(spark, clog, max_files_per_trigger=2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["lsn"])
+    )
+    q = (
+        events.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT lsn) AS d FROM dedup_stream"
+    ).collect()[0]
+    assert got["n"] == got["d"], "duplicate lsns must collapse in-stream"
+    assert got["d"] == 5_000
