@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 82
+  (operators/dedup.md5long) — there are NO rows-only queries: all 83
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1876,6 +1876,25 @@ def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_paths_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-JVM twin of ``user_event_paths``: ordered per-user path
+    via ``sort_array(collect_list(struct(...)))`` — no Python worker at
+    all, whole-stage-codegen end to end. Same oracle as the Arrow
+    variant; the pair documents the Arrow-vs-JVM trade for grouped
+    sequence assembly (JVM wins until per-group logic outgrows
+    expressions)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    ordered = F.sort_array(
+        F.collect_list(F.struct("event_id", "event_type"))
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["event_type"]), "->"
+        ).alias("path"),
+    )
+
+
 DOCS_MINHASH_SQL = _minhash_oracle_sql(threshold=0.8, n_hashes=32, bands=8, k=3)
 DOCS_SIMHASH_SQL = _simhash_oracle_sql()
 
@@ -2998,6 +3017,7 @@ QUERIES = {
     "docs_simhash_groups": q_docs_simhash_groups,
     "docs_simhash_near_dups": q_docs_simhash_near_dups,
     "user_event_paths": q_user_event_paths,
+    "user_event_paths_jvm": q_user_event_paths_jvm,
     "docs_chunked": q_docs_chunked,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3084,6 +3104,7 @@ ORACLE_SQL = {
     "docs_simhash_groups": DOCS_SIMHASH_SQL,
     "docs_simhash_near_dups": DOCS_SIMHASH_PAIRS_SQL,
     "user_event_paths": USER_PATHS_SQL,
+    "user_event_paths_jvm": USER_PATHS_SQL,
     "docs_chunked": DOCS_CHUNKS_SQL,
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
