@@ -596,6 +596,39 @@ class MiniLakeTable:
             wall_ms=(time.time() - t0) * 1000,
         )
 
+    # ----------------------------------------------------------- rollback
+
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot`` analog). Like Iceberg, rollback COMMITS
+        A NEW snapshot whose content (schema, buckets, properties —
+        including the exactly-once fences) is the old one's: history
+        stays linear and append-only, the CAS versioning scheme is
+        undisturbed, and the rolled-back-over snapshots remain
+        time-travelable until retention GC. Fences roll back with the
+        snapshot, so re-applying the rolled-back batches is the expected
+        (and idempotent-safe) follow-up."""
+        current = self.current_version()
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(f"no snapshot v{version} to roll back to")
+        if version >= current:
+            raise ValueError(
+                f"rollback target v{version} is not older than v{current}"
+            )
+        old = self.manifest(version)
+        cur = self.manifest(current)
+        m2 = dict(old)
+        m2["version"] = current + 1
+        m2["parent_snapshot_id"] = cur["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["rolled_back_from"] = {
+            "version": version,
+            "snapshot_id": old["snapshot_id"],
+        }
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
     # ---------------------------------------------------------- retention
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:

@@ -160,3 +160,34 @@ def test_merge_source_uniqueness_assert(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         t.merge(dup, batch_id=0, assert_unique_keys=True)
+
+
+def test_rollback_restores_state_and_fences(spark, tmp_path):
+    """rollback() commits a NEW snapshot with the old content: state and
+    exactly-once fences roll back together, history stays linear, and
+    re-applying the rolled-back batch converges to the same final state."""
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [("c1", 1, "user", "v1", None, 10, "I")]), batch_id=0)
+    v_after_0 = t.current_version()
+    t.merge(_src(spark, [("c1", 1, "user", "v2", None, 20, "U")]), batch_id=1)
+    assert [r["text"] for r in t.read().collect()] == ["v2"]
+
+    new_v = t.rollback(v_after_0)
+    assert new_v == t.current_version() > v_after_0  # history is linear
+    assert [r["text"] for r in t.read().collect()] == ["v1"]
+    # fences rolled back with the snapshot → batch 1 is NOT fenced out
+    assert t.snapshot_props()[FENCES_PROP]["default"] == 0
+    # the rolled-back-over snapshot stays time-travelable
+    assert [r["text"] for r in t.read(version=v_after_0 + 1).collect()] == ["v2"]
+
+    t.merge(_src(spark, [("c1", 1, "user", "v2", None, 20, "U")]), batch_id=1)
+    assert [r["text"] for r in t.read().collect()] == ["v2"]
+
+
+def test_rollback_rejects_bad_targets(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [("c1", 1, "u", "x", None, 1, "I")]), batch_id=0)
+    with pytest.raises(ValueError, match="not older"):
+        t.rollback(t.current_version())
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.rollback(99)
