@@ -279,6 +279,28 @@ class MiniLakeTable:
             )
         return phys.filter(~F.col(DELETED_COL)).select(*cols)
 
+    def read_tombstones(self, version: int | None = None) -> DataFrame:
+        """The deleted-key registry: keys whose LWW winner is a tombstone,
+        with the deleting LSN. This is the surface that makes "a late
+        stale update can never resurrect a deleted key" auditable —
+        tombstones are physical rows, not absences. Output: key cols +
+        ``_lsn`` (the tombstone's LSN)."""
+        m = self.manifest(version)
+        schema = schema_from_manifest(m["schema"])
+        cols = [f.name for f in schema.fields]
+        phys = self.read_physical(version)
+        if m.get("write_mode", "cow") == "mor":
+            payload = [c for c in cols if c not in m["key_cols"]]
+            phys = lww_reduce(
+                phys,
+                keys=m["key_cols"],
+                order_col=LSN_COL,
+                payload_cols=payload + [DELETED_COL],
+            )
+        return phys.filter(F.col(DELETED_COL)).select(
+            *m["key_cols"], LSN_COL
+        )
+
     def read_for_keys(
         self, values: list, version: int | None = None
     ) -> DataFrame:

@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 83
+  (operators/dedup.md5long) — there are NO rows-only queries: all 84
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -301,6 +301,31 @@ def q_cdc_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_lsn").alias("lsn"),
         F.col("_deleted").alias("deleted"),
         F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+TOMBSTONE_REGISTRY_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+)
+SELECT conv_id, turn_idx, lsn AS tombstone_lsn
+FROM r WHERE rn = 1 AND op = 'D'
+"""
+
+
+def q_cdc_tombstone_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical tombstone audit (minilake.read_tombstones): deleted keys
+    read back FROM THE LAKE with their deleting LSN — proving tombstones
+    survive as rows (the mechanism that defeats late stale updates), not
+    as absences. Oracle recomputes the per-key delete winners from the
+    raw stream."""
+    table = _replayed_table(spark, sf_dir)
+    return table.read_tombstones().select(
+        "conv_id", "turn_idx", F.col("_lsn").alias("tombstone_lsn")
     )
 
 
@@ -2976,6 +3001,7 @@ QUERIES = {
     "cdc_lww_cleaned": q_cdc_lww_cleaned,
     "cdc_op_stats": q_cdc_op_stats,
     "cdc_tombstones": q_cdc_tombstones,
+    "cdc_tombstone_registry": q_cdc_tombstone_registry,
     "cdc_dedup_delivery": q_cdc_dedup_delivery,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -3062,6 +3088,7 @@ ORACLE_SQL = {
     "cdc_lww_cleaned": CDC_CLEANED_SQL,
     "cdc_op_stats": CDC_OP_STATS_SQL,
     "cdc_tombstones": CDC_TOMBSTONE_SQL,
+    "cdc_tombstone_registry": TOMBSTONE_REGISTRY_SQL,
     "cdc_dedup_delivery": CDC_DEDUP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
