@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 84
+  (operators/dedup.md5long) — there are NO rows-only queries: all 85
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1296,6 +1296,45 @@ def q_events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"), "n", "sum_value"
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+),
+w AS (
+  SELECT t, value,
+         unnest([CAST(floor(t / 900) * 900 AS BIGINT),
+                 CAST(floor(t / 900) * 900 - 900 AS BIGINT)]) AS window_start
+  FROM e
+)
+SELECT window_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY window_start
+"""
+
+
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (30-minute width, 15-minute slide) via the native
+    `window()` operator — every event lands in exactly two overlapping
+    windows; the oracle materializes both window starts per event.
+    Events pre-truncated to epoch seconds as in the session query."""
+    e = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").cast("timestamp").alias("tsec"), "value"
+    )
+    return (
+        e.groupBy(F.window("tsec", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n",
+            "sum_value",
         )
     )
 
@@ -3024,6 +3063,7 @@ QUERIES = {
     "rollup_order_stats": q_rollup_order_stats,
     "cube_lineitem_stats": q_cube_lineitem_stats,
     "events_tumbling_windows": q_events_tumbling_windows,
+    "events_sliding_windows": q_events_sliding_windows,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "customers_without_orders": q_customers_without_orders,
     "union_distinct_ids": q_union_distinct_ids,
@@ -3111,6 +3151,7 @@ ORACLE_SQL = {
     "rollup_order_stats": ROLLUP_SQL,
     "cube_lineitem_stats": CUBE_SQL,
     "events_tumbling_windows": TUMBLING_SQL,
+    "events_sliding_windows": SLIDING_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "union_distinct_ids": UNION_IDS_SQL,
