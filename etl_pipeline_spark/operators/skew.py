@@ -58,3 +58,34 @@ def salted_agg(
         ]
     )
     return phase2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defused equi-join: the big (skewed) side is salted with a
+    deterministic hash of ``salt_col``; the small side is replicated
+    ``n_salts`` times (explode over the salt domain); the join key
+    becomes ``(on…, salt)`` so one hot key's rows spread over
+    ``n_salts`` reducers instead of one.
+
+    Result rows are identical to the plain join (each big row matches
+    exactly the one replica carrying its salt). This is the manual
+    fallback when AQE's runtime skew splitting can't see the skew
+    (e.g. the hot key hides behind an exchange reused by another stage)
+    — and the same rewrite AQE itself applies. Cost: the small side's
+    shuffle volume × n_salts; keep n_salts near the hot key's
+    row-count / target-partition-size ratio."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_big.join(replicated, [*on, "_salt"], how)
+    return out.drop("_salt")

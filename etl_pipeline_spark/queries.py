@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 85
+  (operators/dedup.md5long) — there are NO rows-only queries: all 86
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -2400,6 +2400,31 @@ def q_events_user_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALTED_JOIN_SQL = """
+WITH d AS (
+  SELECT user_id, count(*) AS n_events_user FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, d.n_events_user
+FROM events e JOIN d USING (user_id)
+WHERE e.event_id % 17 = 0
+"""
+
+
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-defused JOIN (operators/skew.salted_join): the fact
+    side is salted deterministically, the dim side replicated n_salts
+    times, join key = (user_id, salt) — one hot user's rows spread over
+    n_salts reducers. Must equal the oracle's plain join row-for-row."""
+    from .operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events_user"))
+    big = e.filter(F.col("event_id") % 17 == 0).select("user_id", "event_id")
+    return salted_join(big, dim, on=["user_id"], salt_col="event_id").select(
+        "user_id", "event_id", "n_events_user"
+    )
+
+
 CONV_STATS_SQL = f"""
 WITH state AS ({LWW_STATE_SQL})
 SELECT conv_id,
@@ -3097,6 +3122,7 @@ QUERIES = {
     "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
     "customers_with_orders": q_customers_with_orders,
     "events_user_value_salted": q_events_user_value_salted,
+    "events_salted_join": q_events_salted_join,
     "cdc_conv_stats": q_cdc_conv_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "docs_dup_clusters": q_docs_dup_clusters,
@@ -3186,6 +3212,7 @@ ORACLE_SQL = {
     "hourly_view_vs_purchase": VIEW_VS_PURCHASE_SQL,
     "customers_with_orders": SEMI_JOIN_SQL,
     "events_user_value_salted": SALTED_AGG_SQL,
+    "events_salted_join": SALTED_JOIN_SQL,
     "cdc_conv_stats": CONV_STATS_SQL,
     "cdc_schema_evolution": SCHEMA_EVOLUTION_SQL,
     "docs_dup_clusters": DUP_CLUSTERS_SQL,
