@@ -202,3 +202,16 @@ def test_new_round2_query_plan_shapes(spark):
 def test_tfidf_is_hash_aggregated(spark):
     plan = explain_str(QUERIES["docs_tfidf_top_terms"](spark, SF))
     assert plan.count("HashAggregate") >= 2  # tf and df, both partial+final
+
+
+def test_salted_join_is_equi_join_on_salted_key(spark):
+    plan = explain_str(QUERIES["events_salted_join"](spark, SF))
+    assert "_salt" in plan  # the salt is part of the join key
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_windows_single_aggregation(spark):
+    plan = explain_str(QUERIES["events_sliding_windows"](spark, SF))
+    # explode-to-two-windows + partial/final hash agg, no window sort
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
