@@ -498,9 +498,31 @@ class MiniLakeTable:
             )
             if not touched:
                 batch_phys.unpersist()
+                # an empty (e.g. fully dead-lettered) batch changes no
+                # data but MUST advance the fence — otherwise every
+                # resume re-processes it forever (exactly-once includes
+                # no-op batches). Commit a fence-only snapshot.
+                m2 = dict(base)
+                m2["version"] = version + 1
+                m2["parent_snapshot_id"] = base["snapshot_id"]
+                m2["snapshot_id"] = str(uuid.uuid4())
+                m2["properties"] = {
+                    **base["properties"],
+                    FENCES_PROP: {
+                        **base["properties"].get(FENCES_PROP, {}),
+                        stream_id: batch_id,
+                    },
+                }
+                m2["committed_at"] = time.time()
+                self._write_manifest(m2)
                 return MergeResult(
-                    skipped=True, reason="empty",
-                    version=version, snapshot_id=base["snapshot_id"],
+                    skipped=False,
+                    version=m2["version"],
+                    snapshot_id=m2["snapshot_id"],
+                    rows_upserted=0,
+                    rows_deleted=0,
+                    buckets_touched=0,
+                    wall_ms=(time.time() - t0) * 1000,
                 )
             current_dirs = [
                 d for b in touched for d in base["buckets"].get(str(b), [])

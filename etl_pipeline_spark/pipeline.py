@@ -256,7 +256,16 @@ def apply_batch(
                  "lsn_min": None, "lsn_max": None}
         else:
             # ran (or "empty"-skipped AFTER an action) → metrics are real
-            c = obs.get
+            try:
+                c = obs.get
+            except Exception:
+                # AQE empty-relation propagation can eliminate the
+                # CollectMetrics node when the whole batch plans down to
+                # an empty relation (e.g. every event dead-lettered) —
+                # the commit is fine, only the piggybacked counters are
+                # gone. Recount directly; this degenerate batch is the
+                # one case where the extra job is cheap by construction.
+                c = batch_df.agg(*counter_aggs).collect()[0]
 
     events_in = int(c["events"] or 0)
     dead_count = int(c["n_dead"] or 0)

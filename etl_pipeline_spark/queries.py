@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 86
+  (operators/dedup.md5long) — there are NO rows-only queries: all 87
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -3054,6 +3054,34 @@ def q_users_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.subtract(p)  # EXCEPT (distinct) semantics
 
 
+ROLE_TRANSITIONS_SQL = f"""
+WITH state AS ({LWW_STATE_SQL}),
+l AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM state
+)
+SELECT prev_role, role, count(*) AS n
+FROM l WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
+def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure analytics over the engine's OWN replayed
+    state: the role→role transition matrix across consecutive turns
+    (lag window per conv ordered by turn_idx, then hash-agg) — the
+    dialog-shape profile a transcript pipeline reports."""
+    state = _replayed_table(spark, sf_dir).read()
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    l = state.withColumn("prev_role", F.lag("role").over(w))
+    return (
+        l.filter(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -3124,6 +3152,7 @@ QUERIES = {
     "events_user_value_salted": q_events_user_value_salted,
     "events_salted_join": q_events_salted_join,
     "cdc_conv_stats": q_cdc_conv_stats,
+    "cdc_role_transitions": q_cdc_role_transitions,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "docs_dup_clusters": q_docs_dup_clusters,
     "lineitem_stats_profile": q_lineitem_stats_profile,
@@ -3214,6 +3243,7 @@ ORACLE_SQL = {
     "events_user_value_salted": SALTED_AGG_SQL,
     "events_salted_join": SALTED_JOIN_SQL,
     "cdc_conv_stats": CONV_STATS_SQL,
+    "cdc_role_transitions": ROLE_TRANSITIONS_SQL,
     "cdc_schema_evolution": SCHEMA_EVOLUTION_SQL,
     "docs_dup_clusters": DUP_CLUSTERS_SQL,
     "lineitem_stats_profile": LINEITEM_STATS_SQL,

@@ -156,3 +156,33 @@ def test_schema_evolution_in_flight(spark, tmp_path):
     oracle = _oracle_state(cfg)
     pre = oracle[oracle["tool"].isna()]
     assert len(pre) > 0
+
+
+def test_all_dead_letter_batch_still_advances_fence(spark, tmp_path):
+    """A batch whose every event is invalid must apply nothing but MUST
+    advance the fence — otherwise a resumed replay re-reads it forever."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.pipeline import apply_batch
+
+    table = _fresh_table(spark, tmp_path)
+    good = spark.createDataFrame(
+        [("c1", 1, "user", "hello", None, 10, "I", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, lsn long, op string, source_part int",
+    )
+    apply_batch(table, good, 0)
+    v1 = table.current_version()
+    all_dead = good.withColumn("conv_id", F.lit(None).cast("string")).withColumn(
+        "lsn", F.lit(11).cast("long")
+    )
+    res = apply_batch(table, all_dead, 1)
+    assert not res.skipped
+    assert table.read().count() == 1  # nothing applied
+    from etl_pipeline_spark.lake.minilake import FENCES_PROP
+
+    assert table.snapshot_props()[FENCES_PROP]["default"] == 1  # fence moved
+    assert table.current_version() > v1
+    # replaying the dead batch is now a fenced no-op
+    res2 = apply_batch(table, all_dead, 1)
+    assert res2.skipped
