@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 87
+  (operators/dedup.md5long) — there are NO rows-only queries: all 88
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -326,6 +326,50 @@ def q_cdc_tombstone_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _replayed_table(spark, sf_dir)
     return table.read_tombstones().select(
         "conv_id", "turn_idx", F.col("_lsn").alias("tombstone_lsn")
+    )
+
+
+LINEAGE_STATS_SQL = f"""
+WITH ce AS ({CE_SQL}),
+b AS (
+  SELECT ce.*, CAST(floor(lsn / {_REPLAY_BATCH_LSNS}.0) AS BIGINT) AS batch_id
+  FROM ce
+)
+SELECT batch_id,
+       count(*) AS events_in,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_i,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+       min(lsn) AS lsn_min,
+       max(lsn) AS lsn_max
+FROM b GROUP BY batch_id
+"""
+
+
+def q_cdc_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineage log (reference O4) graded end to end: per-batch
+    event/op counts and offset ranges are read back FROM the replayed
+    table's ``_lineage`` records — the Observation-piggybacked counters
+    the engine wrote during its own replay must equal the oracle's
+    recount of the raw stream per lsn-range batch. (Wall times and
+    snapshot ids are per-run and excluded — only the deterministic
+    columns are compared.)"""
+    from .lake.lineage import LineageLog
+
+    table = _replayed_table(spark, sf_dir)
+    lin = LineageLog(table.root).as_dataframe(spark)
+    return (
+        lin.filter(~F.coalesce(F.col("skipped_fenced"), F.lit(False)))
+        .filter(F.col("events_in") > 0)
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("events_in").cast("long").alias("events_in"),
+            F.col("applied.I").cast("long").alias("n_i"),
+            F.col("applied.U").cast("long").alias("n_u"),
+            F.col("applied.D").cast("long").alias("n_d"),
+            F.col("offset_range.lsn_min").cast("long").alias("lsn_min"),
+            F.col("offset_range.lsn_max").cast("long").alias("lsn_max"),
+        )
     )
 
 
@@ -3094,6 +3138,7 @@ QUERIES = {
     "cdc_op_stats": q_cdc_op_stats,
     "cdc_tombstones": q_cdc_tombstones,
     "cdc_tombstone_registry": q_cdc_tombstone_registry,
+    "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_dedup_delivery": q_cdc_dedup_delivery,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -3184,6 +3229,7 @@ ORACLE_SQL = {
     "cdc_op_stats": CDC_OP_STATS_SQL,
     "cdc_tombstones": CDC_TOMBSTONE_SQL,
     "cdc_tombstone_registry": TOMBSTONE_REGISTRY_SQL,
+    "cdc_lineage_stats": LINEAGE_STATS_SQL,
     "cdc_dedup_delivery": CDC_DEDUP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
