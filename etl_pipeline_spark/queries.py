@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 88
+  (operators/dedup.md5long) — there are NO rows-only queries: all 89
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1341,6 +1341,40 @@ def q_events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.unix_timestamp("w.start").alias("window_start"), "n", "sum_value"
         )
+    )
+
+
+NULL_SAFE_JOIN_SQL = """
+WITH a AS (
+  SELECT CASE WHEN event_id % 50 = 0 THEN NULL ELSE user_id END AS k,
+         event_id
+  FROM events WHERE event_type = 'view'
+),
+b AS (SELECT DISTINCT k FROM a)
+SELECT b.k, count(*) AS n
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY b.k
+"""
+
+
+def q_events_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``eqNullSafe`` ≡ SQL IS NOT
+    DISTINCT FROM): NULL keys match each other instead of dropping out —
+    the semantics a dedup-on-nullable-key pipeline needs. Plain inner
+    join would silently lose the NULL group."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").select(
+        F.when(F.col("event_id") % 50 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+    )
+    b = a.select("k").distinct().withColumnRenamed("k", "bk")
+    return (
+        a.join(b, a.k.eqNullSafe(b.bk))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("bk").alias("k"), "n")
     )
 
 
@@ -3162,6 +3196,7 @@ QUERIES = {
     "cube_lineitem_stats": q_cube_lineitem_stats,
     "events_tumbling_windows": q_events_tumbling_windows,
     "events_sliding_windows": q_events_sliding_windows,
+    "events_null_safe_join": q_events_null_safe_join,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "customers_without_orders": q_customers_without_orders,
     "union_distinct_ids": q_union_distinct_ids,
@@ -3253,6 +3288,7 @@ ORACLE_SQL = {
     "cube_lineitem_stats": CUBE_SQL,
     "events_tumbling_windows": TUMBLING_SQL,
     "events_sliding_windows": SLIDING_SQL,
+    "events_null_safe_join": NULL_SAFE_JOIN_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "union_distinct_ids": UNION_IDS_SQL,
