@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 89
+  (operators/dedup.md5long) — there are NO rows-only queries: all 90
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1833,6 +1833,56 @@ def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+EDITDIST_SQL = f"""
+WITH {_simhash_sig_ctes()},
+bb AS (
+  SELECT id, simhash,
+         unnest([0, 1, 2, 3, 4]) AS band,
+         unnest([(simhash >> 0) & 4095, (simhash >> 12) & 4095,
+                 (simhash >> 24) & 4095, (simhash >> 36) & 4095,
+                 (simhash >> 48) & 4095]) AS val
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.val = b.val
+  WHERE a.id < b.id
+    AND bit_count(xor(a.simhash, b.simhash)) <= 4
+)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(substr(da.text, 1, 60), substr(db.text, 1, 60))
+            AS INTEGER) AS lev60
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+"""
+
+
+def q_docs_simhash_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic two-stage dedup composition: cheap sketch candidates
+    (SimHash Hamming ≤ 4) → expensive exact verify (Levenshtein on a
+    60-char prefix) only on the surviving pairs. Edit distance is
+    O(n·m) per pair — affordable exactly because the sketch stage
+    shrank the pair set first."""
+    from .operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(d)
+    da = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(
+                F.substring("ta", 1, 60), F.substring("tb", 1, 60)
+            ).alias("lev60"),
+        )
+    )
+
+
 CONTAINMENT_SQL = f"""
 WITH tk AS (
   SELECT doc_id,
@@ -3215,6 +3265,7 @@ QUERIES = {
     "docs_minhash_near_dups": q_docs_minhash_near_dups,
     "docs_simhash_groups": q_docs_simhash_groups,
     "docs_simhash_near_dups": q_docs_simhash_near_dups,
+    "docs_simhash_pairs_editdist": q_docs_simhash_pairs_editdist,
     "user_event_paths": q_user_event_paths,
     "user_event_paths_jvm": q_user_event_paths_jvm,
     "docs_chunked": q_docs_chunked,
@@ -3308,6 +3359,7 @@ ORACLE_SQL = {
     "docs_minhash_near_dups": DOCS_MINHASH_SQL,
     "docs_simhash_groups": DOCS_SIMHASH_SQL,
     "docs_simhash_near_dups": DOCS_SIMHASH_PAIRS_SQL,
+    "docs_simhash_pairs_editdist": EDITDIST_SQL,
     "user_event_paths": USER_PATHS_SQL,
     "user_event_paths_jvm": USER_PATHS_SQL,
     "docs_chunked": DOCS_CHUNKS_SQL,
