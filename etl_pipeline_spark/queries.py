@@ -16,7 +16,7 @@ Design rules that keep the two engines hash-identical:
 - deterministic tie-breaks on every top-k / row_number.
 - every hash-based operator (MinHash, SimHash, LSH buckets, fingerprints)
   uses the md5-derived 60-bit family both engines compute bit-identically
-  (operators/dedup.md5long) — there are NO rows-only queries: all 90
+  (operators/dedup.md5long) — there are NO rows-only queries: all 92
   entries carry a full DuckDB oracle.
 
 The CDC queries derive a change-event stream from the ``events`` table
@@ -1341,6 +1341,48 @@ def q_events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.unix_timestamp("w.start").alias("window_start"), "n", "sum_value"
         )
+    )
+
+
+# Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+WEEKDAY_SQL = """
+SELECT CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS weekday,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_orders_weekday_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension aggregation: orders by day-of-week. The two
+    engines disagree on weekday numbering (Spark 1=Sunday, DuckDB
+    0=Sunday) — the oracle normalizes to Spark's convention."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.dayofweek("o_orderdate").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+MONTHLY_SQL = """
+SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+         AS month_epoch,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-granularity rollup (date_trunc both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_epoch"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
 
 
@@ -3247,6 +3289,8 @@ QUERIES = {
     "events_tumbling_windows": q_events_tumbling_windows,
     "events_sliding_windows": q_events_sliding_windows,
     "events_null_safe_join": q_events_null_safe_join,
+    "orders_weekday_stats": q_orders_weekday_stats,
+    "orders_monthly_revenue": q_orders_monthly_revenue,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "customers_without_orders": q_customers_without_orders,
     "union_distinct_ids": q_union_distinct_ids,
@@ -3340,6 +3384,8 @@ ORACLE_SQL = {
     "events_tumbling_windows": TUMBLING_SQL,
     "events_sliding_windows": SLIDING_SQL,
     "events_null_safe_join": NULL_SAFE_JOIN_SQL,
+    "orders_weekday_stats": WEEKDAY_SQL,
+    "orders_monthly_revenue": MONTHLY_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "union_distinct_ids": UNION_IDS_SQL,
