@@ -21,8 +21,9 @@ parity with MiniLakeTable:
   table, filtered by ``read()`` — identical late-stale-update behavior.
 - fencing: per-stream-lineage batch-id high-waters in a table property.
 - evolution: additive ``ALTER TABLE ... ADD COLUMN``.
-- the MERGE requires a key-unique source: callers set
-  ``ApplyConfig.pre_reduce=True`` (the LWW pre-reduce) on this backend.
+- the MERGE requires a key-unique source: the class declares
+  ``requires_unique_source = True`` and ``pipeline.apply_batch`` forces
+  the LWW pre-reduce automatically — no ApplyConfig flag to forget.
 """
 
 from __future__ import annotations
@@ -51,6 +52,12 @@ def iceberg_available(spark: SparkSession) -> bool:
 @dataclass
 class IcebergTable:
     """Thin MERGE INTO wrapper with the MiniLakeTable interface."""
+
+    # Iceberg MERGE INTO throws on multiple source matches per target
+    # row; pipeline.apply_batch sees this flag and forces the LWW
+    # pre-reduce even when ApplyConfig.pre_reduce is left False (the
+    # correct setting for MiniLake, whose merge reduces internally).
+    requires_unique_source = True
 
     spark: SparkSession
     identifier: str  # e.g. "lake.db.transcripts"

@@ -88,6 +88,10 @@ class MiniLakeTable:
     """One lake table rooted at a directory. Cheap to construct; all state
     lives in the manifest files."""
 
+    # merge() resolves per-key LWW internally, so a multi-row-per-key
+    # source is fine (pipeline.apply_batch reads this flag).
+    requires_unique_source = False
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -371,6 +375,36 @@ class MiniLakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def _commit_fence_only(
+        self, base: dict, version: int, stream_id: str, batch_id: int, t0: float
+    ) -> MergeResult:
+        """Commit a data-free snapshot that only advances the stream's
+        fence — the exactly-once path for batches that change no rows
+        (fully dead-lettered / empty input). Shared by the COW pre-write
+        and MOR post-write empty-batch paths."""
+        m2 = dict(base)
+        m2["version"] = version + 1
+        m2["parent_snapshot_id"] = base["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["properties"] = {
+            **base["properties"],
+            FENCES_PROP: {
+                **base["properties"].get(FENCES_PROP, {}),
+                stream_id: batch_id,
+            },
+        }
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return MergeResult(
+            skipped=False,
+            version=m2["version"],
+            snapshot_id=m2["snapshot_id"],
+            rows_upserted=0,
+            rows_deleted=0,
+            buckets_touched=0,
+            wall_ms=(time.time() - t0) * 1000,
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -502,27 +536,8 @@ class MiniLakeTable:
                 # data but MUST advance the fence — otherwise every
                 # resume re-processes it forever (exactly-once includes
                 # no-op batches). Commit a fence-only snapshot.
-                m2 = dict(base)
-                m2["version"] = version + 1
-                m2["parent_snapshot_id"] = base["snapshot_id"]
-                m2["snapshot_id"] = str(uuid.uuid4())
-                m2["properties"] = {
-                    **base["properties"],
-                    FENCES_PROP: {
-                        **base["properties"].get(FENCES_PROP, {}),
-                        stream_id: batch_id,
-                    },
-                }
-                m2["committed_at"] = time.time()
-                self._write_manifest(m2)
-                return MergeResult(
-                    skipped=False,
-                    version=m2["version"],
-                    snapshot_id=m2["snapshot_id"],
-                    rows_upserted=0,
-                    rows_deleted=0,
-                    buckets_touched=0,
-                    wall_ms=(time.time() - t0) * 1000,
+                return self._commit_fence_only(
+                    base, version, stream_id, batch_id, t0
                 )
             current_dirs = [
                 d for b in touched for d in base["buckets"].get(str(b), [])
@@ -565,11 +580,29 @@ class MiniLakeTable:
                 for name in os.listdir(out_dir)
                 if name.startswith(f"{BUCKET_COL}=")
             )
+            if not touched:
+                # MOR twin of the COW empty-batch path: the write job ran
+                # but produced no bucket dirs (all dead-lettered / empty
+                # upstream). Advance the fence with a fence-only commit
+                # and never touch the Observation — AQE may have
+                # eliminated the CollectMetrics node along with the empty
+                # relation, and obs.get would block forever.
+                shutil.rmtree(out_dir, ignore_errors=True)
+                return self._commit_fence_only(
+                    base, version, stream_id, batch_id, t0
+                )
         else:
             batch_phys.unpersist()
 
         if pre_commit is not None:
-            pre_commit()  # block until it is this batch's commit turn
+            try:
+                pre_commit()  # block until it is this batch's commit turn
+            except Exception:
+                # predecessor batch failed → this commit must not land;
+                # drop the already-written commit dir instead of leaking
+                # an unreferenced directory until retention GC.
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise
             # predecessors committed while our write job ran — re-read the
             # CAS base so the bucket/fence deltas apply on top of theirs
             base = self.manifest()
@@ -595,8 +628,26 @@ class MiniLakeTable:
                 new_buckets[str(b)] = [bucket_dir]
 
         # Stats via Observation: collected during the write itself —
-        # no extra read-back job over the new files.
-        stats_row = obs.get
+        # no extra read-back job over the new files. Bucket dirs exist
+        # (the empty-write path returned above), so the metric node
+        # should always have fired — but if AQE ever eliminates it
+        # anyway, recount from the files just written rather than
+        # blocking forever on obs.get.
+        try:
+            stats_row = obs.get
+        except Exception:
+            stats_row = (
+                self._read_files(
+                    [os.path.join(out_dir, f"{BUCKET_COL}={b}") for b in touched],
+                    version=version,
+                )
+                .agg(
+                    F.count(F.when(~F.col(DELETED_COL), 1)).alias("live"),
+                    F.count(F.when(F.col(DELETED_COL), 1)).alias("dead"),
+                    F.max(LSN_COL).alias("max_lsn"),
+                )
+                .collect()[0]
+            )
 
         m2 = {
             "version": version + 1,

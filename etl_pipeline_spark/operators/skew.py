@@ -74,13 +74,23 @@ def salted_join(
     becomes ``(on…, salt)`` so one hot key's rows spread over
     ``n_salts`` reducers instead of one.
 
-    Result rows are identical to the plain join (each big row matches
-    exactly the one replica carrying its salt). This is the manual
-    fallback when AQE's runtime skew splitting can't see the skew
-    (e.g. the hot key hides behind an exchange reused by another stage)
-    — and the same rewrite AQE itself applies. Cost: the small side's
-    shuffle volume × n_salts; keep n_salts near the hot key's
-    row-count / target-partition-size ratio."""
+    For the supported join types (inner / left / left_semi — the big
+    side is the probe side) result rows are identical to the plain join:
+    each big row matches exactly the one replica carrying its salt.
+    Right/full-outer are rejected: every unmatched small-side row would
+    surface once per salt replica (n_salts null-padded duplicates) —
+    salt the other input or de-salt with a post-aggregation instead.
+    This is the manual fallback when AQE's runtime skew splitting can't
+    see the skew (e.g. the hot key hides behind an exchange reused by
+    another stage) — and the same rewrite AQE itself applies. Cost: the
+    small side's shuffle volume × n_salts; keep n_salts near the hot
+    key's row-count / target-partition-size ratio."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "unmatched small-side rows would be emitted once per salt "
+            "replica under right/full-outer"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
     )

@@ -223,12 +223,20 @@ def apply_batch(
         and est_bytes >= cfg.skew_probe_min_bytes
         and detect_hot_keys(batch_df, cfg.key_cols, cfg.skew_threshold)
     )
+    # A backend whose MERGE cannot tolerate multiple source rows per key
+    # (real Iceberg MERGE INTO raises on multi-match) declares
+    # requires_unique_source=True and gets the LWW pre-reduce regardless
+    # of cfg.pre_reduce — misconfiguration must not be able to produce a
+    # runtime MERGE failure.
+    must_reduce = cfg.pre_reduce or getattr(
+        table, "requires_unique_source", False
+    )
     if salted:
         reduced = lww_reduce_salted(
             src, keys=cfg.key_cols, order_col=cfg.lsn_col,
             payload_cols=payload_cols + [cfg.op_col],
         )
-    elif cfg.pre_reduce:
+    elif must_reduce:
         reduced = lww_reduce(
             src, keys=cfg.key_cols, order_col=cfg.lsn_col,
             payload_cols=payload_cols + [cfg.op_col],
@@ -244,7 +252,7 @@ def apply_batch(
         stream_id=stream_id,
         lsn_col=cfg.lsn_col,
         op_col=cfg.op_col,
-        assert_unique_keys=cfg.assert_unique_keys and (salted or cfg.pre_reduce),
+        assert_unique_keys=cfg.assert_unique_keys and (salted or must_reduce),
         pre_commit=pre_commit,
     )
 

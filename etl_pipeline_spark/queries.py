@@ -136,7 +136,29 @@ def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One replayed table per (session, sf_dir): the flagship replay query
 # and the time-travel query read different snapshots of the same run.
 _REPLAY_CACHE: dict = {}
-_REPLAY_BATCH_LSNS = 20_000  # lsn-range width of one changelog batch
+
+# Micro-batch width is sf-aware (max lsn / 4) so every scale factor
+# replays ≥4 non-trivial batches — at a fixed width the driver's sf0.01
+# (max lsn 9,999) collapsed to a single batch and the incremental-changes
+# query graded an empty delta. The DuckDB oracles compute the identical
+# width with a scalar subquery over the same derived stream.
+_BATCH_WIDTH_CACHE: dict = {}
+
+# SQL twin of _batch_width: same `ce` CTE feeds both.
+BATCH_W_SQL = "SELECT greatest(CAST(floor(max(lsn) / 4.0) AS BIGINT), 1) AS bw FROM ce"
+
+
+def _batch_width(spark: SparkSession, sf_dir: str) -> int:
+    """lsn-range width of one changelog micro-batch: max(lsn)//4, ≥1.
+    One O(1)-result aggregation per (session, sf) — cached, and the
+    replay builder below scans the stream anyway."""
+    key = (id(spark), sf_dir)
+    w = _BATCH_WIDTH_CACHE.get(key)
+    if w is None:
+        mx = derive_change_events(spark, sf_dir).agg(F.max("lsn")).first()[0]
+        w = max(int(mx or 0) // 4, 1)
+        _BATCH_WIDTH_CACHE[key] = w
+    return w
 
 
 def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
@@ -164,7 +186,7 @@ def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
     staging = os.path.join(tmp, "staging")
     changelog = os.path.join(tmp, "changelog")
     os.makedirs(changelog)
-    batch = _REPLAY_BATCH_LSNS
+    batch = _batch_width(spark, sf_dir)
     (
         ce.withColumn("_b", F.floor(F.col("lsn") / batch).cast("int"))
         .repartition("_b")
@@ -182,12 +204,18 @@ def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
                 os.path.join(staging, name),
                 os.path.join(changelog, f"batch-{b:06d}.parquet"),
             )
+    # merge-on-read: each commit appends exactly its batch's LWW winners,
+    # which is what makes read_changes_since an exact per-batch change
+    # feed — under COW a commit's rewritten bucket files carry forward
+    # untouched rows and CDC-out would over-report. (Also the mode the
+    # pipelined replay and the bench flagship run in.)
     table = MiniLakeTable.create(
         spark,
         os.path.join(tmp, "table"),
         TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"],
         n_buckets=16,
+        write_mode="mor",
     )
     replay_files(spark, changelog, table)
     _REPLAY_CACHE[key] = table
@@ -216,11 +244,12 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TIME_TRAVEL_SQL = f"""
 WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
 r AS (
   SELECT ce.*,
          row_number() OVER (PARTITION BY conv_id, turn_idx
                             ORDER BY lsn DESC) AS rn
-  FROM ce WHERE lsn < 20000
+  FROM ce WHERE lsn < (SELECT bw FROM w)
 )
 SELECT conv_id, turn_idx, role, text,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
@@ -266,9 +295,10 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCREMENTAL_SQL = f"""
 WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
 b AS (
-  SELECT *, CAST(floor(lsn / {_REPLAY_BATCH_LSNS}.0) AS BIGINT) AS batch
-  FROM ce WHERE lsn >= {_REPLAY_BATCH_LSNS}
+  SELECT ce.*, CAST(floor(lsn / (SELECT bw FROM w)) AS BIGINT) AS batch
+  FROM ce WHERE lsn >= (SELECT bw FROM w)
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY batch, conv_id, turn_idx
@@ -293,7 +323,9 @@ def q_cdc_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _replayed_table(spark, sf_dir)
     ch = table.read_changes_since(2)
     return ch.select(
-        F.floor(F.col("_lsn") / _REPLAY_BATCH_LSNS).cast("long").alias("batch"),
+        F.floor(F.col("_lsn") / _batch_width(spark, sf_dir))
+        .cast("long")
+        .alias("batch"),
         "conv_id",
         "turn_idx",
         "role",
@@ -331,8 +363,9 @@ def q_cdc_tombstone_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINEAGE_STATS_SQL = f"""
 WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
 b AS (
-  SELECT ce.*, CAST(floor(lsn / {_REPLAY_BATCH_LSNS}.0) AS BIGINT) AS batch_id
+  SELECT ce.*, CAST(floor(lsn / (SELECT bw FROM w)) AS BIGINT) AS batch_id
   FROM ce
 )
 SELECT batch_id,
@@ -1459,15 +1492,22 @@ def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Anti-join against a filtered build side. The generator links every
+# customer to ≥1 order, so a bare "customers without orders" anti-join is
+# empty at every sf (a 0==0 row proves nothing); filtering the orders leg
+# to o_totalprice > 350,000 keeps BOTH legs populated at sf 0.001/0.01/0.1
+# (measured 8 / 68 / 762 result rows) so the hash compare carries signal.
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000)
 """
 
 
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1486,8 +1526,20 @@ def q_union_distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.union(e).distinct()
 
 
+# The raw corpus has no pair above 0.8 at any shipped sf (max natural
+# cosine ≈ 0.51), so both engines derive near-dup twins in-query: every
+# 5th vector reappears under vec_id+1,000,000 with +0.01 on each
+# component (unit-norm corpus → twin cosine ≈ 0.9968, far from both the
+# 0.8 threshold and the natural pairs). All arithmetic is double on both
+# sides, so the 6-dp rounded cosine is bit-identical.
 EMB_NEAR_DUP_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v AS (
+  SELECT vec_id, e FROM v0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x + 0.01) AS e
+  FROM v0 WHERE vec_id % 5 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e))
@@ -1504,11 +1556,19 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.8) — exact
     variant via guaranteed random-projection banding
     (operators/similarity.py cosine_pairs_blocked): same rows as the
-    oracle's all-pairs SQL, recall 1.0 by construction, equi-join plan."""
+    oracle's all-pairs SQL, recall 1.0 by construction, equi-join plan.
+    Near-dup twins (vec_id%5, +0.01/component) are derived in-query so
+    the graded result is non-empty at every sf — see EMB_NEAR_DUP_SQL."""
     from .operators.similarity import cosine_pairs_blocked
 
-    e = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(e, threshold=0.8)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    twins = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    return cosine_pairs_blocked(e.unionByName(twins), threshold=0.8)
 
 
 BIGRAM_JACCARD_SQL = f"""
@@ -1657,11 +1717,21 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The generator emits no two documents with identical normalized text,
+# so the bare pair query is empty at every sf. Both engines therefore
+# derive exact-dup twins in-query: every 7th doc reappears verbatim under
+# doc_id+1,000,000 — the pair set is exactly those (twin → original)
+# rows, non-empty at every sf (72 at sf0.001/0.01, 715 at sf0.1).
 DOCS_DUP_PAIRS_SQL = """
-WITH fp AS (
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
   SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents
+  FROM docs
 ),
 keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
 SELECT f.doc_id AS dup_id, k.keep_id, f.fp
@@ -1673,7 +1743,11 @@ WHERE f.doc_id <> k.keep_id
 def q_docs_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dup_pairs
 
-    return exact_dup_pairs(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dup_pairs(d.unionByName(twins))
 
 
 ASOF_SQL = """
@@ -3254,17 +3328,81 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- registry --
 
+# Registry order is part of the grading contract: the driver grades the
+# FIRST 50 entries. Round-3 window = every query never yet confirmed by
+# the independent driver (the r1 failures and the whole LLM-curation /
+# sketch-dedup set) plus every query whose semantics changed this round
+# (sf-aware batch width; derived-twin fixtures; filtered anti-join) plus
+# two stable anchors (flagship replay, dead-letter split). Rows 51+ were
+# all driver-confirmed green in rounds 1-2 and stay oracle-gated locally
+# by tests/test_entry.py, which runs the driver's exact comparison over
+# all 92 entries.
 QUERIES = {
+    # -- anchors + replay-semantics changes (sf-aware batch width) --
     "cdc_engine_replay": q_cdc_engine_replay,
     "cdc_time_travel": q_cdc_time_travel,
-    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_incremental_changes": q_cdc_incremental_changes,
+    "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_lww_state": q_cdc_lww_state,
+    "cdc_dead_letter_split": q_cdc_dead_letter_split,
+    # -- never driver-graded: CDC analytics + schema evolution --
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_conv_stats": q_cdc_conv_stats,
+    "cdc_role_transitions": q_cdc_role_transitions,
+    # -- the three r1 failures, back in the window for re-verification --
+    "mm_features": q_mm_features,
+    "docs_minhash_near_dups": q_docs_minhash_near_dups,
+    "docs_simhash_groups": q_docs_simhash_groups,
+    # -- never driver-graded: sketch dedup / curation / text analysis --
+    "docs_simhash_near_dups": q_docs_simhash_near_dups,
+    "docs_simhash_pairs_editdist": q_docs_simhash_pairs_editdist,
+    "docs_containment": q_docs_containment,
+    "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
+    "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_pii_redaction": q_docs_pii_redaction,
+    "docs_repetition_stats": q_docs_repetition_stats,
+    "docs_unigram_entropy": q_docs_unigram_entropy,
+    "docs_boilerplate": q_docs_boilerplate,
+    "docs_chunked": q_docs_chunked,
+    "docs_top_tokens": q_docs_top_tokens,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_sentence_dedup": q_docs_sentence_dedup,
+    "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
+    "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
+    "docs_dedup_then_sample": q_docs_dedup_then_sample,
+    "docs_bpe_token_stats": q_docs_bpe_token_stats,
+    "docs_exact_dup_pairs": q_docs_exact_dup_pairs,
+    # -- never driver-graded: multimodal + embeddings --
+    "mm_frame_sample": q_mm_frame_sample,
+    "emb_label_stats": q_emb_label_stats,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    # -- never driver-graded: events/TPC-H analytics + skew operators --
+    "user_event_paths": q_user_event_paths,
+    "user_event_paths_jvm": q_user_event_paths_jvm,
+    "events_last_value_per_user": q_events_last_value_per_user,
+    "customer_cumulative_revenue": q_customer_cumulative_revenue,
+    "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_big_orders": q_customers_without_big_orders,
+    "events_user_value_salted": q_events_user_value_salted,
+    "events_salted_join": q_events_salted_join,
+    "events_approx_distinct_check": q_events_approx_distinct_check,
+    "events_session_windows": q_events_session_windows,
+    "lineitem_stats_profile": q_lineitem_stats_profile,
+    "orders_price_histogram": q_orders_price_histogram,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "order_grouping_sets": q_order_grouping_sets,
+    "users_view_and_purchase": q_users_view_and_purchase,
+    "users_view_no_purchase": q_users_view_no_purchase,
+    # ---------------- driver window ends here (first 50) ----------------
+    # Rows below were driver-confirmed green in rounds 1-2 (unchanged
+    # since) and remain fully oracle-gated by tests/test_entry.py.
+    "brand_revenue_promo_share": q_brand_revenue_promo_share,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_lww_cleaned": q_cdc_lww_cleaned,
     "cdc_op_stats": q_cdc_op_stats,
     "cdc_tombstones": q_cdc_tombstones,
     "cdc_tombstone_registry": q_cdc_tombstone_registry,
-    "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_dedup_delivery": q_cdc_dedup_delivery,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -3292,61 +3430,15 @@ QUERIES = {
     "orders_weekday_stats": q_orders_weekday_stats,
     "orders_monthly_revenue": q_orders_monthly_revenue,
     "pivot_status_by_priority": q_pivot_status_by_priority,
-    "customers_without_orders": q_customers_without_orders,
     "union_distinct_ids": q_union_distinct_ids,
-    "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "asof_purchase_to_view": q_asof_purchase_to_view,
     "purchase_views_within_hour": q_purchase_views_within_hour,
-    "cdc_dead_letter_split": q_cdc_dead_letter_split,
     "events_value_percentiles": q_events_value_percentiles,
-    "docs_exact_dup_pairs": q_docs_exact_dup_pairs,
     "mm_binary_meta": q_mm_binary_meta,
     "emb_norms": q_emb_norms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
-    "emb_label_stats": q_emb_label_stats,
-    "docs_minhash_near_dups": q_docs_minhash_near_dups,
-    "docs_simhash_groups": q_docs_simhash_groups,
-    "docs_simhash_near_dups": q_docs_simhash_near_dups,
-    "docs_simhash_pairs_editdist": q_docs_simhash_pairs_editdist,
-    "user_event_paths": q_user_event_paths,
-    "user_event_paths_jvm": q_user_event_paths_jvm,
-    "docs_chunked": q_docs_chunked,
-    "docs_top_tokens": q_docs_top_tokens,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "docs_containment": q_docs_containment,
-    "docs_pii_redaction": q_docs_pii_redaction,
-    "docs_repetition_stats": q_docs_repetition_stats,
-    "docs_unigram_entropy": q_docs_unigram_entropy,
-    "docs_boilerplate": q_docs_boilerplate,
-    "events_last_value_per_user": q_events_last_value_per_user,
-    "customer_cumulative_revenue": q_customer_cumulative_revenue,
-    "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
-    "customers_with_orders": q_customers_with_orders,
-    "events_user_value_salted": q_events_user_value_salted,
-    "events_salted_join": q_events_salted_join,
-    "cdc_conv_stats": q_cdc_conv_stats,
-    "cdc_role_transitions": q_cdc_role_transitions,
-    "cdc_schema_evolution": q_cdc_schema_evolution,
-    "docs_dup_clusters": q_docs_dup_clusters,
-    "lineitem_stats_profile": q_lineitem_stats_profile,
-    "orders_price_histogram": q_orders_price_histogram,
-    "customer_spend_deciles": q_customer_spend_deciles,
-    "order_grouping_sets": q_order_grouping_sets,
-    "docs_sentence_dedup": q_docs_sentence_dedup,
-    "users_view_and_purchase": q_users_view_and_purchase,
-    "users_view_no_purchase": q_users_view_no_purchase,
-    "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
-    "events_approx_distinct_check": q_events_approx_distinct_check,
-    "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
-    "docs_dedup_then_sample": q_docs_dedup_then_sample,
-    "brand_revenue_promo_share": q_brand_revenue_promo_share,
-    "events_session_windows": q_events_session_windows,
-    "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
-    "mm_frame_sample": q_mm_frame_sample,
-    "docs_bpe_token_stats": q_docs_bpe_token_stats,
-    "mm_features": q_mm_features,
 }
 
 ORACLE_SQL = {
@@ -3387,7 +3479,7 @@ ORACLE_SQL = {
     "orders_weekday_stats": WEEKDAY_SQL,
     "orders_monthly_revenue": MONTHLY_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
-    "customers_without_orders": ANTI_JOIN_SQL,
+    "customers_without_big_orders": ANTI_JOIN_SQL,
     "union_distinct_ids": UNION_IDS_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "asof_purchase_to_view": ASOF_SQL,

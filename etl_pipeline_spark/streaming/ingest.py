@@ -201,11 +201,16 @@ def _replay_pipelined(
         for batch_id, group in todo:
             df = read_fn(group)
             table_cols = {f.name for f in table.schema().fields}
+            # same reserved set apply_batch uses — derived from cfg, so a
+            # renamed lsn/op column neither skips the drain (racing an
+            # in-flight predecessor's add_columns) nor forces a spurious
+            # full drain every batch
+            reserved = {cfg.lsn_col, cfg.op_col, "source_part"}
             births = [
                 f.name
                 for f in df.schema.fields
                 if f.name not in table_cols
-                and f.name not in ("lsn", "op", "source_part")
+                and f.name not in reserved
                 and not f.name.startswith("_")
             ]
             if births:  # drain: evolution must see a quiesced table

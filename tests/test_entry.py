@@ -77,9 +77,15 @@ def test_query_matches_oracle(spark, duck, name):
             )
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(ALL_QUERIES) - set(ORACLES))
+ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ORACLES))
+
+
+@pytest.mark.skipif(
+    not ROWS_ONLY,
+    reason="all registry queries carry a full DuckDB oracle — there are "
+    "no rows-only entries left to smoke-check (this is the good case)",
 )
+@pytest.mark.parametrize("name", ROWS_ONLY or ["<none>"])
 def test_rows_only_queries_run(spark, name):
     df = ALL_QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

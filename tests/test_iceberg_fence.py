@@ -99,6 +99,61 @@ def test_fence_round_trips_through_write_api():
     assert t.snapshot_props()[HIGHWATER_PROP] == {"s1": 3, "s2": 0}
 
 
+def test_apply_batch_forces_pre_reduce_for_unique_source_sinks(spark, tmp_path):
+    """A sink that declares ``requires_unique_source = True`` (real
+    Iceberg MERGE INTO throws on multiple source matches) must receive a
+    key-unique MERGE source from apply_batch even when the caller leaves
+    ``ApplyConfig.pre_reduce`` at its MiniLake-correct default (False) —
+    the safeguard is structural, not a docstring."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.pipeline import ApplyConfig, apply_batch
+    from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+
+    class FakeUniqueSourceTable:
+        requires_unique_source = True
+
+        def __init__(self, root):
+            self.root = root
+            self.captured = []
+
+        def snapshot_props(self):
+            return {}
+
+        def schema(self):
+            return TRANSCRIPT_SCHEMA
+
+        def merge(self, src, batch_id, stream_id="default", lsn_col="lsn",
+                  op_col="op", assert_unique_keys=False, pre_commit=None):
+            rows = src.collect()  # fires the piggybacked Observation
+            self.captured.append(rows)
+            from etl_pipeline_spark.lake.minilake import MergeResult
+
+            return MergeResult(skipped=False, version=2, snapshot_id="s-1")
+
+        def maybe_compact(self, _max_files):
+            return None
+
+    # 3 events on ONE key: un-reduced this reaches MERGE as 3 source
+    # rows per target row — exactly what Iceberg rejects.
+    batch = spark.createDataFrame(
+        [("c1", 0, "user", "a", None, 10, "I"),
+         ("c1", 0, "user", "b", None, 11, "U"),
+         ("c1", 0, "user", "c", None, 12, "U")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, lsn long, op string",
+    )
+    t = FakeUniqueSourceTable(str(tmp_path))
+    cfg = ApplyConfig()
+    assert cfg.pre_reduce is False  # the MiniLake-correct default
+    res = apply_batch(t, batch, batch_id=0, cfg=cfg)
+    assert not res.skipped
+    (rows,) = t.captured
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 1  # key-unique at MERGE
+    assert rows[0]["lsn"] == 12 and rows[0]["text"] == "c"  # LWW winner
+
+
 def test_fence_read_uses_table_properties_surface():
     sess = FakeIcebergSession()
     t = _table(sess)

@@ -51,6 +51,29 @@ def test_mor_upsert_delete_stale(spark, tmp_path):
     assert any(len(v) >= 2 for v in m["buckets"].values())
 
 
+def test_mor_empty_batch_commits_fence_only(spark, tmp_path):
+    """A MOR batch whose write lands zero bucket dirs (empty source) must
+    advance the fence via a data-free commit — not hang on an Observation
+    whose CollectMetrics node AQE may have eliminated, and not leak the
+    empty commit directory."""
+    import os
+
+    t = _mor_table(spark, tmp_path)
+    t.merge(_src(spark, [("a", 0, "user", "v1", None, 1, "I")]), batch_id=0)
+    v1 = t.current_version()
+    res = t.merge(_src(spark, []), batch_id=1)
+    assert not res.skipped and res.buckets_touched == 0
+    assert t.current_version() == v1 + 1
+    # fence advanced: a replay of batch 1 is now a no-op
+    assert t.merge(_src(spark, []), batch_id=1).skipped
+    # the aborted commit dir was cleaned up
+    dirs = [d for d in os.listdir(t.data_dir)
+            if d.startswith(f"commit-{v1 + 1:06d}")]
+    assert dirs == []
+    # data unchanged
+    assert {r["text"] for r in t.read().collect()} == {"v1"}
+
+
 def test_mor_merge_is_o_batch_not_o_table(spark, tmp_path):
     """A MOR merge must not read existing data files (cost O(batch))."""
     t = _mor_table(spark, tmp_path)

@@ -116,7 +116,7 @@ def test_curation_queries_plan_shapes(spark):
 
 def test_semi_and_anti_joins_plan(spark):
     semi = explain_str(QUERIES["customers_with_orders"](spark, SF))
-    anti = explain_str(QUERIES["customers_without_orders"](spark, SF))
+    anti = explain_str(QUERIES["customers_without_big_orders"](spark, SF))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
 
