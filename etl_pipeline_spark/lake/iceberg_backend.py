@@ -149,6 +149,7 @@ class IcebergTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         assert_unique_keys: bool = False,
+        pre_commit=None,
     ) -> MergeResult:
         fences = self.snapshot_props()[HIGHWATER_PROP]
         if batch_id <= fences.get(stream_id, -1):
@@ -158,6 +159,19 @@ class IcebergTable:
                 snapshot_id=str(self.current_version()),
             )
         t0 = time.time()
+        if pre_commit is not None:
+            # ordered-commit gate (pipelined replay): on this backend the
+            # whole merge is one SQL statement, so gating before it keeps
+            # commits batch-ordered; re-check the fence afterwards in
+            # case a concurrent replay landed this batch while we waited.
+            pre_commit()
+            fences = self.snapshot_props()[HIGHWATER_PROP]
+            if batch_id <= fences.get(stream_id, -1):
+                return MergeResult(
+                    skipped=True, reason="fenced",
+                    version=self.current_version(),
+                    snapshot_id=str(self.current_version()),
+                )
         source.createOrReplaceTempView("_merge_src")
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
         payload = [

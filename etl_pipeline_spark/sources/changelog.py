@@ -83,14 +83,19 @@ def read_events_stream(
     spark: SparkSession,
     changelog_dir: str,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """Structured Streaming file source over the changelog directory.
 
     ``maxFilesPerTrigger`` bounds micro-batch size (the analog of the
     reference's one-page-at-a-time pacing, extract.py:238-239 — except
     ours is backpressure, not politeness sleep).
+
+    ``schema`` overrides the read schema (default: the superset
+    CHANGE_EVENT_SCHEMA) — the evolving ingest driver passes the
+    footer-reconciled schema here on every (re)start.
     """
-    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA).option(
+    reader = spark.readStream.schema(schema or CHANGE_EVENT_SCHEMA).option(
         "latestFirst", "false"
     )
     if max_files_per_trigger:

@@ -25,12 +25,200 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..lake.lineage import LineageLog
 from ..lake.minilake import MiniLakeTable
 from ..pipeline import ApplyConfig, apply_batch
+from ..schema import CHANGE_EVENT_SCHEMA
 from ..sources.changelog import list_batch_files, read_events, read_events_stream
+
+
+class SchemaWidened(Exception):
+    """A micro-batch's input files carry columns the stream's read schema
+    doesn't know. Raised inside foreachBatch to fail the trigger BEFORE
+    any row is applied — the driver loop restarts the query with the
+    widened schema and the checkpoint re-delivers the batch, now read
+    with the new column visible (the public Auto-Loader
+    ``addNewColumns`` restart contract, re-implemented on the plain file
+    source)."""
+
+    def __init__(self, new_cols: list[str]):
+        self.new_cols = new_cols
+        super().__init__(f"schema birth detected: {new_cols}")
+
+
+def _parquet_footer_fields(paths: list[str]) -> dict[str, T.DataType]:
+    """Column name → Spark type union over Parquet footers. Driver-side
+    pyarrow metadata reads — O(files) small footer fetches, no Spark job,
+    no data scanned. Non-parquet files are skipped (JSONL/CSV carry no
+    self-describing schema; those feeds evolve via the declared-schema
+    path, not footer discovery)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    out: dict[str, T.DataType] = {}
+    for p in paths:
+        if not p.endswith(".parquet"):
+            continue
+        local = p[7:] if p.startswith("file://") else p
+        try:
+            fields = pq.read_schema(local)
+        except Exception:
+            continue
+        for name, typ in zip(fields.names, fields.types):
+            if name not in out:
+                try:
+                    out[name] = from_arrow_type(typ)
+                except Exception:
+                    out[name] = T.StringType()
+    return out
+
+
+def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str]:
+    """The micro-batch's input files, from the file-source metadata log
+    (``<ckpt>/sources/0/<batchId>`` — a ``v1`` header plus one JSON entry
+    per file). Written before the trigger runs, so it is readable inside
+    foreachBatch; the micro-batch DataFrame itself reports no
+    ``inputFiles()``."""
+    import json
+
+    path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or not line.startswith("{"):
+                continue
+            try:
+                out.append(json.loads(line)["path"])
+            except (ValueError, KeyError):
+                continue
+    return out
+
+
+def observed_change_schema(
+    changelog_dir: str, base_schema: T.StructType
+) -> T.StructType:
+    """``base_schema`` widened with every column the changelog's Parquet
+    footers currently carry — the per-run schema reconciliation step.
+    Column birth order is preserved (first-seen file order), types come
+    from the footers themselves."""
+    known = {f.name for f in base_schema.fields}
+    discovered = _parquet_footer_fields(list_batch_files(changelog_dir))
+    extra = [
+        T.StructField(name, typ, True)
+        for name, typ in discovered.items()
+        if name not in known and not name.startswith("_")
+    ]
+    if not extra:
+        return base_schema
+    return T.StructType(list(base_schema.fields) + extra)
+
+
+def run_ingest_stream_evolving(
+    spark: SparkSession,
+    changelog_dir: str,
+    table: MiniLakeTable,
+    checkpoint_dir: str,
+    cfg: ApplyConfig | None = None,
+    max_files_per_trigger: int | None = 1,
+    initial_schema=None,
+    max_restarts: int = 8,
+) -> int:
+    """Structured Streaming ingest that survives in-flight column birth.
+
+    The plain file source needs one fixed read schema per query, so true
+    evolution on the streaming path takes two cooperating mechanisms:
+
+    1. **Per-run reconciliation** — before (re)starting the query, the
+       changelog's Parquet footers are unioned onto the core
+       change-event schema (:func:`observed_change_schema`): columns
+       born while the stream was down are visible from the first
+       trigger, pre-birth files project them as null.
+    2. **In-trigger guard + restart-on-widen** — every micro-batch
+       footer-checks its own input files (driver-side, O(batch files));
+       a column the read schema doesn't know fails the trigger with
+       :class:`SchemaWidened` BEFORE any row is applied, and the loop
+       restarts the query from the same checkpoint with the widened
+       schema. The failed trigger was never committed (sink fence +
+       unadvanced checkpoint), so the batch re-delivers with the new
+       column — exactly-once is preserved, and no event is ever applied
+       with a silently dropped column.
+
+    ``initial_schema`` pins the first run's read schema (tests use it to
+    simulate files born after the initial reconciliation); default is
+    the discovered schema. Returns the number of restarts taken.
+
+    Core columns (``cfg.lsn_col``/``cfg.op_col``/``source_part``) and
+    engine-internal ``_``-prefixed names never count as births — same
+    reserved set as ``apply_batch``/``_replay_pipelined``.
+    """
+    cfg = cfg or ApplyConfig()
+    lineage = LineageLog(table.root)
+    stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
+    core = T.StructType(
+        [
+            f
+            for f in CHANGE_EVENT_SCHEMA.fields
+            if f.name in (cfg.lsn_col, cfg.op_col, "source_part")
+        ]
+    )
+    table_payload = [
+        T.StructField(f.name, f.dataType, True)
+        for f in table.schema().fields
+    ]
+    base = T.StructType(core.fields + table_payload)
+
+    schema = initial_schema or observed_change_schema(changelog_dir, base)
+    restarts = 0
+    while True:
+        known = {f.name for f in schema.fields}
+        widened_to: list = []  # cell: foreachBatch → driver loop
+
+        def _apply(batch_df, batch_id: int) -> None:
+            births = sorted(
+                set(
+                    _parquet_footer_fields(
+                        _source_log_files(checkpoint_dir, batch_id)
+                    )
+                )
+                - known
+            )
+            births = [b for b in births if not b.startswith("_")]
+            if births:
+                widened_to.append(births)
+                raise SchemaWidened(births)
+            apply_batch(
+                table, batch_df, batch_id, cfg=cfg, lineage=lineage,
+                stream_id=stream_id,
+            )
+
+        events = read_events_stream(
+            spark, changelog_dir, max_files_per_trigger, schema=schema
+        )
+        query = (
+            events.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(
+                f"ingest-evolving-{table.root.rstrip('/').rsplit('/', 1)[-1]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+            return restarts
+        except Exception:
+            if not widened_to:
+                raise  # a real failure, not a schema birth
+            restarts += 1
+            if restarts > max_restarts:
+                raise
+            schema = observed_change_schema(changelog_dir, schema)
 
 
 def run_ingest_stream(

@@ -160,3 +160,77 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     ).collect()[0]
     assert got["n"] == got["d"], "duplicate lsns must collapse in-stream"
     assert got["d"] == 5_000
+
+
+def test_streaming_schema_evolution_in_flight(spark, tmp_path):
+    """Streaming twin of test_replay.test_schema_evolution_in_flight:
+    the `tool` column is born mid-changelog, the table starts WITHOUT
+    it, and ingest goes through run_ingest_stream_evolving — per-run
+    footer reconciliation must surface the new column, apply_batch must
+    evolve the table in-flight, and the final state must equal the
+    oracle including pre-birth rows reading tool as null."""
+    from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA_V0
+    from etl_pipeline_spark.sources.genlog import generate_delivered_events
+    from etl_pipeline_spark.streaming.ingest import run_ingest_stream_evolving
+
+    cfg = GenConfig(n_events=10_000, batch_size=2_000, evolution_batch=3)
+    changelog = str(tmp_path / "changelog")
+    write_changelog(cfg, changelog)
+    table = MiniLakeTable.create(
+        spark, str(tmp_path / "table"), TRANSCRIPT_SCHEMA_V0,
+        key_cols=KEYS, n_buckets=8,
+    )
+    restarts = run_ingest_stream_evolving(
+        spark, changelog, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    # births were visible from the first reconciliation → no restart
+    assert restarts == 0
+    assert "tool" in [f.name for f in table.schema().fields]
+    oracle = expected_final_state(generate_delivered_events(cfg))
+    got = _state(table)
+    assert len(got) == len(oracle)
+    assert _texts(got) == _texts(oracle)
+    assert oracle["tool"].isna().any()  # pre-birth rows exist
+    got_tool = [None if pd.isna(t) else t for t in got["tool"]]
+    ora_tool = [None if pd.isna(t) else t for t in oracle["tool"]]
+    assert got_tool == ora_tool
+
+
+def test_streaming_restart_on_widen_mid_stream(spark, tmp_path):
+    """The in-trigger guard: when a column is born in files the running
+    query's schema does NOT include (simulated by pinning the initial
+    schema to the pre-birth view), the trigger must fail BEFORE applying
+    any row, and the restart must re-deliver that batch from the
+    checkpoint with the widened schema — no lost column, no double
+    apply."""
+    from etl_pipeline_spark.schema import CHANGE_EVENT_SCHEMA_V0
+    from etl_pipeline_spark.sources.genlog import generate_delivered_events
+    from etl_pipeline_spark.streaming.ingest import run_ingest_stream_evolving
+
+    cfg = GenConfig(n_events=10_000, batch_size=2_000, evolution_batch=3)
+    changelog = str(tmp_path / "changelog")
+    write_changelog(cfg, changelog)
+    table = MiniLakeTable.create(
+        spark, str(tmp_path / "table"), TRANSCRIPT_SCHEMA,
+        key_cols=KEYS, n_buckets=8,
+    )
+    restarts = run_ingest_stream_evolving(
+        spark, changelog, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        initial_schema=CHANGE_EVENT_SCHEMA_V0,  # simulate late birth
+    )
+    assert restarts == 1  # exactly one widen-restart at the birth batch
+    oracle = expected_final_state(generate_delivered_events(cfg))
+    got = _state(table)
+    assert len(got) == len(oracle)
+    assert _texts(got) == _texts(oracle)
+    got_tool = [None if pd.isna(t) else t for t in got["tool"]]
+    ora_tool = [None if pd.isna(t) else t for t in oracle["tool"]]
+    assert got_tool == ora_tool
+    # exactly-once held across the restart: every non-fenced batch
+    # applied exactly once
+    recs = [r for r in LineageLog(table.root).records()
+            if not r.get("skipped_fenced")]
+    ids = [r["batch_id"] for r in recs]
+    assert len(ids) == len(set(ids))
