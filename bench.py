@@ -44,7 +44,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 USED_CPUS = min(CPUS, 16)
 EVENTS_PER_SF = 200_000_000  # sf0.1 → 20M change events
 BATCH_SIZE = 5_000_000
-FILES_PER_BATCH = 2  # 10M-event micro-batches (~600MB — realistic CDC trigger size)
+# Tuning knobs, overridable for BENCH/depth_sweep.py (defaults = the
+# swept optimum recorded in BENCH/BASELINE.md):
+FILES_PER_BATCH = int(os.environ.get("SPARK_GRAFT_FPB", "2"))
+PIPELINE_DEPTH = int(os.environ.get("SPARK_GRAFT_DEPTH", "2"))
+REPLAY_REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+REPLAY_ONLY = os.environ.get("SPARK_GRAFT_REPLAY_ONLY", "") == "1"
 
 BENCH_QUERIES = [
     "cdc_lww_state",
@@ -168,7 +173,7 @@ def main() -> None:
     # state throughput in either direction.
     replay_runs = []
     final_rows = 0
-    for rep in range(2):
+    for rep in range(REPLAY_REPS):
         rep_table = MiniLakeTable.create(
             spark,
             os.path.join(work, f"table{rep}"),
@@ -186,7 +191,8 @@ def main() -> None:
         # idle phases — measured 24.3s → 14.7s at local[16].
         replay_files(
             spark, clog, rep_table, files_per_batch=FILES_PER_BATCH,
-            cfg=ApplyConfig(lineage_level="batch"), pipeline_depth=2,
+            cfg=ApplyConfig(lineage_level="batch"),
+            pipeline_depth=PIPELINE_DEPTH,
         )
         rep_table.compact(drop_tombstones=False)  # end-of-replay fold, counted
         replay_runs.append(round(time.time() - t0, 3))
@@ -196,7 +202,7 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     # --- 2. headline queries (noop sink forces full evaluation) -------
-    for name in BENCH_QUERIES:
+    for name in [] if REPLAY_ONLY else BENCH_QUERIES:
         q = QUERIES[name]
         t0 = time.time()
         q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -215,6 +221,8 @@ def main() -> None:
                 "cdc_events_per_sec": round(n_events / replay_s, 1),
                 "cdc_final_rows": final_rows,
                 "cdc_replay_runs": replay_runs,
+                "pipeline_depth": PIPELINE_DEPTH,
+                "files_per_batch": FILES_PER_BATCH,
                 "cpus": CPUS,
                 "cpus_used": USED_CPUS,
             }

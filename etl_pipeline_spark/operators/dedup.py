@@ -197,9 +197,22 @@ def _spread(df: DataFrame) -> DataFrame:
     enough input splits. A small file scans as ONE task, serializing the
     whole stage on one core (measured 4x on the minhash bench query); at
     real scale inputs arrive with >= defaultParallelism splits and this
-    is a no-op — the shuffle is only inserted when the scan is starved."""
+    is a no-op — the shuffle is only inserted when the scan is starved.
+
+    Starvation is estimated from ``inputFiles()`` — a driver-side
+    catalog/file-index listing, NOT a plan-to-RDD conversion (the
+    previous ``df.rdd.getNumPartitions()`` materialized the RDD lineage
+    on every query construction). File count lower-bounds split count
+    (maxPartitionBytes only splits files further), so a many-file input
+    is never reshuffled; the one over-eager case — few huge files — adds
+    a round-robin shuffle exactly where the doc corpus is small enough
+    for it to be cheap."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

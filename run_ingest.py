@@ -27,7 +27,15 @@ def main() -> None:
     ap.add_argument("--changelog", required=True)
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--mode", choices=["stream", "replay"], default="stream")
+    ap.add_argument(
+        "--mode",
+        choices=["stream", "evolving-stream", "replay"],
+        default="stream",
+        help="stream: fixed superset read schema; evolving-stream: "
+        "per-run Parquet-footer schema reconciliation plus in-trigger "
+        "restart-on-widen (true in-flight column birth); replay: "
+        "bounded ordered-file replay, per-batch schema inference",
+    )
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--files-per-trigger", type=int, default=4)
@@ -48,6 +56,7 @@ def main() -> None:
     from etl_pipeline_spark.streaming.ingest import (
         replay_files,
         run_ingest_stream,
+        run_ingest_stream_evolving,
     )
 
     spark = get_spark("etl-ingest", master=args.master)
@@ -71,6 +80,14 @@ def main() -> None:
             spark, args.changelog, table, ckpt,
             cfg=cfg, max_files_per_trigger=args.files_per_trigger,
         )
+    elif args.mode == "evolving-stream":
+        ckpt = args.checkpoint or os.path.join(args.table, "_checkpoint")
+        restarts = run_ingest_stream_evolving(
+            spark, args.changelog, table, ckpt,
+            cfg=cfg, max_files_per_trigger=args.files_per_trigger,
+        )
+        if restarts:
+            print(f"schema widened {restarts}x during ingest", file=sys.stderr)
     else:
         replay_files(
             spark, args.changelog, table, cfg=cfg,
