@@ -1,0 +1,102 @@
+"""Scale-up evidence run: one 200M-event replay (10× the sf0.1 bench
+volume — the closest in-sandbox proxy for the 10^10-event claim).
+
+Reports sustained events/sec, per-batch throughput stability, partial-
+compaction activity, and the delta-chain length distribution from the
+final manifest (bounded chains = the amortized-maintenance design doing
+its job at scale).
+
+Usage:  python BENCH/scale_run.py [n_events] [cpus] [depth] [fpb]
+Writes one JSON line to stdout; progress to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+FPB = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+
+def main() -> None:
+    import bench
+    from etl_pipeline_spark.lake.lineage import LineageLog
+    from etl_pipeline_spark.lake.minilake import MiniLakeTable
+    from etl_pipeline_spark.pipeline import ApplyConfig
+    from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+    from etl_pipeline_spark.session import get_spark
+    from etl_pipeline_spark.streaming.ingest import replay_files
+
+    clog = bench.changelog_dir(N_EVENTS)  # cached, untimed
+    print(f"changelog ready: {clog}", file=sys.stderr)
+
+    spark = get_spark(
+        app_name=f"scale-run-{N_EVENTS}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    work = tempfile.mkdtemp(prefix="scale_lake_")
+    table = MiniLakeTable.create(
+        spark, os.path.join(work, "table"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=32, write_mode="mor",
+    )
+    t0 = time.time()
+    replay_files(
+        spark, clog, table, files_per_batch=FPB,
+        cfg=ApplyConfig(lineage_level="batch"), pipeline_depth=DEPTH,
+    )
+    replay_s = time.time() - t0
+    tc = time.time()
+    table.compact(drop_tombstones=False)
+    compact_s = time.time() - tc
+    final_rows = table.read().count()
+
+    # evidence: delta chains stayed bounded DURING the replay — read the
+    # pre-final-compaction manifest (version before the fold)
+    pre = table.manifest(table.current_version() - 1)
+    chain_lens = sorted(len(v) for v in pre["buckets"].values())
+    recs = [r for r in LineageLog(table.root).records()
+            if not r.get("skipped_fenced") and r.get("events_in")]
+    per_batch_eps = [r["events_per_sec"] for r in recs if r.get("events_per_sec")]
+    compactions = sum(1 for r in recs if r.get("compacted_to_version"))
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({
+        "metric": "scale_run_cdc_apply_throughput",
+        "n_events": N_EVENTS,
+        "cpus": CPUS,
+        "pipeline_depth": DEPTH,
+        "files_per_batch": FPB,
+        "replay_s": round(replay_s, 2),
+        "events_per_sec": round(N_EVENTS / replay_s, 1),
+        "final_compact_s": round(compact_s, 2),
+        "final_rows": final_rows,
+        "batches": len(recs),
+        "mid_replay_compactions": compactions,
+        "delta_chain_len_pre_final_fold": {
+            "min": chain_lens[0], "max": chain_lens[-1],
+            "median": chain_lens[len(chain_lens) // 2],
+        },
+        "per_batch_events_per_sec_min_max": [
+            round(min(per_batch_eps), 1), round(max(per_batch_eps), 1),
+        ] if per_batch_eps else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

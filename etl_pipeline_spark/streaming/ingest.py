@@ -346,9 +346,14 @@ def _replay_pipelined(
     - commits happen in batch order (per-batch threading.Event chain →
       ``merge`` re-reads its CAS base after the gate), so fences /
       crash-resume behave exactly as in serial mode;
-    - auto-compaction is deferred to the caller (a compact commit racing
-      an in-flight merge would CAS-conflict); callers compact after the
-      replay, as the bench and maintenance paths already do;
+    - auto-compaction never races an in-flight merge (a compact commit
+      would CAS-conflict): instead of running inside apply_batch it
+      becomes a periodic PIPELINE DRAIN — every ``auto_compact_max_files``
+      batches the loop waits for all in-flight commits, then folds
+      oversized delta chains on the quiesced table. Delta chains stay
+      bounded over arbitrarily long replays (10^10 events ≈ thousands of
+      batches), same bound as serial mode; set
+      ``cfg.auto_compact_max_files=0`` to defer all folding to the caller;
     - a batch that births new columns drains the pipeline first, keeping
       additive evolution's serialized semantics.
     """
@@ -356,7 +361,9 @@ def _replay_pipelined(
     from concurrent.futures import ThreadPoolExecutor
     from dataclasses import replace
 
-    cfg = replace(cfg or ApplyConfig(), auto_compact_max_files=0)
+    cfg = cfg or ApplyConfig()
+    compact_every = cfg.auto_compact_max_files  # drain cadence (0 = never)
+    cfg = replace(cfg, auto_compact_max_files=0)  # never inside apply_batch
     done = {todo[0][0] - 1: threading.Event()} if todo else {}
     if todo:
         done[todo[0][0] - 1].set()
@@ -405,6 +412,15 @@ def _replay_pipelined(
                 for fut in pending:
                     fut.result()
                 pending = []
+            if (
+                compact_every
+                and applied
+                and applied % compact_every == 0
+            ):  # periodic maintenance drain: fold delta chains
+                for fut in pending:
+                    fut.result()
+                pending = []
+                table.maybe_compact(compact_every)
             pending.append(pool.submit(_run, batch_id, df))
             applied += 1
             if len(pending) >= depth:

@@ -134,3 +134,29 @@ def test_failed_batch_blocks_successor_commits(spark, tmp_path):
         )
     fences = table.snapshot_props().get(FENCES_PROP, {}).get("failtest", -1)
     assert fences == 0  # batch 0 committed; 1 failed; 2/3 never committed
+
+
+def test_pipelined_periodic_compaction_bounds_delta_chains(spark, tmp_path):
+    """Long pipelined replays must fold delta chains MID-STREAM (a
+    maintenance drain every auto_compact_max_files batches), not let
+    them grow with the batch count — and the fold must not perturb the
+    final state vs serial replay."""
+    changelog = str(tmp_path / "clog")
+    write_changelog(CFG, changelog)  # 7 batch files
+    serial = _mor_table(spark, tmp_path / "serial")
+    replay_files(spark, changelog, serial)
+
+    piped = _mor_table(spark, tmp_path / "piped")
+    replay_files(
+        spark, changelog, piped, pipeline_depth=3,
+        cfg=ApplyConfig(auto_compact_max_files=3),  # drain+fold every 3
+    )
+    assert _state(piped).equals(_state(serial))
+    # compaction commits interleaved with merges → more versions than
+    # the 7 merge commits + create
+    n_versions = piped.current_version()
+    assert n_versions > 8
+    # the final manifest's delta chains are bounded by the fold cadence,
+    # NOT by the total batch count
+    chains = [len(v) for v in piped.manifest()["buckets"].values()]
+    assert max(chains) <= 4  # ≤ cadence + in-flight batches since fold
