@@ -75,10 +75,50 @@ def sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+# Above this size the one-shot numpy generator's string intermediates
+# exceed RAM (a 200M-event frame peaks >100 GB); generate in disjoint
+# lsn segments, one process each, in parallel.
+_SEGMENT_EVENTS = 20_000_000
+
+
+def _gen_cfg(n_events: int, n_conversations: int, seed: int, lsn_offset: int):
+    from etl_pipeline_spark.sources.genlog import GenConfig
+
+    return GenConfig(
+        seed=seed,
+        n_events=n_events,
+        n_conversations=n_conversations,
+        max_turns=50,
+        batch_size=BATCH_SIZE,
+        hot_key_fraction=0.2,
+        shuffle_window=1000,
+        dup_delivery_rate=0.01,
+        # dead letters are correctness-tested in tests/; at bench size a
+        # nonzero rate adds one extra (serial-cost) job per batch
+        dead_letter_rate=0.0,
+        lsn_offset=lsn_offset,
+    )
+
+
+def _write_segment(
+    path: str, n_events: int, n_convs: int, seed: int,
+    lsn_offset: int, start_index: int,
+) -> None:
+    from etl_pipeline_spark.sources.genlog import write_changelog
+
+    write_changelog(
+        _gen_cfg(n_events, n_convs, seed, lsn_offset), path,
+        start_index=start_index,
+    )
+
+
 def changelog_dir(n_events: int) -> str:
     """Generate (once, cached) the bench changelog. Generation is numpy,
-    untimed — the bench measures the engine, not the generator."""
-    from etl_pipeline_spark.sources.genlog import GenConfig, write_changelog
+    untimed — the bench measures the engine, not the generator. Streams
+    larger than one in-memory frame are produced as disjoint, monotone
+    lsn segments by a process pool (same logical stream: shared
+    conversation key space, per-segment delivery jitter)."""
+    from etl_pipeline_spark.sources.genlog import write_changelog
 
     path = os.path.join(
         tempfile.gettempdir(), f"etl_bench_changelog_{n_events}_b{BATCH_SIZE}"
@@ -86,20 +126,44 @@ def changelog_dir(n_events: int) -> str:
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         shutil.rmtree(path, ignore_errors=True)
-        cfg = GenConfig(
-            seed=42,
-            n_events=n_events,
-            n_conversations=max(200, n_events // 400),
-            max_turns=50,
-            batch_size=BATCH_SIZE,
-            hot_key_fraction=0.2,
-            shuffle_window=1000,
-            dup_delivery_rate=0.01,
-            # dead letters are correctness-tested in tests/; at bench size a
-            # nonzero rate adds one extra (serial-cost) job per batch
-            dead_letter_rate=0.0,
-        )
-        write_changelog(cfg, path)
+        n_convs = max(200, n_events // 400)
+        if n_events <= _SEGMENT_EVENTS:
+            write_changelog(_gen_cfg(n_events, n_convs, 42, 0), path)
+        else:
+            # plain subprocess workers (not multiprocessing spawn — its
+            # main-module re-import bites any caller that invokes this
+            # at import time); ~10 GB peak each, 5 in flight
+            import subprocess
+
+            segs = []
+            # files-per-segment numbering stride: segments never collide
+            # and sorted file order == lsn order across segments
+            stride = (_SEGMENT_EVENTS * 2) // BATCH_SIZE
+            off = 0
+            i = 0
+            while off < n_events:
+                seg = min(_SEGMENT_EVENTS, n_events - off)
+                segs.append((path, seg, n_convs, 42 + i, off, i * stride))
+                off += seg
+                i += 1
+            running: list = []
+            for args in segs:
+                while len(running) >= 5:
+                    done_p = running.pop(0)
+                    if done_p.wait() != 0:
+                        raise RuntimeError("segment generator failed")
+                cmd = [
+                    sys.executable, "-c",
+                    "import sys; sys.path.insert(0, sys.argv[1]); "
+                    "import bench; bench._write_segment(sys.argv[2], "
+                    "*map(int, sys.argv[3:]))",
+                    os.path.dirname(os.path.abspath(__file__)),
+                    args[0], *[str(a) for a in args[1:]],
+                ]
+                running.append(subprocess.Popen(cmd))
+            for p_ in running:
+                if p_.wait() != 0:
+                    raise RuntimeError("segment generator failed")
         with open(done, "w") as f:
             f.write("ok")
     return path

@@ -57,6 +57,11 @@ class GenConfig:
     dirty_sentinel_rate: float = 0.05  # sentinel junk text
     dirty_null_rate: float = 0.03  # null text
     n_source_parts: int = 4
+    # lsn space starts at lsn_offset+1 — lets independent generator
+    # processes emit disjoint, monotone segments of one logical stream
+    # (bench.changelog_dir uses this to build the 200M-event changelog
+    # without a single 100GB in-memory frame)
+    lsn_offset: int = 0
     extra: dict = field(default_factory=dict)
 
 
@@ -68,7 +73,7 @@ def generate_events(cfg: GenConfig) -> pd.DataFrame:
     rng = np.random.default_rng(cfg.seed)
     n = cfg.n_events
 
-    lsn = np.arange(1, n + 1, dtype=np.int64)
+    lsn = np.arange(cfg.lsn_offset + 1, cfg.lsn_offset + n + 1, dtype=np.int64)
 
     # --- key selection (optionally zipf-skewed onto 1% of conversations)
     conv_idx = rng.integers(0, cfg.n_conversations, size=n)
@@ -169,21 +174,26 @@ def generate_delivered_events(cfg: GenConfig) -> pd.DataFrame:
     return df
 
 
-def write_changelog(cfg: GenConfig, out_dir: str) -> list[str]:
+def write_changelog(
+    cfg: GenConfig, out_dir: str, start_index: int = 0
+) -> list[str]:
     """Write the event stream as ordered parquet batch files.
 
     Batches with index < ``evolution_batch`` are written **without** the
     ``tool`` column in their Parquet schema (FIXTURES.md §5) — the
     in-flight additive schema evolution fixture.
+    ``start_index`` offsets the batch-file numbering (segmented
+    multi-process generation of one logical stream).
     Returns the list of file paths in delivery order.
     """
     df = generate_events(cfg)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     n_batches = (len(df) + cfg.batch_size - 1) // cfg.batch_size
-    for b in range(n_batches):
-        chunk = df.iloc[b * cfg.batch_size : (b + 1) * cfg.batch_size]
-        if b < cfg.evolution_batch:
+    for b0 in range(n_batches):
+        b = start_index + b0
+        chunk = df.iloc[b0 * cfg.batch_size : (b0 + 1) * cfg.batch_size]
+        if b0 < cfg.evolution_batch:
             chunk = chunk.drop(columns=["tool"])
         table = pa.Table.from_pandas(chunk, preserve_index=False)
         path = os.path.join(out_dir, f"batch-{b:06d}.parquet")
