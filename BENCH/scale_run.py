@@ -6,7 +6,7 @@ compaction activity, and the delta-chain length distribution from the
 final manifest (bounded chains = the amortized-maintenance design doing
 its job at scale).
 
-Usage:  python BENCH/scale_run.py [n_events] [cpus] [depth] [fpb]
+Usage:  python BENCH/scale_run.py [n_events] [cpus] [depth] [events_per_batch]
 Writes one JSON line to stdout; progress to stderr.
 """
 
@@ -24,8 +24,8 @@ sys.path.insert(0, REPO)
 
 N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-FPB = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+EPB = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000_000
 
 
 def main() -> None:
@@ -57,10 +57,11 @@ def main() -> None:
     )
     t0 = time.time()
     replay_files(
-        spark, clog, table, files_per_batch=FPB,
+        spark, clog, table, events_per_batch=EPB,
         cfg=ApplyConfig(lineage_level="batch"), pipeline_depth=DEPTH,
     )
     replay_s = time.time() - t0
+    v_pre_final = table.current_version()
     tc = time.time()
     table.compact(drop_tombstones=False)
     compact_s = time.time() - tc
@@ -68,12 +69,15 @@ def main() -> None:
 
     # evidence: delta chains stayed bounded DURING the replay — read the
     # pre-final-compaction manifest (version before the fold)
-    pre = table.manifest(table.current_version() - 1)
+    pre = table.manifest(v_pre_final)
     chain_lens = sorted(len(v) for v in pre["buckets"].values())
     recs = [r for r in LineageLog(table.root).records()
             if not r.get("skipped_fenced") and r.get("events_in")]
     per_batch_eps = [r["events_per_sec"] for r in recs if r.get("events_per_sec")]
-    compactions = sum(1 for r in recs if r.get("compacted_to_version"))
+    # pipelined replay folds via maintenance DRAINS (direct maybe_compact
+    # commits, not apply_batch ones) — count them as the non-merge,
+    # non-create snapshots in the history
+    compactions = v_pre_final - 1 - len(recs)
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({
@@ -81,7 +85,7 @@ def main() -> None:
         "n_events": N_EVENTS,
         "cpus": CPUS,
         "pipeline_depth": DEPTH,
-        "files_per_batch": FPB,
+        "events_per_batch": EPB,
         "replay_s": round(replay_s, 2),
         "events_per_sec": round(N_EVENTS / replay_s, 1),
         "final_compact_s": round(compact_s, 2),

@@ -273,6 +273,7 @@ def replay_files(
     start_batch: int | None = None,
     stop_after: int | None = None,
     pipeline_depth: int = 1,
+    events_per_batch: int | None = None,
 ) -> int:
     """Bounded replay: ordered batch files → micro-batches, schema
     inferred per batch (true in-flight column birth). Idempotent and
@@ -281,6 +282,11 @@ def replay_files(
 
     ``stop_after`` applies N batches then returns (crash-simulation hook
     for the resume tests).
+
+    ``events_per_batch`` switches micro-batch sizing from file count to
+    row volume (greedy packing by Parquet footer row counts) — use when
+    the changelog mixes file sizes and a fixed files-per-batch would
+    make undersized batches pay full fixed cost.
 
     ``pipeline_depth > 1`` overlaps up to that many batches (MOR tables
     only): batch k+1's plan/scan/write job runs while batch k's is still
@@ -293,11 +299,44 @@ def replay_files(
     in-flight additive evolution keeps its serialized semantics.
     """
     lineage = LineageLog(table.root)
-    stream_id = f"replay:{os.path.abspath(changelog_dir)}:k{files_per_batch}"
     files = list_batch_files(changelog_dir)
-    batches = [
-        files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)
-    ]
+    if events_per_batch:
+        # Volume-sized micro-batches (the maxBytesPerTrigger analog):
+        # greedily pack ordered files until the row target is met, so
+        # undersized tail files don't each pay a whole batch's fixed
+        # cost (plan/codegen/commit). Row counts come from Parquet
+        # footer metadata — driver-side, no data scanned; non-parquet
+        # files conservatively count as one target's worth.
+        import pyarrow.parquet as pq
+
+        stream_id = (
+            f"replay:{os.path.abspath(changelog_dir)}:e{events_per_batch}"
+        )
+        batches = []
+        group: list[str] = []
+        acc = 0
+        for p in files:
+            group.append(p)
+            if p.endswith(".parquet"):
+                try:
+                    acc += pq.ParquetFile(p).metadata.num_rows
+                except Exception:
+                    acc += events_per_batch
+            else:
+                acc += events_per_batch
+            if acc >= events_per_batch:
+                batches.append(group)
+                group, acc = [], 0
+        if group:
+            batches.append(group)
+    else:
+        stream_id = (
+            f"replay:{os.path.abspath(changelog_dir)}:k{files_per_batch}"
+        )
+        batches = [
+            files[i : i + files_per_batch]
+            for i in range(0, len(files), files_per_batch)
+        ]
     first = start_batch or 0
     todo = [
         (batch_id, group)
@@ -420,7 +459,11 @@ def _replay_pipelined(
                 for fut in pending:
                     fut.result()
                 pending = []
-                table.maybe_compact(compact_every)
+                # after `compact_every` merges a uniformly-spread bucket's
+                # chain is exactly compact_every deltas — fold at ≥, not
+                # >, or the cadence and the threshold chase each other
+                # and nothing ever folds
+                table.maybe_compact(max(compact_every - 1, 1))
             pending.append(pool.submit(_run, batch_id, df))
             applied += 1
             if len(pending) >= depth:

@@ -186,3 +186,18 @@ def test_all_dead_letter_batch_still_advances_fence(spark, tmp_path):
     # replaying the dead batch is now a fenced no-op
     res2 = apply_batch(table, all_dead, 1)
     assert res2.skipped
+
+
+def test_replay_events_per_batch_packing(spark, tmp_path):
+    """Volume-sized micro-batches (events_per_batch) must replay to the
+    same final state as file-count batching, and must pack undersized
+    tail files together instead of giving each its own batch."""
+    cfg = GenConfig(n_events=10_000, batch_size=1_500)  # 7 files, last partial
+    changelog = str(tmp_path / "clog")
+    write_changelog(cfg, changelog)
+    by_files = _fresh_table(spark, tmp_path / "a")
+    replay_files(spark, changelog, by_files, files_per_batch=2)
+    by_volume = _fresh_table(spark, tmp_path / "b")
+    n = replay_files(spark, changelog, by_volume, events_per_batch=3_000)
+    assert n == 4  # 10k rows / 3k target → 4 packed batches, not 7
+    _assert_state_equal(_engine_state(by_files), _engine_state(by_volume))
