@@ -80,7 +80,7 @@ def main() -> None:
     compactions = v_pre_final - 1 - len(recs)
 
     shutil.rmtree(work, ignore_errors=True)
-    print(json.dumps({
+    result = {
         "metric": "scale_run_cdc_apply_throughput",
         "n_events": N_EVENTS,
         "cpus": CPUS,
@@ -99,7 +99,14 @@ def main() -> None:
         "per_batch_events_per_sec_min_max": [
             round(min(per_batch_eps), 1), round(max(per_batch_eps), 1),
         ] if per_batch_eps else None,
-    }))
+    }
+    # append to the evidence log BENCH/scaling.py folds into BASELINE.md
+    # (solo runs only — set SCALE_RUN_CONTENDED=1 to keep a polluted draw
+    # out of the record)
+    if os.environ.get("SCALE_RUN_CONTENDED", "") != "1":
+        with open(os.path.join(REPO, "BENCH", "scale_results.jsonl"), "a") as fh:
+            fh.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
