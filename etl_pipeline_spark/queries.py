@@ -3073,6 +3073,83 @@ def q_events_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Like APPROX_DISTINCT_SQL: each engine gates ITS OWN sketch against its
+# own exact answer (Spark's KLL-style percentile_approx vs DuckDB's
+# approx_quantile differ internally; what is graded is that both stay
+# within the tolerance, plus the hash-compared exact values).
+APPROX_QUANTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.9), 4) AS p90_exact,
+       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         <= 0.05 * (max(value) - min(value)) AS p50_ok,
+       abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+         <= 0.05 * (max(value) - min(value)) AS p90_ok
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style quantile sketch) vs exact,
+    tolerance-gated on 5% of the value range — the quantile twin of the
+    HLL check: exact percentiles need a full sort per group, the sketch
+    is one mergeable pass, which is what a 100 TB profile job runs."""
+    e = _t(spark, sf_dir, "events")
+    rng = F.max("value") - F.min("value")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50_exact"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90_exact"),
+        (
+            F.abs(F.percentile_approx("value", 0.5, 10_000) - F.percentile("value", 0.5))
+            <= 0.05 * rng
+        ).alias("p50_ok"),
+        (
+            F.abs(F.percentile_approx("value", 0.9, 10_000) - F.percentile("value", 0.9))
+            <= 0.05 * rng
+        ).alias("p90_ok"),
+    )
+
+
+# Rollback grading: replay two micro-batches into a throwaway table,
+# roll back over the second, read — must equal the LWW state of batch 0
+# alone (the TIME_TRAVEL oracle). Proves rollback restores CONTENT (not
+# just metadata) and that history stays linear (rollback commits a NEW
+# snapshot; the rolled-over one remains time-travelable).
+_ROLLBACK_CACHE: dict = {}
+
+
+def q_cdc_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    table = _ROLLBACK_CACHE.get(key)
+    if table is None:
+        from .pipeline import ApplyConfig, apply_batch
+
+        w = _batch_width(spark, sf_dir)
+        ce = derive_change_events(spark, sf_dir).filter(F.col("lsn") < 2 * w)
+        tmp = tempfile.mkdtemp(prefix="cdc_rollback_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        table = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"],
+            n_buckets=8,
+            write_mode="mor",
+        )
+        cfg = ApplyConfig(clean_cols=())
+        b0 = ce.filter(F.col("lsn") < w).withColumn(
+            "tool", F.lit(None).cast("string")
+        )
+        b1 = ce.filter(F.col("lsn") >= w).withColumn(
+            "tool", F.lit(None).cast("string")
+        )
+        apply_batch(table, b0, 0, cfg=cfg)  # v2
+        apply_batch(table, b1, 1, cfg=cfg)  # v3
+        table.rollback(2)  # v4 := content of v2
+        _ROLLBACK_CACHE[key] = table
+    return _state_projection(table.read())
+
+
 QUALITY_FILTER_SQL = f"""
 WITH q AS ({DOCS_QUALITY_SQL.strip()}),
 r AS (
@@ -3439,6 +3516,8 @@ QUERIES = {
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "events_approx_quantiles_check": q_events_approx_quantiles_check,
+    "cdc_rollback_state": q_cdc_rollback_state,
 }
 
 ORACLE_SQL = {
@@ -3534,4 +3613,6 @@ ORACLE_SQL = {
     "docs_winnow_fingerprints": WINNOW_SQL,
     "mm_frame_sample": MM_FRAMES_SQL,
     "docs_bpe_token_stats": BPE_TOKENS_SQL,
+    "events_approx_quantiles_check": APPROX_QUANTILE_SQL,
+    "cdc_rollback_state": TIME_TRAVEL_SQL,
 }
