@@ -588,6 +588,24 @@ class MiniLakeTable:
                 # eliminated the CollectMetrics node along with the empty
                 # relation, and obs.get would block forever.
                 shutil.rmtree(out_dir, ignore_errors=True)
+                if pre_commit is not None:
+                    # Pipelined replay: even a fence-only commit must wait
+                    # its ordered-commit turn. Without this, an empty batch
+                    # k could advance the fence past an in-flight k-1 whose
+                    # data is uncommitted — a crash in that window would
+                    # make resume skip k-1 permanently (data loss), and
+                    # k-1's later commit would regress the fence.
+                    pre_commit()  # nothing to clean up on failure
+                    base = self.manifest()
+                    version = base["version"]
+                    highwater = (
+                        base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
+                    )
+                    if batch_id <= highwater:  # concurrent replay raced us
+                        return MergeResult(
+                            skipped=True, reason="fenced",
+                            version=version, snapshot_id=base["snapshot_id"],
+                        )
                 return self._commit_fence_only(
                     base, version, stream_id, batch_id, t0
                 )

@@ -81,12 +81,27 @@ def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str]:
     (``<ckpt>/sources/0/<batchId>`` — a ``v1`` header plus one JSON entry
     per file). Written before the trigger runs, so it is readable inside
     foreachBatch; the micro-batch DataFrame itself reports no
-    ``inputFiles()``."""
+    ``inputFiles()``.
+
+    Every ``compactInterval``-th batch (default: 9, 19, …) Spark's
+    CompactibleFileStreamLog writes ``<batchId>.compact`` INSTEAD of the
+    plain file — it lists every file seen so far, a superset of the
+    batch's own input. Footer-checking the superset is safe for the
+    schema-birth guard (pre-birth files simply carry no new columns), so
+    fall back to it; if neither file exists the metadata log is broken
+    and silently returning [] would let a birth through unchecked —
+    raise instead."""
     import json
 
     path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
     if not os.path.exists(path):
-        return []
+        compact = path + ".compact"
+        if not os.path.exists(compact):
+            raise FileNotFoundError(
+                f"file-source metadata log missing for batch {batch_id}: "
+                f"neither {path} nor {compact} exists"
+            )
+        path = compact
     out = []
     with open(path) as fh:
         for line in fh:

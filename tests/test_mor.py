@@ -74,6 +74,54 @@ def test_mor_empty_batch_commits_fence_only(spark, tmp_path):
     assert {r["text"] for r in t.read().collect()} == {"v1"}
 
 
+def test_mor_empty_batch_pipelined_waits_for_predecessor(spark, tmp_path):
+    """In pipelined replay, a MOR empty batch's fence-only commit must
+    honor pre_commit ordering and re-read the CAS base: otherwise an
+    empty batch k advances the fence past an in-flight k-1 (crash in
+    that window = k-1's data skipped forever) and its stale base
+    clobbers k-1's just-committed buckets from the manifest."""
+    from etl_pipeline_spark.lake.minilake import FENCES_PROP
+
+    t = _mor_table(spark, tmp_path)
+    called = []
+
+    def hook():  # simulates waiting for batch 0 to commit mid-wait
+        called.append(True)
+        t.merge(
+            _src(spark, [("a", 0, "user", "pred", None, 1, "I")]), batch_id=0
+        )
+
+    res = t.merge(_src(spark, []), batch_id=1, pre_commit=hook)
+    assert called, "fence-only path must invoke pre_commit"
+    assert not res.skipped and res.buckets_touched == 0
+    # fence advanced ON TOP of the predecessor's commit; its data intact
+    assert t.snapshot_props()[FENCES_PROP]["default"] == 1
+    assert {r["text"] for r in t.read().collect()} == {"pred"}
+
+
+def test_mor_empty_batch_pipelined_fenced_skip(spark, tmp_path):
+    """If a concurrent replay lands the same batch while the empty
+    batch waited for its commit turn, the re-read fence must turn the
+    fence-only commit into a fenced skip (no duplicate snapshot)."""
+    t = _mor_table(spark, tmp_path)
+
+    def hook():
+        t.merge(
+            _src(spark, [("a", 0, "user", "conc", None, 1, "I")]), batch_id=0
+        )
+        t.merge(_src(spark, []), batch_id=1)  # concurrent replay wins
+
+    v_hook_end = []
+
+    def hook_wrap():
+        hook()
+        v_hook_end.append(t.current_version())
+
+    res = t.merge(_src(spark, []), batch_id=1, pre_commit=hook_wrap)
+    assert res.skipped and res.reason == "fenced"
+    assert t.current_version() == v_hook_end[0]  # no extra snapshot
+
+
 def test_mor_merge_is_o_batch_not_o_table(spark, tmp_path):
     """A MOR merge must not read existing data files (cost O(batch))."""
     t = _mor_table(spark, tmp_path)

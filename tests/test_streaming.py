@@ -197,6 +197,48 @@ def test_streaming_schema_evolution_in_flight(spark, tmp_path):
     assert got_tool == ora_tool
 
 
+def test_streaming_widen_on_compact_metadata_batch(spark, tmp_path):
+    """A column born exactly in a compactInterval-th micro-batch — where
+    Spark's CompactibleFileStreamLog writes '<batchId>.compact' instead
+    of the plain per-batch metadata file — must still trip the
+    in-trigger guard. The guard falls back to the compact log (a
+    superset file list; pre-birth files carry no new columns), so the
+    birth cannot slip through and be applied with the narrow schema."""
+    import os
+
+    from etl_pipeline_spark.schema import CHANGE_EVENT_SCHEMA_V0
+    from etl_pipeline_spark.sources.genlog import generate_delivered_events
+    from etl_pipeline_spark.streaming.ingest import run_ingest_stream_evolving
+
+    # 11 one-file batches; `tool` is born in batch file 9 — the default
+    # spark.sql.streaming.fileSource.log.compactInterval=10 makes batch 9
+    # the first compacted metadata entry.
+    cfg = GenConfig(n_events=11_000, batch_size=1_000, evolution_batch=9)
+    changelog = str(tmp_path / "changelog")
+    write_changelog(cfg, changelog)
+    table = MiniLakeTable.create(
+        spark, str(tmp_path / "table"), TRANSCRIPT_SCHEMA,
+        key_cols=KEYS, n_buckets=8,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    restarts = run_ingest_stream_evolving(
+        spark, changelog, table, ckpt,
+        max_files_per_trigger=1,
+        initial_schema=CHANGE_EVENT_SCHEMA_V0,  # simulate late birth
+    )
+    assert restarts == 1  # the guard fired AT the compact batch
+    # precondition check: batch 9's metadata really was the compact file
+    assert os.path.exists(os.path.join(ckpt, "sources", "0", "9.compact"))
+    assert not os.path.exists(os.path.join(ckpt, "sources", "0", "9"))
+    oracle = expected_final_state(generate_delivered_events(cfg))
+    got = _state(table)
+    assert len(got) == len(oracle)
+    assert _texts(got) == _texts(oracle)
+    got_tool = [None if pd.isna(t) else t for t in got["tool"]]
+    ora_tool = [None if pd.isna(t) else t for t in oracle["tool"]]
+    assert got_tool == ora_tool  # batch-9 tool values were NOT dropped
+
+
 def test_streaming_restart_on_widen_mid_stream(spark, tmp_path):
     """The in-trigger guard: when a column is born in files the running
     query's schema does NOT include (simulated by pinning the initial
