@@ -206,13 +206,26 @@ def _spread(df: DataFrame) -> DataFrame:
     (maxPartitionBytes only splits files further), so a many-file input
     is never reshuffled; the one over-eager case — few huge files — adds
     a round-robin shuffle exactly where the doc corpus is small enough
-    for it to be cheap."""
+    for it to be cheap.
+
+    Non-file-backed inputs (in-memory frames, post-shuffle/join plans)
+    report no inputFiles; for those the RDD partition count is checked
+    instead — that conversion cost is confined to the non-file case, so
+    the hot file-scan path never pays it."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if 0 < n_files < target:
+    if n_files == 0:
+        try:
+            n_parts = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        if n_parts < target:
+            return df.repartition(target)
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -2967,13 +2967,34 @@ def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SENTENCE_DEDUP_SQL = r"""
-WITH s AS (
+# Planted fixture (same doc_id-derived pattern as _dirty_col): the raw
+# docs corpus has no naturally repeated cross-doc sentence at small sf,
+# so the r3 driver row graded 0 == 0 — trivially true. Every 5th doc
+# gets one of two shared boilerplate sentences appended (index doc_id%2),
+# deterministically in BOTH engines, so the query grades non-empty at
+# every sf: each planted sentence lands in ≥2 docs once the corpus has
+# ≥ ~10 rows. The '! ' prefix guarantees a sentence-split boundary
+# regardless of how the original text ends.
+_PLANTED_SENT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || '! Shared corpus sentence '
+                        || CAST(doc_id % 2 AS VARCHAR) || '.'
+              ELSE text END AS text
+  FROM documents
+"""
+
+SENTENCE_DEDUP_SQL = (
+    r"""
+WITH planted AS ("""
+    + _PLANTED_SENT_SQL
+    + r"""),
+s AS (
   SELECT doc_id, trim(sent) AS sent
   FROM (
     SELECT doc_id,
            unnest(string_split_regex(text, '[.!?]+\s+')) AS sent
-    FROM documents
+    FROM planted
   )
   WHERE trim(sent) <> ''
 )
@@ -2982,17 +3003,29 @@ SELECT lower(sent) AS sent_norm,
        count(*) AS n_occurrences
 FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 """
+)
 
 
 def q_docs_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-level cross-doc dedup: sentences appearing in ≥2 docs
     (the sub-document analog of boilerplate removal). Explode → hash-agg;
-    the shuffle carries distinct sentences, not raw text."""
+    the shuffle carries distinct sentences, not raw text. Input is the
+    planted-fixture view (see _PLANTED_SENT_SQL) so the result is
+    non-empty at every sf."""
     d = _t(spark, sf_dir, "documents")
+    planted_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("! Shared corpus sentence "),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("."),
+        ),
+    ).otherwise(F.col("text"))
     s = (
         d.select(
             "doc_id",
-            F.explode(F.split(F.col("text"), r"[.!?]+\s+")).alias("sent"),
+            F.explode(F.split(planted_text, r"[.!?]+\s+")).alias("sent"),
         )
         .select("doc_id", F.trim("sent").alias("sent"))
         .filter(F.col("sent") != "")
@@ -3352,10 +3385,14 @@ INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
+# The purchase side is restricted to HIGH-VALUE purchases (> 300) so the
+# EXCEPT is guaranteed non-empty at every sf — the unrestricted version
+# graded 0 == 0 at the driver's sf0.01 (every viewing user had purchased
+# something), which verifies almost nothing (r3 verdict).
 USERS_EXCEPT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'view'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
 """
 
 
@@ -3368,10 +3405,14 @@ def q_users_view_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_users_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT set op (drop-off cohort)."""
+    """EXCEPT set op: viewers who never made a high-value (> 300)
+    purchase — the value predicate keeps both sides and the difference
+    non-empty at every sf (see USERS_EXCEPT_SQL note)."""
     e = _t(spark, sf_dir, "events")
     v = e.filter(F.col("event_type") == "view").select("user_id")
-    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    p = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    ).select("user_id")
     return v.subtract(p)  # EXCEPT (distinct) semantics
 
 
@@ -3406,14 +3447,19 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- registry --
 
 # Registry order is part of the grading contract: the driver grades the
-# FIRST 50 entries. Round-3 window = every query never yet confirmed by
-# the independent driver (the r1 failures and the whole LLM-curation /
-# sketch-dedup set) plus every query whose semantics changed this round
-# (sf-aware batch width; derived-twin fixtures; filtered anti-join) plus
-# two stable anchors (flagship replay, dead-letter split). Rows 51+ were
-# all driver-confirmed green in rounds 1-2 and stay oracle-gated locally
+# FIRST 50 entries. Round-4 window completes lifetime driver coverage:
+# the three entries never yet driver-graded (brand_revenue_promo_share —
+# missed every window since r1 — plus events_approx_quantiles_check and
+# cdc_rollback_state, added after the r3 driver run) rotate IN, replacing
+# three thrice-confirmed rows (cdc_conv_stats, docs_chunked,
+# docs_top_tokens). The two rows that graded trivially-empty in r3
+# (docs_sentence_dedup, users_view_no_purchase) stay in to re-grade
+# non-empty after their de-trivialization. Rows 51+ were all
+# driver-confirmed green in earlier rounds and stay oracle-gated locally
 # by tests/test_entry.py, which runs the driver's exact comparison over
-# all 92 entries.
+# every entry. The intended window is machine-checked by
+# tests/test_entry.py::test_driver_window_is_the_intended_first_50 so an
+# accidental reorder can't silently swap queries in or out.
 QUERIES = {
     # -- anchors + replay-semantics changes (sf-aware batch width) --
     "cdc_engine_replay": q_cdc_engine_replay,
@@ -3422,10 +3468,12 @@ QUERIES = {
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_dead_letter_split": q_cdc_dead_letter_split,
-    # -- never driver-graded: CDC analytics + schema evolution --
     "cdc_schema_evolution": q_cdc_schema_evolution,
-    "cdc_conv_stats": q_cdc_conv_stats,
     "cdc_role_transitions": q_cdc_role_transitions,
+    # -- the three entries completing 94/94 lifetime driver coverage --
+    "brand_revenue_promo_share": q_brand_revenue_promo_share,
+    "events_approx_quantiles_check": q_events_approx_quantiles_check,
+    "cdc_rollback_state": q_cdc_rollback_state,
     # -- the three r1 failures, back in the window for re-verification --
     "mm_features": q_mm_features,
     "docs_minhash_near_dups": q_docs_minhash_near_dups,
@@ -3440,8 +3488,6 @@ QUERIES = {
     "docs_repetition_stats": q_docs_repetition_stats,
     "docs_unigram_entropy": q_docs_unigram_entropy,
     "docs_boilerplate": q_docs_boilerplate,
-    "docs_chunked": q_docs_chunked,
-    "docs_top_tokens": q_docs_top_tokens,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
@@ -3472,9 +3518,11 @@ QUERIES = {
     "users_view_and_purchase": q_users_view_and_purchase,
     "users_view_no_purchase": q_users_view_no_purchase,
     # ---------------- driver window ends here (first 50) ----------------
-    # Rows below were driver-confirmed green in rounds 1-2 (unchanged
+    # Rows below were driver-confirmed green in earlier rounds (unchanged
     # since) and remain fully oracle-gated by tests/test_entry.py.
-    "brand_revenue_promo_share": q_brand_revenue_promo_share,
+    "cdc_conv_stats": q_cdc_conv_stats,
+    "docs_chunked": q_docs_chunked,
+    "docs_top_tokens": q_docs_top_tokens,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_lww_cleaned": q_cdc_lww_cleaned,
     "cdc_op_stats": q_cdc_op_stats,
@@ -3516,8 +3564,6 @@ QUERIES = {
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
-    "events_approx_quantiles_check": q_events_approx_quantiles_check,
-    "cdc_rollback_state": q_cdc_rollback_state,
 }
 
 ORACLE_SQL = {

@@ -186,6 +186,16 @@ def write_changelog(
     multi-process generation of one logical stream).
     Returns the list of file paths in delivery order.
     """
+    if start_index > 0 and cfg.evolution_batch > 0:
+        # The evolution cut (both the row-nulling in generate_events and
+        # the column drop below) is segment-local; a later segment would
+        # re-drop `tool` at its own start — a mid-stream column
+        # "un-birth" that violates additive evolution. Segmented callers
+        # must put the birth entirely in the first segment.
+        raise ValueError(
+            "evolution_batch > 0 is only valid in the first segment "
+            "(start_index == 0); later segments would un-birth the column"
+        )
     df = generate_events(cfg)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
