@@ -66,6 +66,12 @@ from ..schema import (
 FENCES_PROP = "engine.fences"  # {stream_id: batch-id high-water}
 HIGHWATER_PROP = FENCES_PROP  # backwards-compat alias for importers
 MAX_LSN_PROP = "engine.max-lsn"
+# dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
+# dead rows ride the delta write in this pseudo-bucket, then the dir is
+# relocated to the dead-letter sink before the manifest registers buckets
+DEAD_BUCKET = -1
+SRC_OP_COL = "_src_op"  # original op string preserved for dead letters
+VALID_COL = "_valid"
 
 
 class CommitConflict(RuntimeError):
@@ -91,6 +97,14 @@ class MiniLakeTable:
     # merge() resolves per-key LWW internally, so a multi-row-per-key
     # source is fine (pipeline.apply_batch reads this flag).
     requires_unique_source = False
+
+    @property
+    def supports_dead_letter_fusion(self) -> bool:
+        """MOR tables can write dead-letter rows inside the merge's one
+        delta-write job (merge(valid_col=..., dead_sink=...)) instead of
+        a second O(batch) source re-scan (pipeline.apply_batch reads
+        this flag)."""
+        return self.manifest().get("write_mode", "cow") == "mor"
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -375,6 +389,24 @@ class MiniLakeTable:
 
     # -------------------------------------------------------------- merge
 
+    @staticmethod
+    def _relocate_dead_letters(out_dir: str, dead_sink: str) -> None:
+        """Move the fused write's dead-letter pseudo-bucket out of the
+        commit directory into the dead-letter sink. File-by-file move so
+        a crash/retry that re-delivers the batch appends rather than
+        clobbers (task part-file names are unique per attempt) —
+        dead-letter delivery is at-least-once, like the table itself is
+        exactly-once."""
+        neg = os.path.join(out_dir, f"{BUCKET_COL}={DEAD_BUCKET}")
+        if not os.path.isdir(neg):
+            return
+        os.makedirs(dead_sink, exist_ok=True)
+        for name in os.listdir(neg):
+            shutil.move(
+                os.path.join(neg, name), os.path.join(dead_sink, name)
+            )
+        shutil.rmtree(neg, ignore_errors=True)
+
     def _commit_fence_only(
         self, base: dict, version: int, stream_id: str, batch_id: int, t0: float
     ) -> MergeResult:
@@ -414,6 +446,8 @@ class MiniLakeTable:
         op_col: str = "op",
         assert_unique_keys: bool = False,
         pre_commit: "object | None" = None,
+        valid_col: str | None = None,
+        dead_sink: str | None = None,
     ) -> MergeResult:
         """Apply a (LWW-pre-reduced) change batch as a key-partitioned
         MERGE: tombstone DELETE / UPDATE / INSERT in one atomic snapshot.
@@ -441,11 +475,31 @@ class MiniLakeTable:
         top of whatever predecessors committed meanwhile. Sound for MOR
         because delta files are independent of the base snapshot; COW
         reads current state up front and must stay serial (rejected).
+
+        ``valid_col`` + ``dead_sink`` (**MOR only, together**) enable
+        dead-letter fusion: ``source`` contains BOTH valid and dead rows
+        with ``valid_col`` (boolean) distinguishing them. Valid rows go
+        through the normal clustered LWW reduce; dead rows ride the SAME
+        delta-write job in pseudo-bucket ``-1`` (original op preserved
+        in ``_src_op``), and that directory is relocated to
+        ``dead_sink`` before the manifest registers buckets — one Spark
+        job per batch, no second O(batch) source scan. Dead rows join
+        the one clustered aggregate under a synthetic per-row grouping
+        key, so the plan keeps exactly one scan and one exchange.
+        Dead-letter delivery is at-least-once across crash/retry, same
+        as the previous separate-job write.
         """
         t0 = time.time()
         base = self.manifest()  # fence + CAS base: the SAME snapshot
         if pre_commit is not None and base.get("write_mode", "cow") != "mor":
             raise ValueError("pre_commit pipelining requires merge-on-read mode")
+        if valid_col is not None:
+            if base.get("write_mode", "cow") != "mor":
+                raise ValueError(
+                    "dead-letter fusion requires merge-on-read mode"
+                )
+            if dead_sink is None:
+                raise ValueError("valid_col requires dead_sink")
         version = base["version"]
         highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
         if batch_id <= highwater:
@@ -471,8 +525,11 @@ class MiniLakeTable:
             )
 
         if assert_unique_keys:
+            dup_src = (
+                src.filter(F.col(valid_col)) if valid_col is not None else src
+            )
             dup = (
-                src.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+                dup_src.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
             )
             if dup:
                 raise ValueError("merge source has multiple rows per key")
@@ -483,14 +540,34 @@ class MiniLakeTable:
         # schema's types — otherwise a batch with (say) bigint turn_idx
         # would poison the physical layout for every future reader.
         types_by_name = {f.name: f.dataType for f in table_schema.fields}
+        fuse_extras = []
+        deleted_expr = F.col(op_col) == "D"
+        if valid_col is not None:
+            # dead rows may carry a null/junk op: DELETED must still be a
+            # non-null boolean, and the original op string is preserved
+            # for forensics (null on valid rows — dictionary-encoded, so
+            # the delta-file overhead is negligible)
+            vcol = F.coalesce(F.col(valid_col).cast("boolean"), F.lit(False))
+            deleted_expr = F.coalesce(deleted_expr, F.lit(False))
+            fuse_extras = [
+                vcol.alias(VALID_COL),
+                F.when(~vcol, F.col(op_col).cast("string")).alias(SRC_OP_COL),
+            ]
         batch_phys = src.select(
             *[F.col(k).cast(types_by_name[k]).alias(k) for k in key_cols],
             *[F.col(c).cast(types_by_name[c]).alias(c) for c in payload_cols],
             F.col(lsn_col).cast("long").alias(LSN_COL),
-            (F.col(op_col) == "D").alias(DELETED_COL),
+            deleted_expr.alias(DELETED_COL),
+            *fuse_extras,
         )
 
         bexpr = self._bucket_expr(key_cols[0], n_buckets)
+        if valid_col is not None:
+            # null keys hash to a null bucket; route every dead row to
+            # the relocatable pseudo-bucket instead
+            bexpr = F.when(F.col(VALID_COL), bexpr).otherwise(
+                F.lit(DEAD_BUCKET)
+            )
         batch_phys = batch_phys.withColumn(BUCKET_COL, bexpr)
         write_mode = base.get("write_mode", "cow")
 
@@ -514,12 +591,43 @@ class MiniLakeTable:
             # disk, which cuts write AND compaction I/O (measured ~30%
             # off replay+compact wall at sf0.1).
             clustered = batch_phys.repartition(n_buckets, F.col(BUCKET_COL))
-            merged = lww_reduce(
-                clustered,
-                keys=[BUCKET_COL] + list(key_cols),
-                order_col=LSN_COL,
-                payload_cols=payload_cols + [DELETED_COL],
-            )
+            if valid_col is not None:
+                # Single-branch fusion: dead rows ride the SAME clustered
+                # LWW aggregate under a synthetic per-row grouping key
+                # (their keys are null, so without it they would collapse
+                # into one group and be lost). The plan keeps exactly one
+                # scan + one exchange — a filter/union split design loses
+                # that, because Catalyst pushes the validity filters below
+                # the repartition and the two exchanges stop being
+                # reusable. Identical-lsn duplicate deliveries of a dead
+                # row collapse to one DLQ entry (a bonus, not a loss).
+                dlq_key = F.when(
+                    F.col(VALID_COL), F.lit(None).cast("long")
+                ).otherwise(
+                    F.coalesce(
+                        F.col(LSN_COL),
+                        F.xxhash64(
+                            *[F.col(c) for c in key_cols],
+                            F.col(SRC_OP_COL),
+                        ),
+                    )
+                )
+                clustered = clustered.withColumn("_dlq_key", dlq_key).drop(
+                    VALID_COL
+                )
+                merged = lww_reduce(
+                    clustered,
+                    keys=[BUCKET_COL] + list(key_cols) + ["_dlq_key"],
+                    order_col=LSN_COL,
+                    payload_cols=payload_cols + [DELETED_COL, SRC_OP_COL],
+                ).drop("_dlq_key")
+            else:
+                merged = lww_reduce(
+                    clustered,
+                    keys=[BUCKET_COL] + list(key_cols),
+                    order_col=LSN_COL,
+                    payload_cols=payload_cols + [DELETED_COL],
+                )
             touched = None  # discovered post-write
         else:
             # Copy-on-write needs the touched-bucket set BEFORE reading
@@ -558,12 +666,18 @@ class MiniLakeTable:
                 payload_cols=payload_cols + [DELETED_COL],
             )
 
+        # In fused mode dead-letter rows flow through the same frame —
+        # the metrics must count only APPLIED rows (dead rows carry a
+        # non-null _src_op) so table stats and max-lsn stay clean.
+        applied = (
+            F.col(SRC_OP_COL).isNull() if valid_col is not None else F.lit(True)
+        )
         obs = Observation()
         merged = merged.observe(
             obs,
-            F.count(F.when(~F.col(DELETED_COL), 1)).alias("live"),
-            F.count(F.when(F.col(DELETED_COL), 1)).alias("dead"),
-            F.max(LSN_COL).alias("max_lsn"),
+            F.count(F.when(applied & ~F.col(DELETED_COL), 1)).alias("live"),
+            F.count(F.when(applied & F.col(DELETED_COL), 1)).alias("dead"),
+            F.max(F.when(applied, F.col(LSN_COL))).alias("max_lsn"),
         )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"commit-{version + 1:06d}-{commit_id}")
@@ -576,18 +690,19 @@ class MiniLakeTable:
         )
         if touched is None:  # MOR: discover written buckets from the output
             touched = sorted(
-                int(name.split("=", 1)[1])
+                b
                 for name in os.listdir(out_dir)
                 if name.startswith(f"{BUCKET_COL}=")
+                for b in [int(name.split("=", 1)[1])]
+                if b != DEAD_BUCKET
             )
             if not touched:
                 # MOR twin of the COW empty-batch path: the write job ran
-                # but produced no bucket dirs (all dead-lettered / empty
-                # upstream). Advance the fence with a fence-only commit
-                # and never touch the Observation — AQE may have
+                # but produced no DATA bucket dirs (all dead-lettered /
+                # empty upstream). Advance the fence with a fence-only
+                # commit and never touch the Observation — AQE may have
                 # eliminated the CollectMetrics node along with the empty
                 # relation, and obs.get would block forever.
-                shutil.rmtree(out_dir, ignore_errors=True)
                 if pre_commit is not None:
                     # Pipelined replay: even a fence-only commit must wait
                     # its ordered-commit turn. Without this, an empty batch
@@ -595,17 +710,26 @@ class MiniLakeTable:
                     # data is uncommitted — a crash in that window would
                     # make resume skip k-1 permanently (data loss), and
                     # k-1's later commit would regress the fence.
-                    pre_commit()  # nothing to clean up on failure
+                    try:
+                        pre_commit()
+                    except Exception:
+                        shutil.rmtree(out_dir, ignore_errors=True)
+                        raise
                     base = self.manifest()
                     version = base["version"]
                     highwater = (
                         base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
                     )
                     if batch_id <= highwater:  # concurrent replay raced us
+                        # the winning replay wrote its own dead letters
+                        shutil.rmtree(out_dir, ignore_errors=True)
                         return MergeResult(
                             skipped=True, reason="fenced",
                             version=version, snapshot_id=base["snapshot_id"],
                         )
+                if dead_sink is not None:  # all-dead batch: keep the rows
+                    self._relocate_dead_letters(out_dir, dead_sink)
+                shutil.rmtree(out_dir, ignore_errors=True)
                 return self._commit_fence_only(
                     base, version, stream_id, batch_id, t0
                 )
@@ -632,6 +756,12 @@ class MiniLakeTable:
                     skipped=True, reason="fenced",
                     version=version, snapshot_id=base["snapshot_id"],
                 )
+
+        if dead_sink is not None:
+            # after the fence checks (a fenced race drops the whole dir),
+            # before manifest registration (the pseudo-bucket must never
+            # appear as table data)
+            self._relocate_dead_letters(out_dir, dead_sink)
 
         new_buckets = dict(base["buckets"])
         for b in touched:

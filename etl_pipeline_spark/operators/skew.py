@@ -34,16 +34,23 @@ def salted_agg(
     {sum, count, min, max} — the algebraic aggregates whose partials
     re-combine losslessly (count folds via sum in phase 2). avg callers
     compose sum/count themselves.
+
+    The salt is always content-derived (``salt_col`` if given, else a
+    hash over keys + agg input columns) — deterministic under replay AND
+    under any re-split of the input, unlike
+    ``monotonically_increasing_id`` whose value depends on the partition
+    layout. Content-identical rows share a salt; the two-phase combine
+    is indifferent to that.
     """
     for alias, (fn, _) in aggs.items():
         if fn not in _RESPLITTABLE:
             raise ValueError(f"{alias}: {fn} is not two-phase-combinable")
-    salt_src = F.col(salt_col) if salt_col else F.monotonically_increasing_id()
-    if salt_col is None:
-        # monotonically_increasing_id is partition-deterministic but not
-        # replay-stable; callers with a stable unique column should pass it.
-        pass
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    if salt_col is not None:
+        salt_src = [F.col(salt_col)]
+    else:
+        inputs = list(dict.fromkeys(c for _, c in aggs.values()))
+        salt_src = [F.col(c) for c in [*keys, *inputs]]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
             getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(alias)

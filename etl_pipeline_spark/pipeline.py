@@ -167,17 +167,64 @@ def apply_batch(
         obs = Observation()
         upstream = batch_df.observe(obs, *counter_aggs)
 
-    # 2. Dead-letter split (null keys / unknown op never applied).
-    valid, _ = split_valid(upstream, cfg.key_cols, cfg.op_col)
-    # dead letters taken from the RAW frame so writing them later cannot
-    # re-fire the Observation node
-    _, dead = split_valid(batch_df, cfg.key_cols, cfg.op_col)
+    # Skew probe + reduce-requirement first: they decide whether the
+    # dead-letter split can be FUSED into the merge write (one Spark job,
+    # one source scan) or needs the legacy separate-job write.
+    est_bytes = _estimate_batch_bytes(batch_df)
+    # Probe the RAW batch frame, not the projected src: keys are
+    # untouched by the cleaning stage, and probing downstream would
+    # re-run scan + pandas-UDF cleaning for exactly the large batches
+    # where that hurts most.
+    salted = cfg.force_salted or (
+        cfg.salt_on_skew
+        and est_bytes is not None
+        and est_bytes >= cfg.skew_probe_min_bytes
+        and detect_hot_keys(batch_df, cfg.key_cols, cfg.skew_threshold)
+    )
+    # A backend whose MERGE cannot tolerate multiple source rows per key
+    # (real Iceberg MERGE INTO raises on multi-match) declares
+    # requires_unique_source=True and gets the LWW pre-reduce regardless
+    # of cfg.pre_reduce — misconfiguration must not be able to produce a
+    # runtime MERGE failure.
+    must_reduce = cfg.pre_reduce or getattr(
+        table, "requires_unique_source", False
+    )
+    # Dead-letter fusion (MOR minilake, un-salted, un-pre-reduced — the
+    # hot replay path): dead rows ride the merge's one delta-write job in
+    # a relocatable pseudo-bucket instead of a second O(batch) source
+    # re-scan per dirty batch. Salted / pre-reduced batches pre-collapse
+    # the valid side in the pipeline, which forks the plan before the
+    # shared exchange — those keep the legacy separate write.
+    fuse_dead = (
+        not salted
+        and not must_reduce
+        and getattr(table, "supports_dead_letter_fusion", False)
+    )
 
-    # 3. Vectorized cleaning on the after-image payload.
+    # 2 + 3. Dead-letter split + vectorized cleaning on the after-image
+    #    payload. Fused: no split — one tagged frame flows to the merge,
+    #    cleaning applied to valid rows only (dead letters keep their
+    #    RAW payload for forensics). Legacy: filter twice; dead letters
+    #    taken from the RAW frame so writing them later cannot re-fire
+    #    the Observation node.
     cleaner = clean_text_pudf if cfg.use_pandas_udf else clean_text_col
-    for c_name in cfg.clean_cols:
-        if c_name in valid.columns:
-            valid = valid.withColumn(c_name, cleaner(F.col(c_name)))
+    if fuse_dead:
+        valid = upstream
+        dead = None
+        for c_name in cfg.clean_cols:
+            if c_name in valid.columns:
+                valid = valid.withColumn(
+                    c_name,
+                    F.when(is_valid, cleaner(F.col(c_name))).otherwise(
+                        F.col(c_name)
+                    ),
+                )
+    else:
+        valid, _ = split_valid(upstream, cfg.key_cols, cfg.op_col)
+        _, dead = split_valid(batch_df, cfg.key_cols, cfg.op_col)
+        for c_name in cfg.clean_cols:
+            if c_name in valid.columns:
+                valid = valid.withColumn(c_name, cleaner(F.col(c_name)))
 
     # 4. In-flight additive schema evolution: payload columns the table
     #    doesn't know yet → ALTER TABLE ADD COLUMN before the merge.
@@ -212,24 +259,7 @@ def apply_batch(
         ],
         cfg.lsn_col,
         cfg.op_col,
-    )
-    est_bytes = _estimate_batch_bytes(batch_df)
-    # Probe the RAW batch frame, not `src`: keys are untouched by the
-    # cleaning stage, and probing src would re-run scan + pandas-UDF
-    # cleaning for exactly the large batches where that hurts most.
-    salted = cfg.force_salted or (
-        cfg.salt_on_skew
-        and est_bytes is not None
-        and est_bytes >= cfg.skew_probe_min_bytes
-        and detect_hot_keys(batch_df, cfg.key_cols, cfg.skew_threshold)
-    )
-    # A backend whose MERGE cannot tolerate multiple source rows per key
-    # (real Iceberg MERGE INTO raises on multi-match) declares
-    # requires_unique_source=True and gets the LWW pre-reduce regardless
-    # of cfg.pre_reduce — misconfiguration must not be able to produce a
-    # runtime MERGE failure.
-    must_reduce = cfg.pre_reduce or getattr(
-        table, "requires_unique_source", False
+        *([is_valid.alias("_valid")] if fuse_dead else []),
     )
     if salted:
         reduced = lww_reduce_salted(
@@ -245,7 +275,17 @@ def apply_batch(
         reduced = src  # merge resolves per-key LWW itself
 
     # 6. MERGE (atomic snapshot commit, fenced). In MOR mode this is the
-    #    batch's ONE Spark job; the Observation fires inside it.
+    #    batch's ONE Spark job; the Observation fires inside it, and with
+    #    fusion the dead letters are written by it too.
+    dl_dir = cfg.dead_letter_dir or os.path.join(table.root, "_deadletter")
+    fuse_kwargs = (
+        {
+            "valid_col": "_valid",
+            "dead_sink": os.path.join(dl_dir, f"batch-{batch_id:06d}"),
+        }
+        if fuse_dead
+        else {}  # only fusion-capable backends see the new kwargs
+    )
     res = table.merge(
         reduced,
         batch_id=batch_id,
@@ -254,6 +294,7 @@ def apply_batch(
         op_col=cfg.op_col,
         assert_unique_keys=cfg.assert_unique_keys and (salted or must_reduce),
         pre_commit=pre_commit,
+        **fuse_kwargs,
     )
 
     if obs is not None:
@@ -278,9 +319,9 @@ def apply_batch(
     events_in = int(c["events"] or 0)
     dead_count = int(c["n_dead"] or 0)
 
-    # 7. Dead letters — write only when the counters saw any.
-    if dead_count:
-        dl_dir = cfg.dead_letter_dir or os.path.join(table.root, "_deadletter")
+    # 7. Dead letters — fused mode already wrote them inside the merge
+    #    job; legacy mode writes a separate job only when counters saw any.
+    if dead_count and not fuse_dead:
         dead.write.mode("append").parquet(
             os.path.join(dl_dir, f"batch-{batch_id:06d}")
         )
