@@ -152,7 +152,7 @@ def _batch_width(spark: SparkSession, sf_dir: str) -> int:
     """lsn-range width of one changelog micro-batch: max(lsn)//4, ≥1.
     One O(1)-result aggregation per (session, sf) — cached, and the
     replay builder below scans the stream anyway."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     w = _BATCH_WIDTH_CACHE.get(key)
     if w is None:
         mx = derive_change_events(spark, sf_dir).agg(F.max("lsn")).first()[0]
@@ -170,7 +170,7 @@ def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
     layout), and readers get the table's own lazy scan — no
     ``toPandas``/``collect`` anywhere on the data path.
     """
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _REPLAY_CACHE.get(key)
     if cached is not None:
         return cached
@@ -2727,7 +2727,7 @@ def _evolution_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
     created on the pre-evolution schema, batch files below the birth lsn
     physically lack the column, and apply_batch's per-batch schema diff
     issues the additive ALTER when the first post-birth batch arrives."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _EVO_CACHE.get(key)
     if cached is not None:
         return cached
@@ -3152,7 +3152,7 @@ _ROLLBACK_CACHE: dict = {}
 
 
 def q_cdc_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     table = _ROLLBACK_CACHE.get(key)
     if table is None:
         from .pipeline import ApplyConfig, apply_batch

@@ -128,3 +128,17 @@ INTENDED_FIRST_50 = [
 
 def test_driver_window_is_the_intended_first_50():
     assert list(ALL_QUERIES)[:50] == INTENDED_FIRST_50
+
+
+def test_query_caches_keyed_on_application_id(spark):
+    """The replayed-table caches must key on applicationId, not
+    id(spark) — a GC'd session's id can be reused by a fresh one, which
+    would serve a stale table handle (r3 verdict)."""
+    from etl_pipeline_spark import queries as Q
+
+    t1 = Q._replayed_table(spark, SF_DIR)
+    t2 = Q._replayed_table(spark, SF_DIR)
+    assert t1 is t2  # cache hit
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, SF_DIR) in Q._REPLAY_CACHE
+    assert all(isinstance(k[0], str) for k in Q._REPLAY_CACHE)
