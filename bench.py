@@ -43,7 +43,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # cores on a real cluster; both requested and used counts are reported.
 USED_CPUS = min(CPUS, 16)
 EVENTS_PER_SF = 200_000_000  # sf0.1 → 20M change events
-BATCH_SIZE = 5_000_000
+BATCH_SIZE = int(os.environ.get("SPARK_GRAFT_BATCH", "5000000"))
 # Tuning knobs, overridable for BENCH/depth_sweep.py (defaults = the
 # swept optimum recorded in BENCH/BASELINE.md):
 FILES_PER_BATCH = int(os.environ.get("SPARK_GRAFT_FPB", "2"))
