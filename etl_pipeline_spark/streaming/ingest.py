@@ -49,12 +49,22 @@ class SchemaWidened(Exception):
         super().__init__(f"schema birth detected: {new_cols}")
 
 
+# Per-file footer memo: changelog batch files are immutable once
+# published (append-only feed contract), so a footer read once is a
+# footer known forever. This bounds the evolving driver's per-restart
+# reconciliation AND the per-trigger guard on compact-log batches (whose
+# metadata lists every file seen so far) to O(files NOT yet seen) footer
+# fetches instead of O(all files) — the difference between milliseconds
+# and minutes on a many-small-file feed.
+_FOOTER_CACHE: dict[str, dict[str, T.DataType]] = {}
+
+
 def _parquet_footer_fields(paths: list[str]) -> dict[str, T.DataType]:
     """Column name → Spark type union over Parquet footers. Driver-side
-    pyarrow metadata reads — O(files) small footer fetches, no Spark job,
-    no data scanned. Non-parquet files are skipped (JSONL/CSV carry no
-    self-describing schema; those feeds evolve via the declared-schema
-    path, not footer discovery)."""
+    pyarrow metadata reads — small footer fetches (memoized per
+    immutable file), no Spark job, no data scanned. Non-parquet files
+    are skipped (JSONL/CSV carry no self-describing schema; those feeds
+    evolve via the declared-schema path, not footer discovery)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_type
 
@@ -63,16 +73,25 @@ def _parquet_footer_fields(paths: list[str]) -> dict[str, T.DataType]:
         if not p.endswith(".parquet"):
             continue
         local = p[7:] if p.startswith("file://") else p
-        try:
-            fields = pq.read_schema(local)
-        except Exception:
-            continue
-        for name, typ in zip(fields.names, fields.types):
+        cached = _FOOTER_CACHE.get(local)
+        if cached is None:
+            cached = {}
+            try:
+                fields = pq.read_schema(local)
+            except Exception:
+                fields = None
+            if fields is not None:
+                for name, typ in zip(fields.names, fields.types):
+                    try:
+                        cached[name] = from_arrow_type(typ)
+                    except Exception:
+                        cached[name] = T.StringType()
+                # only memoize successful reads — a torn in-flight file
+                # may become readable later
+                _FOOTER_CACHE[local] = cached
+        for name, typ in cached.items():
             if name not in out:
-                try:
-                    out[name] = from_arrow_type(typ)
-                except Exception:
-                    out[name] = T.StringType()
+                out[name] = typ
     return out
 
 
