@@ -342,7 +342,30 @@ class MiniLakeTable:
             .distinct()
             .collect()
         )
-        dirs = [d for b in buckets for d in m["buckets"].get(str(b), [])]
+        # Second pruning tier after bucket selection: manifest-recorded
+        # per-dir key bounds (Iceberg-manifest analog) skip delta files
+        # whose key range cannot contain any requested key. Dirs without
+        # recorded bounds are always kept — pruning is an optimization,
+        # never a correctness dependency.
+        stats = m.get("file_stats", {})
+
+        def _may_contain(d: str) -> bool:
+            s = stats.get(d)
+            if not s:
+                return True
+            try:
+                return any(
+                    s["key_min"] <= v <= s["key_max"] for v in values
+                )
+            except TypeError:  # mixed/incomparable types → keep
+                return True
+
+        dirs = [
+            d
+            for b in buckets
+            for d in m["buckets"].get(str(b), [])
+            if _may_contain(d)
+        ]
         return self.read(version, _dirs=dirs).filter(
             F.col(key0).isin(list(values))
         )
@@ -386,6 +409,75 @@ class MiniLakeTable:
             for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
         )
         return [self.manifest(v) for v in versions]
+
+    # --------------------------------------------------------- file stats
+
+    @staticmethod
+    def _collect_dir_stats(bucket_dir: str, key0: str) -> dict | None:
+        """Iceberg-manifest-style per-file column bounds for a freshly
+        written bucket dir: min/max of the primary key and ``_lsn`` plus
+        the row count, read from the Parquet FOOTERS (driver-side, no
+        Spark job — O(part files) metadata fetches per commit). Returns
+        None when any footer lacks usable min/max (readers then simply
+        keep the dir — pruning is an optimization, never a correctness
+        dependency)."""
+        import pyarrow.parquet as pq
+
+        key_min = key_max = lsn_min = lsn_max = None
+        rows = 0
+        try:
+            names = [
+                n for n in os.listdir(bucket_dir) if n.endswith(".parquet")
+            ]
+            if not names:
+                return None
+            for name in names:
+                md = pq.read_metadata(os.path.join(bucket_dir, name))
+                schema_names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                ki = schema_names.index(key0)
+                li = schema_names.index(LSN_COL)
+                rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    ks = row_group.column(ki).statistics
+                    ls = row_group.column(li).statistics
+                    if (
+                        ks is None or not ks.has_min_max
+                        or ls is None or not ls.has_min_max
+                    ):
+                        return None
+                    if not isinstance(ks.min, (str, int, float)):
+                        return None  # keep manifests JSON-serializable
+                    key_min = ks.min if key_min is None else min(key_min, ks.min)
+                    key_max = ks.max if key_max is None else max(key_max, ks.max)
+                    lsn_min = ls.min if lsn_min is None else min(lsn_min, ls.min)
+                    lsn_max = ls.max if lsn_max is None else max(lsn_max, ls.max)
+        except Exception:
+            return None
+        if key_min is None:
+            return None
+        return {
+            "key_min": key_min, "key_max": key_max,
+            "lsn_min": int(lsn_min), "lsn_max": int(lsn_max),
+            "rows": int(rows),
+        }
+
+    def _stats_for_manifest(
+        self, base: dict, new_dirs: list[str], new_buckets: dict, key0: str
+    ) -> dict:
+        """file_stats for a new snapshot: fresh bounds for just-written
+        dirs + carried-over bounds for surviving dirs; entries for
+        dropped dirs are trimmed so the manifest never grows beyond the
+        live file set."""
+        stats = dict(base.get("file_stats", {}))
+        for d in new_dirs:
+            s = self._collect_dir_stats(d, key0)
+            if s is not None:
+                stats[d] = s
+        live = {d for ds in new_buckets.values() for d in ds}
+        return {d: s for d, s in stats.items() if d in live}
 
     # -------------------------------------------------------------- merge
 
@@ -764,12 +856,14 @@ class MiniLakeTable:
             self._relocate_dead_letters(out_dir, dead_sink)
 
         new_buckets = dict(base["buckets"])
+        new_dirs: list[str] = []
         for b in touched:
             bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
             if not os.path.exists(bucket_dir):
                 if write_mode == "cow":
                     new_buckets[str(b)] = []
                 continue
+            new_dirs.append(bucket_dir)
             if write_mode == "mor":  # append delta; never drop history
                 new_buckets[str(b)] = new_buckets.get(str(b), []) + [bucket_dir]
             else:  # cow: replace the bucket's files
@@ -806,6 +900,9 @@ class MiniLakeTable:
             "n_buckets": n_buckets,
             "write_mode": write_mode,
             "buckets": new_buckets,
+            "file_stats": self._stats_for_manifest(
+                base, new_dirs, new_buckets, key_cols[0]
+            ),
             "properties": {
                 **base["properties"],
                 FENCES_PROP: {
@@ -970,10 +1067,12 @@ class MiniLakeTable:
             .parquet(out_dir)
         )
         new_buckets = dict(base["buckets"]) if buckets is not None else {}
+        new_dirs: list[str] = []
         for b in target:
             bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
             if os.path.exists(bucket_dir):
                 new_buckets[str(b)] = [bucket_dir]
+                new_dirs.append(bucket_dir)
             elif buckets is not None:
                 new_buckets.pop(str(b), None)  # bucket emptied out
         m2 = dict(base)
@@ -981,6 +1080,9 @@ class MiniLakeTable:
         m2["parent_snapshot_id"] = base["snapshot_id"]
         m2["snapshot_id"] = str(uuid.uuid4())
         m2["buckets"] = new_buckets
+        m2["file_stats"] = self._stats_for_manifest(
+            base, new_dirs, new_buckets, key0
+        )
         m2["committed_at"] = time.time()
         self._write_manifest(m2)
         return m2["version"]

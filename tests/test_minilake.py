@@ -191,3 +191,64 @@ def test_rollback_rejects_bad_targets(spark, tmp_path):
         t.rollback(t.current_version())
     with pytest.raises(ValueError, match="no snapshot"):
         t.rollback(99)
+
+
+def test_file_stats_recorded_and_prune_point_lookups(spark, tmp_path):
+    """Merges record per-dir key/_lsn bounds (Parquet-footer-derived,
+    Iceberg-manifest analog) and read_for_keys uses them as a second
+    pruning tier below bucket selection: delta dirs whose key range
+    cannot contain a requested key are skipped, and the pruned read
+    still returns exactly the right rows."""
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0, key_cols=KEYS,
+        n_buckets=1, write_mode="mor",  # one bucket → stats do the pruning
+    )
+    # two batches with disjoint key ranges in the same bucket
+    t.merge(_src(spark, [("aaa", 0, "u", "a0", None, 1, "I"),
+                         ("abb", 0, "u", "a1", None, 2, "I")]), batch_id=0)
+    t.merge(_src(spark, [("zzz", 0, "u", "z0", None, 3, "I"),
+                         ("zyy", 0, "u", "z1", None, 4, "I")]), batch_id=1)
+    m = t.manifest()
+    all_dirs = [d for ds in m["buckets"].values() for d in ds]
+    assert len(all_dirs) == 2
+    stats = m.get("file_stats", {})
+    assert set(stats) == set(all_dirs)
+    for d, s in stats.items():
+        assert s["key_min"] <= s["key_max"]
+        assert s["lsn_min"] <= s["lsn_max"]
+        assert s["rows"] == 2
+
+    # the helper-level pruning decision: a key in [aaa, abb] must keep
+    # only the first delta dir
+    lo_dir = min(stats, key=lambda d: stats[d]["key_min"])
+    hi_dir = max(stats, key=lambda d: stats[d]["key_min"])
+    assert stats[lo_dir]["key_max"] < stats[hi_dir]["key_min"]
+
+    got = {r["conv_id"]: r["text"] for r in t.read_for_keys(["abb"]).collect()}
+    assert got == {"abb": "a1"}
+    got2 = {r["conv_id"]: r["text"]
+            for r in t.read_for_keys(["zyy", "aaa"]).collect()}
+    assert got2 == {"zyy": "z1", "aaa": "a0"}
+
+
+def test_file_stats_survive_compaction_and_trim(spark, tmp_path):
+    """Compaction refreshes bounds for rewritten dirs and trims entries
+    for folded-away dirs — file_stats always tracks the live file set."""
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0, key_cols=KEYS,
+        n_buckets=2, write_mode="mor",
+    )
+    for i in range(4):
+        t.merge(
+            _src(spark, [(f"c{i}", 0, "u", f"v{i}", None, i + 1, "I")]),
+            batch_id=i,
+        )
+    t.compact(drop_tombstones=False)
+    m = t.manifest()
+    live = {d for ds in m["buckets"].values() for d in ds}
+    stats = m.get("file_stats", {})
+    assert set(stats) == live  # trimmed to exactly the live dirs
+    total = sum(s["rows"] for s in stats.values())
+    assert total == 4
+    # lookups still correct through the compacted layout
+    assert [r["text"] for r in t.read_for_keys(["c2"]).collect()] == ["v2"]
