@@ -81,6 +81,10 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
     path = os.path.join(REPO, "BENCH", "scale_results.jsonl")
     if not os.path.exists(path):
         return []
+    # Group by CONFIG (depth, events_per_batch) as well as volume: the
+    # N vs 4N ratio is only honest when both levels ran the same job
+    # shape. Among configs measured at BOTH levels, report the one with
+    # the best 4N throughput.
     best: dict[tuple, dict] = {}
     with open(path) as fh:
         for line in fh:
@@ -88,14 +92,32 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
             if not line:
                 continue
             r = json.loads(line)
-            k = (r["n_events"], r["cpus"])
+            k = (
+                r["n_events"], r["cpus"],
+                r.get("pipeline_depth"), r.get("events_per_batch"),
+            )
             if k not in best or r["events_per_sec"] > best[k]["events_per_sec"]:
                 best[k] = r
     out: list[str] = []
     vols = sorted({k[0] for k in best})
     for n_events in vols:
-        lo_r = best.get((n_events, LEVELS[0]))
-        hi_r = best.get((n_events, LEVELS[1]))
+        cfgs = sorted(
+            {
+                (k[2], k[3])
+                for k in best
+                if k[0] == n_events
+                and (n_events, LEVELS[0], k[2], k[3]) in best
+                and (n_events, LEVELS[1], k[2], k[3]) in best
+            }
+        )
+        if not cfgs:
+            continue
+        cfg = max(
+            cfgs,
+            key=lambda c: best[(n_events, LEVELS[1], *c)]["events_per_sec"],
+        )
+        lo_r = best.get((n_events, LEVELS[0], *cfg))
+        hi_r = best.get((n_events, LEVELS[1], *cfg))
         if not (lo_r and hi_r):
             continue
         sp = hi_r["events_per_sec"] / lo_r["events_per_sec"]
@@ -105,9 +127,10 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
             f"({n_events // 20_000_000}x the sf0.1 bench volume)",
             "",
             "One bounded replay per level via `BENCH/scale_run.py` "
-            "(volume-packed 10M-event micro-batches, pipeline depth 2, "
-            "periodic maintenance folds every 12 batches; solo runs — "
-            "contended draws are excluded from the record):",
+            f"(volume-packed {cfg[1] // 1_000_000}M-event micro-batches, "
+            f"pipeline depth {cfg[0]}, periodic maintenance folds; solo "
+            "runs — contended draws are excluded from the record; same "
+            "config at both levels):",
             "",
             f"| metric | local[{LEVELS[0]}] (N) | local[{LEVELS[1]}] (4N) |",
             "|---|---|---|",
@@ -172,7 +195,8 @@ def main() -> None:
         "",
         f"Input: `{SF_DIR}` (sf={results[lo]['sf']}); CDC replay of "
         f"{results[lo]['cdc_events']:,} synthetic change events in "
-        f"{results[lo]['cdc_events'] // 10_000_000} micro-batches of 10M "
+        f"{results[lo]['cdc_events'] // (results[lo]['files_per_batch'] * 5_000_000)} "
+        f"micro-batches of {results[lo]['files_per_batch'] * 5}M "
         f"(merge-on-read deltas + final compaction fold; "
         f"generation untimed), final state "
         f"{results[lo]['cdc_final_rows']:,} live rows; plus the headline "

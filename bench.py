@@ -45,8 +45,13 @@ USED_CPUS = min(CPUS, 16)
 EVENTS_PER_SF = 200_000_000  # sf0.1 → 20M change events
 BATCH_SIZE = int(os.environ.get("SPARK_GRAFT_BATCH", "5000000"))
 # Tuning knobs, overridable for BENCH/depth_sweep.py (defaults = the
-# swept optimum recorded in BENCH/BASELINE.md):
-FILES_PER_BATCH = int(os.environ.get("SPARK_GRAFT_FPB", "2"))
+# swept optimum recorded in BENCH/BASELINE.md). fpb=1 (5M-event
+# micro-batches): best local[16] absolute in the r4 sweep (16.6s vs 17.2
+# for depth3/fpb2) — smaller batches keep every core fed at high
+# parallelism; local[4] prefers bigger batches (fixed per-batch cost
+# amortizes worse at low core counts), but the scaling rule compares the
+# SAME config at both levels.
+FILES_PER_BATCH = int(os.environ.get("SPARK_GRAFT_FPB", "1"))
 PIPELINE_DEPTH = int(os.environ.get("SPARK_GRAFT_DEPTH", "2"))
 REPLAY_REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
 REPLAY_ONLY = os.environ.get("SPARK_GRAFT_REPLAY_ONLY", "") == "1"
