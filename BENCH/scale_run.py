@@ -83,6 +83,12 @@ def main() -> None:
     result = {
         "metric": "scale_run_cdc_apply_throughput",
         "n_events": N_EVENTS,
+        # efficiency RATIOS are only meaningful between draws from the
+        # same host window on this 3x-variance VM — stamp the day so
+        # scaling.py pairs N and 4N draws within a window
+        "host_window": os.environ.get(
+            "SCALE_RUN_WINDOW", time.strftime("%Y-%m-%d")
+        ),
         "cpus": CPUS,
         "pipeline_depth": DEPTH,
         "events_per_batch": EPB,

@@ -73,6 +73,16 @@ def run_bench(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+# Hardware-ceiling calibration per recorded host window: a ratio must be
+# normalized by the ceiling measured in ITS OWN window, not the current
+# one (the ceiling itself swings with host steal). Windows without an
+# entry fall back to the current calibration, labeled as such.
+KNOWN_WINDOW_CEILINGS = {
+    "r3-session": 3.15,  # BASELINE.md as of round 3 (calibration raw kept in git history)
+    "2026-08-17": 2.47,
+}
+
+
 def _scale_up_section(hw_speedup: float) -> list[str]:
     """Fold BENCH/scale_results.jsonl (written by BENCH/scale_run.py —
     solo 10x-volume replays) into the baseline: sustained throughput,
@@ -81,10 +91,12 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
     path = os.path.join(REPO, "BENCH", "scale_results.jsonl")
     if not os.path.exists(path):
         return []
-    # Group by CONFIG (depth, events_per_batch) as well as volume: the
+    # Group by CONFIG (depth, events_per_batch) AND host window: the
     # N vs 4N ratio is only honest when both levels ran the same job
-    # shape. Among configs measured at BOTH levels, report the one with
-    # the best 4N throughput.
+    # shape, and on this 3x-variance VM it is only meaningful between
+    # draws from the same host window. Among (config, window) pairs
+    # measured at BOTH levels, report the one with the best 4N
+    # throughput.
     best: dict[tuple, dict] = {}
     with open(path) as fh:
         for line in fh:
@@ -95,25 +107,26 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
             k = (
                 r["n_events"], r["cpus"],
                 r.get("pipeline_depth"), r.get("events_per_batch"),
+                r.get("host_window", "unknown"),
             )
             if k not in best or r["events_per_sec"] > best[k]["events_per_sec"]:
                 best[k] = r
     out: list[str] = []
     vols = sorted({k[0] for k in best})
     for n_events in vols:
-        cfgs = sorted(
+        pairs = sorted(
             {
-                (k[2], k[3])
+                (k[2], k[3], k[4])
                 for k in best
                 if k[0] == n_events
-                and (n_events, LEVELS[0], k[2], k[3]) in best
-                and (n_events, LEVELS[1], k[2], k[3]) in best
+                and (n_events, LEVELS[0], k[2], k[3], k[4]) in best
+                and (n_events, LEVELS[1], k[2], k[3], k[4]) in best
             }
         )
-        if not cfgs:
+        if not pairs:
             continue
         cfg = max(
-            cfgs,
+            pairs,
             key=lambda c: best[(n_events, LEVELS[1], *c)]["events_per_sec"],
         )
         lo_r = best.get((n_events, LEVELS[0], *cfg))
@@ -144,8 +157,17 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
             f"{hi_r['mid_replay_compactions']} |",
             "",
             f"- **Raw scaling efficiency N→4N = {sp / 4:.3f}**; "
-            f"hardware-normalized = {sp / hw_speedup:.3f} "
-            f"(engine {sp:.2f}x vs hw ceiling {hw_speedup:.2f}x)",
+            f"hardware-normalized = "
+            f"{sp / KNOWN_WINDOW_CEILINGS.get(cfg[2], hw_speedup):.3f} "
+            f"(engine {sp:.2f}x vs that window's hw ceiling "
+            f"{KNOWN_WINDOW_CEILINGS.get(cfg[2], hw_speedup):.2f}x; "
+            f"ratio from same-window draws, host window `{cfg[2]}`)",
+            "- Absolute bests across all recorded windows/configs: "
+            + ", ".join(
+                f"local[{lvl}] "
+                f"{max(best[k]['events_per_sec'] for k in best if k[0] == n_events and k[1] == lvl):,.0f} events/s"
+                for lvl in LEVELS
+            ),
             f"- Delta chains stayed bounded during the replay "
             f"(max {chains.get('max', '?')} of "
             f"{hi_r['batches']} batches before the final fold) — the "
