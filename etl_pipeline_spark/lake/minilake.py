@@ -506,28 +506,44 @@ class MiniLakeTable:
         fence — the exactly-once path for batches that change no rows
         (fully dead-lettered / empty input). Shared by the COW pre-write
         and MOR post-write empty-batch paths."""
-        m2 = dict(base)
-        m2["version"] = version + 1
-        m2["parent_snapshot_id"] = base["snapshot_id"]
-        m2["snapshot_id"] = str(uuid.uuid4())
-        m2["properties"] = {
-            **base["properties"],
-            FENCES_PROP: {
-                **base["properties"].get(FENCES_PROP, {}),
-                stream_id: batch_id,
-            },
-        }
-        m2["committed_at"] = time.time()
-        self._write_manifest(m2)
-        return MergeResult(
-            skipped=False,
-            version=m2["version"],
-            snapshot_id=m2["snapshot_id"],
-            rows_upserted=0,
-            rows_deleted=0,
-            buckets_touched=0,
-            wall_ms=(time.time() - t0) * 1000,
-        )
+        while True:
+            m2 = dict(base)
+            m2["version"] = version + 1
+            m2["parent_snapshot_id"] = base["snapshot_id"]
+            m2["snapshot_id"] = str(uuid.uuid4())
+            m2["properties"] = {
+                **base["properties"],
+                FENCES_PROP: {
+                    **base["properties"].get(FENCES_PROP, {}),
+                    stream_id: batch_id,
+                },
+            }
+            m2["committed_at"] = time.time()
+            try:
+                self._write_manifest(m2)
+            except CommitConflict:
+                # a fence advance carries no data: always safe to retry
+                # on top of whatever the racing writer committed
+                base = self.manifest()
+                version = base["version"]
+                hw = base["properties"].get(FENCES_PROP, {}).get(
+                    stream_id, -1
+                )
+                if batch_id <= hw:  # the racer applied this very batch
+                    return MergeResult(
+                        skipped=True, reason="fenced",
+                        version=version, snapshot_id=base["snapshot_id"],
+                    )
+                continue
+            return MergeResult(
+                skipped=False,
+                version=m2["version"],
+                snapshot_id=m2["snapshot_id"],
+                rows_upserted=0,
+                rows_deleted=0,
+                buckets_touched=0,
+                wall_ms=(time.time() - t0) * 1000,
+            )
 
     def merge(
         self,
@@ -855,19 +871,28 @@ class MiniLakeTable:
             # appear as table data)
             self._relocate_dead_letters(out_dir, dead_sink)
 
-        new_buckets = dict(base["buckets"])
-        new_dirs: list[str] = []
+        # The batch's delta, described independently of the CAS base so a
+        # conflicted commit can rebuild its manifest on a fresh base
+        # (data files never change on retry — only the manifest delta).
+        delta_dirs: dict[int, str | None] = {}
         for b in touched:
             bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-            if not os.path.exists(bucket_dir):
-                if write_mode == "cow":
-                    new_buckets[str(b)] = []
-                continue
-            new_dirs.append(bucket_dir)
-            if write_mode == "mor":  # append delta; never drop history
-                new_buckets[str(b)] = new_buckets.get(str(b), []) + [bucket_dir]
-            else:  # cow: replace the bucket's files
-                new_buckets[str(b)] = [bucket_dir]
+            delta_dirs[b] = bucket_dir if os.path.exists(bucket_dir) else None
+
+        def _merged_buckets(base_buckets: dict) -> tuple[dict, list[str]]:
+            nb = dict(base_buckets)
+            nd: list[str] = []
+            for b, bucket_dir in delta_dirs.items():
+                if bucket_dir is None:
+                    if write_mode == "cow":
+                        nb[str(b)] = []
+                    continue
+                nd.append(bucket_dir)
+                if write_mode == "mor":  # append delta; never drop history
+                    nb[str(b)] = nb.get(str(b), []) + [bucket_dir]
+                else:  # cow: replace the bucket's files
+                    nb[str(b)] = [bucket_dir]
+            return nb, nd
 
         # Stats via Observation: collected during the write itself —
         # no extra read-back job over the new files. Bucket dirs exist
@@ -891,41 +916,68 @@ class MiniLakeTable:
                 .collect()[0]
             )
 
-        m2 = {
-            "version": version + 1,
-            "snapshot_id": str(uuid.uuid4()),
-            "parent_snapshot_id": base["snapshot_id"],
-            "schema": base["schema"],
-            "key_cols": key_cols,
-            "n_buckets": n_buckets,
-            "write_mode": write_mode,
-            "buckets": new_buckets,
-            "file_stats": self._stats_for_manifest(
-                base, new_dirs, new_buckets, key_cols[0]
-            ),
-            "properties": {
-                **base["properties"],
-                FENCES_PROP: {
-                    **base["properties"].get(FENCES_PROP, {}),
-                    stream_id: batch_id,
+        while True:
+            new_buckets, new_dirs = _merged_buckets(base["buckets"])
+            m2 = {
+                "version": version + 1,
+                "snapshot_id": str(uuid.uuid4()),
+                "parent_snapshot_id": base["snapshot_id"],
+                "schema": base["schema"],
+                "key_cols": key_cols,
+                "n_buckets": n_buckets,
+                "write_mode": write_mode,
+                "buckets": new_buckets,
+                "file_stats": self._stats_for_manifest(
+                    base, new_dirs, new_buckets, key_cols[0]
+                ),
+                "properties": {
+                    **base["properties"],
+                    FENCES_PROP: {
+                        **base["properties"].get(FENCES_PROP, {}),
+                        stream_id: batch_id,
+                    },
+                    MAX_LSN_PROP: max(
+                        base["properties"].get(MAX_LSN_PROP, -1),
+                        int(stats_row["max_lsn"] or -1),
+                    ),
                 },
-                MAX_LSN_PROP: max(
-                    base["properties"].get(MAX_LSN_PROP, -1),
-                    int(stats_row["max_lsn"] or -1),
-                ),
-            },
-            "stats": {
-                # exact recount happens in compact(); merges stay cheap
-                # with write-observed stats only
-                "live_rows": int(stats_row["live"]),
-                "tombstones": int(stats_row["dead"]),
-                "stats_scope": "mor_delta" if write_mode == "mor" else (
-                    "touched_buckets_only" if len(touched) < n_buckets else "full"
-                ),
-            },
-            "committed_at": time.time(),
-        }
-        self._write_manifest(m2)
+                "stats": {
+                    # exact recount happens in compact(); merges stay cheap
+                    # with write-observed stats only
+                    "live_rows": int(stats_row["live"]),
+                    "tombstones": int(stats_row["dead"]),
+                    "stats_scope": "mor_delta" if write_mode == "mor" else (
+                        "touched_buckets_only" if len(touched) < n_buckets else "full"
+                    ),
+                },
+                "committed_at": time.time(),
+            }
+            try:
+                self._write_manifest(m2)
+                break
+            except CommitConflict:
+                if write_mode != "mor":
+                    # COW read current state against the OLD base — a
+                    # retry on a new base could resurrect rows another
+                    # writer just changed. The caller must redo the merge.
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise
+                # MOR: delta files are base-independent — re-read the
+                # base, re-check the fence, rebuild the manifest delta on
+                # top of the racer's snapshot and CAS again. (The commit
+                # dir keeps its original version prefix — cosmetic; dirs
+                # are referenced by full path.)
+                base = self.manifest()
+                version = base["version"]
+                hw = base["properties"].get(FENCES_PROP, {}).get(
+                    stream_id, -1
+                )
+                if batch_id <= hw:  # the racer applied this very batch
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    return MergeResult(
+                        skipped=True, reason="fenced",
+                        version=version, snapshot_id=base["snapshot_id"],
+                    )
         return MergeResult(
             skipped=False,
             version=m2["version"],
@@ -1066,23 +1118,44 @@ class MiniLakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        new_buckets = dict(base["buckets"]) if buckets is not None else {}
-        new_dirs: list[str] = []
-        for b in target:
-            bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-            if os.path.exists(bucket_dir):
-                new_buckets[str(b)] = [bucket_dir]
-                new_dirs.append(bucket_dir)
-            elif buckets is not None:
-                new_buckets.pop(str(b), None)  # bucket emptied out
-        m2 = dict(base)
-        m2["version"] = version + 1
-        m2["parent_snapshot_id"] = base["snapshot_id"]
-        m2["snapshot_id"] = str(uuid.uuid4())
-        m2["buckets"] = new_buckets
-        m2["file_stats"] = self._stats_for_manifest(
-            base, new_dirs, new_buckets, key0
-        )
-        m2["committed_at"] = time.time()
-        self._write_manifest(m2)
-        return m2["version"]
+        # the exact dir-set each folded file REPLACES — a conflicted
+        # commit rebuilds on a fresh base by swapping precisely these
+        # out and keeping any deltas a racing merge appended since
+        folded_set = {
+            b: set(base["buckets"].get(str(b), [])) for b in target
+        }
+        while True:
+            new_buckets = dict(base["buckets"])
+            new_dirs: list[str] = []
+            for b in target:
+                bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+                survivors = [
+                    d
+                    for d in new_buckets.get(str(b), [])
+                    if d not in folded_set[b]
+                ]
+                folded = (
+                    [bucket_dir] if os.path.exists(bucket_dir) else []
+                )
+                if folded:
+                    new_dirs.append(bucket_dir)
+                if folded or survivors:
+                    new_buckets[str(b)] = folded + survivors
+                else:
+                    new_buckets.pop(str(b), None)  # bucket emptied out
+            m2 = dict(base)
+            m2["version"] = version + 1
+            m2["parent_snapshot_id"] = base["snapshot_id"]
+            m2["snapshot_id"] = str(uuid.uuid4())
+            m2["buckets"] = new_buckets
+            m2["file_stats"] = self._stats_for_manifest(
+                base, new_dirs, new_buckets, key0
+            )
+            m2["committed_at"] = time.time()
+            try:
+                self._write_manifest(m2)
+                return m2["version"]
+            except CommitConflict:
+                # maintenance racing ingest: rebuild on the racer's base
+                base = self.manifest()
+                version = base["version"]
