@@ -1114,7 +1114,16 @@ class MiniLakeTable:
         )
         (
             df.repartition(max(len(target), 1), F.col(BUCKET_COL))
+            # Key-clustered row groups: compaction is the long-lived
+            # layout, so pay one local sort here and every later point
+            # lookup prunes row groups on tight key min/max (plus better
+            # dictionary/RLE compression). Deltas stay unsorted — they
+            # are short-lived by design.
+            .sortWithinPartitions(key0)
             .write.partitionBy(BUCKET_COL)
+            # parquet bloom filter on the key: equality pushdown skips
+            # row groups the min/max bounds can't exclude
+            .option(f"parquet.bloom.filter.enabled#{key0}", "true")
             .mode("overwrite")
             .parquet(out_dir)
         )

@@ -252,3 +252,27 @@ def test_file_stats_survive_compaction_and_trim(spark, tmp_path):
     assert total == 4
     # lookups still correct through the compacted layout
     assert [r["text"] for r in t.read_for_keys(["c2"]).collect()] == ["v2"]
+
+
+def test_compaction_output_is_key_sorted(spark, tmp_path):
+    """Compacted files are sorted by the primary key within each bucket
+    — tight per-row-group key bounds for point-lookup pruning (deltas
+    stay unsorted; they are short-lived)."""
+    import glob as _glob
+    import os as _os
+
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0, key_cols=KEYS,
+        n_buckets=2, write_mode="mor",
+    )
+    rows = [(f"c{i:03d}", 0, "u", f"v{i}", None, i + 1, "I")
+            for i in range(300)]
+    t.merge(_src(spark, rows), batch_id=0)
+    t.compact(drop_tombstones=False)
+    files = _glob.glob(
+        _os.path.join(t.data_dir, "compact-*", "_bucket=*", "*.parquet")
+    )
+    assert files
+    for f in files:
+        vals = [r["conv_id"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)
