@@ -242,6 +242,40 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(_replayed_table(spark, sf_dir).read())
 
 
+_REPLICA_CACHE: dict = {}
+
+
+def q_cdc_replicated_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication chain graded end-to-end: the replayed primary table's
+    CDC-out feed (lake/replicate.export_changes — per-batch LWW winners
+    incl. tombstones, deletes as op='D') is re-ingested into a fresh
+    replica table, whose state must equal the SAME LWW oracle as the
+    flagship replay — proving the change feed is lossless and
+    replayable, not just readable."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    replica = _REPLICA_CACHE.get(key)
+    if replica is None:
+        from .lake.replicate import export_changes
+        from .streaming.ingest import replay_files
+
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_replica_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        out = os.path.join(tmp, "export")
+        export_changes(primary, out)
+        replica = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"],
+            n_buckets=16,
+            write_mode="mor",
+        )
+        replay_files(spark, out, replica)
+        _REPLICA_CACHE[key] = replica
+    return _state_projection(replica.read())
+
+
 TIME_TRAVEL_SQL = f"""
 WITH ce AS ({CE_SQL}),
 w AS ({BATCH_W_SQL}),
@@ -3564,10 +3598,12 @@ QUERIES = {
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "cdc_replicated_state": q_cdc_replicated_state,
 }
 
 ORACLE_SQL = {
     "cdc_engine_replay": LWW_STATE_SQL,
+    "cdc_replicated_state": LWW_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
