@@ -163,8 +163,24 @@ class MiniLakeTable:
     def manifest(self, version: int | None = None) -> dict:
         if version is None:
             version = self.current_version()
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{version} does not exist (never committed, or "
+                f"expired by retention GC — earliest retained is "
+                f"v{self._earliest_version()}); time travel and "
+                "incremental reads past the retention horizon are "
+                "unavailable by design"
+            ) from None
+
+    def _earliest_version(self) -> int | None:
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        ]
+        return min(versions) if versions else None
 
     def _write_manifest(self, manifest: dict) -> None:
         """CAS-commit a manifest: O_EXCL create of the version file (lose

@@ -276,3 +276,25 @@ def test_compaction_output_is_key_sorted(spark, tmp_path):
     for f in files:
         vals = [r["conv_id"] for r in spark.read.parquet(f).collect()]
         assert vals == sorted(vals)
+
+
+def test_reads_past_retention_horizon_fail_clearly(spark, tmp_path):
+    """Incremental/time-travel reads older than the retention horizon
+    must fail with a clear error naming the earliest retained snapshot,
+    not a raw FileNotFoundError."""
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0, key_cols=KEYS,
+        n_buckets=2, write_mode="mor",
+    )
+    for i in range(6):
+        t.merge(
+            _src(spark, [(f"k{i}", 0, "u", f"v{i}", None, i + 1, "I")]),
+            batch_id=i,
+        )
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="retention"):
+        t.read_changes_since(1)
+    with pytest.raises(ValueError, match="retention"):
+        t.read(version=2)
+    # current state survives GC untouched
+    assert t.read().count() == 6
