@@ -155,3 +155,42 @@ def test_compact_conflict_keeps_racers_deltas(spark, tmp_path):
     assert state == {
         "k0": "v0", "k1": "v1", "k2": "v2", "k3": "v3", "late": "late-v",
     }
+
+
+def test_two_stream_fan_in_lww_across_streams(spark, tmp_path):
+    """Two independent changelog streams (disjoint, monotone lsn
+    segments over a SHARED conversation key space — e.g. two binlog
+    shards or a re-sharded feed) replay into ONE table under separate
+    fence streams; the final state must equal the LWW oracle over the
+    UNION of both streams, whatever the replay order."""
+    cfg_a = GenConfig(n_events=3_000, batch_size=1_000, seed=1)
+    cfg_b = GenConfig(n_events=3_000, batch_size=1_000, seed=2,
+                      lsn_offset=3_000)
+    clog_a = str(tmp_path / "a")
+    clog_b = str(tmp_path / "b")
+    write_changelog(cfg_a, clog_a)
+    write_changelog(cfg_b, clog_b)
+    table = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, key_cols=KEYS,
+        n_buckets=8, write_mode="mor",
+    )
+    # interleave: half of A, all of B, rest of A — order must not matter
+    replay_files(spark, clog_a, table, stop_after=2)
+    replay_files(spark, clog_b, table)
+    replay_files(spark, clog_a, table)  # resumes via stream-A fence
+
+    ev = pd.concat(
+        [generate_delivered_events(cfg_a), generate_delivered_events(cfg_b)],
+        ignore_index=True,
+    )
+    exp = expected_final_state(ev)
+    got = table.read().toPandas().sort_values(KEYS).reset_index(drop=True)
+    assert len(got) == len(exp)
+    a = ["∅" if pd.isna(x) else x for x in got["text"]]
+    b = ["∅" if pd.isna(x) else x for x in exp["text"]]
+    assert a == b
+    # the two fence streams advanced independently
+    from etl_pipeline_spark.lake.minilake import FENCES_PROP
+
+    fences = table.snapshot_props()[FENCES_PROP]
+    assert len(fences) == 2 and all(v == 2 for v in fences.values())
