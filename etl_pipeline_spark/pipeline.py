@@ -111,6 +111,16 @@ def apply_batch(
         )
         return res
 
+    required = [*cfg.key_cols, cfg.lsn_col, cfg.op_col]
+    missing_req = [c for c in required if c not in batch_df.columns]
+    if missing_req:
+        raise ValueError(
+            f"change batch is missing required column(s) {missing_req}; "
+            f"a change event needs keys {list(cfg.key_cols)}, an ordering "
+            f"column '{cfg.lsn_col}' and an op column '{cfg.op_col}' "
+            f"(got: {batch_df.columns})"
+        )
+
     is_valid = F.coalesce(valid_predicate(cfg.key_cols, cfg.op_col), F.lit(False))
     counter_aggs = [
         F.count(F.lit(1)).alias("events"),

@@ -201,3 +201,16 @@ def test_replay_events_per_batch_packing(spark, tmp_path):
     n = replay_files(spark, changelog, by_volume, events_per_batch=3_000)
     assert n == 4  # 10k rows / 3k target → 4 packed batches, not 7
     _assert_state_equal(_engine_state(by_files), _engine_state(by_volume))
+
+
+def test_apply_batch_names_missing_required_columns(spark, tmp_path):
+    import pytest
+
+    from etl_pipeline_spark.pipeline import apply_batch
+
+    table = _fresh_table(spark, tmp_path)
+    no_op = spark.createDataFrame(
+        [("a", 0, 1)], "conv_id string, turn_idx int, lsn long"
+    )
+    with pytest.raises(ValueError, match=r"missing required column.*'op'"):
+        apply_batch(table, no_op, 0)
