@@ -2725,6 +2725,57 @@ def q_cdc_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MV_CACHE: dict = {}
+
+
+def q_cdc_conv_stats_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally MAINTAINED materialized view of the same per-conv
+    stats (lake/materialize.refresh_keyed_aggregate): two partial
+    refreshes fold the replayed table's change feed into a keyed view
+    table — O(touched keys' buckets) per refresh — whose final content
+    must equal the from-scratch CONV_STATS oracle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _MV_CACHE.get(key)
+    if view is None:
+        from pyspark.sql import types as T
+
+        from .lake.materialize import refresh_keyed_aggregate
+
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_mv_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        view = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "view"),
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType(), False),
+                    T.StructField("n_turns", T.LongType(), True),
+                    T.StructField("n_roles", T.LongType(), True),
+                    T.StructField("last_ts_epoch", T.LongType(), True),
+                ]
+            ),
+            key_cols=["conv_id"],
+            n_buckets=8,
+            write_mode="mor",
+        )
+
+        def agg(live):
+            return live.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.countDistinct("role").alias("n_roles"),
+                F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
+            )
+
+        # two refreshes over disjoint version ranges — exercises true
+        # incrementality, not a one-shot recompute
+        v_mid = max((1 + primary.current_version()) // 2, 2)
+        refresh_keyed_aggregate(primary, view, agg, to_version=v_mid)
+        refresh_keyed_aggregate(primary, view, agg)
+        _MV_CACHE[key] = view
+    return view.read().select("conv_id", "n_turns", "n_roles", "last_ts_epoch")
+
+
 # ------------------------------------------------- schema evolution (E2E) --
 
 # `tool` is the additive-evolution column (SURVEY.md §1.3): changelog
@@ -3599,11 +3650,13 @@ QUERIES = {
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
     "cdc_replicated_state": q_cdc_replicated_state,
+    "cdc_conv_stats_mv": q_cdc_conv_stats_mv,
 }
 
 ORACLE_SQL = {
     "cdc_engine_replay": LWW_STATE_SQL,
     "cdc_replicated_state": LWW_STATE_SQL,
+    "cdc_conv_stats_mv": CONV_STATS_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
