@@ -91,8 +91,9 @@ def test_expire_snapshots_retention(spark, table):
         (r["conv_id"], r["turn_idx"], r["text"]) for r in table.read().collect()
     )
     assert after == state_before
-    # time travel past the horizon is gone — the standard retention trade
-    with pytest.raises(FileNotFoundError):
+    # time travel past the horizon is gone — the standard retention
+    # trade, surfaced as a clear error naming the earliest retained
+    with pytest.raises(ValueError, match="retention"):
         table.manifest(2)
 
 
