@@ -29,13 +29,23 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
         "--mode",
-        choices=["stream", "evolving-stream", "replay"],
+        choices=["stream", "evolving-stream", "replay", "export"],
         default="stream",
         help="stream: fixed superset read schema; evolving-stream: "
         "per-run Parquet-footer schema reconciliation plus in-trigger "
         "restart-on-widen (true in-flight column birth); replay: "
-        "bounded ordered-file replay, per-batch schema inference",
+        "bounded ordered-file replay, per-batch schema inference; "
+        "export: CDC-out — write the table's changes since "
+        "--from-version as a changelog batch (--out) a downstream "
+        "replica ingests with any other mode",
     )
+    ap.add_argument("--out", default=None, help="export mode: output dir")
+    ap.add_argument(
+        "--from-version", type=int, default=None,
+        help="export mode: last source version already exported "
+        "(default: full export since table creation)",
+    )
+    ap.add_argument("--batch-index", type=int, default=0)
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--files-per-trigger", type=int, default=4)
@@ -71,6 +81,25 @@ def main() -> None:
             n_buckets=args.n_buckets,
             write_mode=args.write_mode,
         )
+
+    if args.mode == "export":
+        if not args.out:
+            ap.error("--mode export requires --out")
+        from etl_pipeline_spark.lake.replicate import export_changes
+
+        path = export_changes(
+            table, args.out,
+            from_version=args.from_version, batch_index=args.batch_index,
+        )
+        print(
+            json.dumps(
+                {
+                    "exported_batch": path,
+                    "source_version": table.current_version(),
+                }
+            )
+        )
+        return
 
     cfg = ApplyConfig(lineage_level=args.lineage_level)
     n_lineage_before = len(LineageLog(table.root).records())
