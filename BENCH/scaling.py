@@ -79,7 +79,8 @@ def run_bench(cpus: int) -> dict:
 # entry fall back to the current calibration, labeled as such.
 KNOWN_WINDOW_CEILINGS = {
     "r3-session": 3.15,  # BASELINE.md as of round 3 (calibration raw kept in git history)
-    "2026-08-17": 2.47,
+    "2026-08-17": 2.47,  # morning draws (contended)
+    "2026-08-17-pm": 3.59,  # afternoon quiet window (same-session calibration)
 }
 
 
@@ -125,10 +126,17 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
         )
         if not pairs:
             continue
+        def _speedup(c):
+            return (
+                best[(n_events, LEVELS[1], *c)]["events_per_sec"]
+                / best[(n_events, LEVELS[0], *c)]["events_per_sec"]
+            )
+
         cfg = max(
             pairs,
             key=lambda c: best[(n_events, LEVELS[1], *c)]["events_per_sec"],
         )
+        best_ratio_cfg = max(pairs, key=_speedup)
         lo_r = best.get((n_events, LEVELS[0], *cfg))
         hi_r = best.get((n_events, LEVELS[1], *cfg))
         if not (lo_r and hi_r):
@@ -167,6 +175,20 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
                 f"local[{lvl}] "
                 f"{max(best[k]['events_per_sec'] for k in best if k[0] == n_events and k[1] == lvl):,.0f} events/s"
                 for lvl in LEVELS
+            ),
+            *(
+                [
+                    f"- Best demonstrated same-window ratio: "
+                    f"{_speedup(best_ratio_cfg) / 4:.3f} raw / "
+                    f"{_speedup(best_ratio_cfg) / KNOWN_WINDOW_CEILINGS.get(best_ratio_cfg[2], hw_speedup):.3f} "
+                    f"hardware-normalized ({best_ratio_cfg[1] // 1_000_000}M "
+                    f"batches, depth {best_ratio_cfg[0]}, window "
+                    f"`{best_ratio_cfg[2]}`) — window contention dominates "
+                    "ratio variance on this host; the absolute throughputs "
+                    "above are the stable round-over-round signal.",
+                ]
+                if best_ratio_cfg != cfg
+                else []
             ),
             f"- Delta chains stayed bounded during the replay "
             f"(max {chains.get('max', '?')} of "
