@@ -204,6 +204,69 @@ class MiniLakeTable:
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.meta_dir, "CURRENT"))
 
+    def _recover_current(self) -> bool:
+        """Roll ``CURRENT`` forward over fully-written version files left
+        behind by a writer that died between the ``O_EXCL`` manifest
+        create (the durable commit point) and the pointer rename. Such a
+        manifest IS committed — the pointer is just stale — so adopting
+        it is the only move that unblocks the CAS without discarding a
+        durable commit. A torn file (invalid JSON: the writer died
+        mid-``json.dump``) is NOT adopted — it may also belong to a live,
+        slow writer, so the caller bounds its retries instead.
+
+        Returns True if the pointer advanced. The repair rename can race
+        a concurrent legitimate commit and transiently point CURRENT one
+        version back; the next conflict's recovery re-advances it, and
+        every manifest it can point at is complete — readers never see a
+        torn snapshot.
+        """
+        cur = self.current_version()
+        adopted = cur
+        while True:
+            nxt = self._manifest_path(adopted + 1)
+            try:
+                with open(nxt) as f:
+                    json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError, OSError):
+                break
+            adopted += 1
+        if adopted == cur:
+            return False
+        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(adopted))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.meta_dir, "CURRENT"))
+        return True
+
+    def _reload_after_conflict(self, prev_version: int) -> dict:
+        """Fresh CAS base after a :class:`CommitConflict` — the shared
+        re-entry point of every retry loop, and the reason none of them
+        can spin forever: a retry is only handed a base that actually
+        PROGRESSED past the one it lost on. No visible progress means the
+        blocking ``v{prev+1}`` file is an orphan; a valid one (crash
+        after the manifest fsync, before the pointer rename) is adopted
+        via :meth:`_recover_current`, a torn one is polled briefly (its
+        writer may be alive and mid-write) and then surfaced as a clear
+        error instead of a silent livelock.
+        """
+        deadline = time.time() + 5.0
+        while True:
+            self._recover_current()
+            base = self.manifest()
+            if base["version"] > prev_version:
+                return base
+            if time.time() >= deadline:
+                raise CommitConflict(
+                    f"commit of v{prev_version + 1} is blocked by "
+                    f"{self._manifest_path(prev_version + 1)}: the file "
+                    "exists but is not a complete manifest and CURRENT "
+                    "has not advanced — a writer died mid-commit. Remove "
+                    "the torn file to unblock commits."
+                )
+            time.sleep(0.05)
+
     # ------------------------------------------------------------- schema
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -540,7 +603,7 @@ class MiniLakeTable:
             except CommitConflict:
                 # a fence advance carries no data: always safe to retry
                 # on top of whatever the racing writer committed
-                base = self.manifest()
+                base = self._reload_after_conflict(version)
                 version = base["version"]
                 hw = base["properties"].get(FENCES_PROP, {}).get(
                     stream_id, -1
@@ -983,7 +1046,13 @@ class MiniLakeTable:
                 # top of the racer's snapshot and CAS again. (The commit
                 # dir keeps its original version prefix — cosmetic; dirs
                 # are referenced by full path.)
-                base = self.manifest()
+                try:
+                    base = self._reload_after_conflict(version)
+                except CommitConflict:
+                    # torn-orphan livelock surfaced as an error — don't
+                    # leak the unreferenced commit dir while at it
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise
                 version = base["version"]
                 hw = base["properties"].get(FENCES_PROP, {}).get(
                     stream_id, -1
@@ -1181,6 +1250,23 @@ class MiniLakeTable:
                 self._write_manifest(m2)
                 return m2["version"]
             except CommitConflict:
-                # maintenance racing ingest: rebuild on the racer's base
-                base = self.manifest()
+                if base.get("write_mode", "cow") != "mor":
+                    # COW: a racing merge REPLACED the bucket dirs this
+                    # compaction folded — keeping both the stale fold and
+                    # the racer's replacement would duplicate rows, and
+                    # COW reads have no LWW resolve to hide it. Mirror
+                    # merge()'s COW policy: drop the fold and surface the
+                    # conflict; the caller re-runs compaction on the
+                    # fresh base.
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise
+                # MOR maintenance racing ingest: racers only APPEND delta
+                # dirs and reads LWW-resolve, so rebuilding the manifest
+                # on the racer's base (folded files + surviving deltas)
+                # stays correct
+                try:
+                    base = self._reload_after_conflict(version)
+                except CommitConflict:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise
                 version = base["version"]
