@@ -71,6 +71,10 @@ MAX_LSN_PROP = "engine.max-lsn"
 # relocated to the dead-letter sink before the manifest registers buckets
 DEAD_BUCKET = -1
 SRC_OP_COL = "_src_op"  # original op string preserved for dead letters
+# full pre-cast source row as JSON, dead rows only — the forensics
+# record: typed DLQ columns go through the table-type cast (junk that
+# fails the cast nulls out there), _raw never does
+RAW_COL = "_raw"
 VALID_COL = "_valid"
 
 
@@ -736,9 +740,13 @@ class MiniLakeTable:
             # the delta-file overhead is negligible)
             vcol = F.coalesce(F.col(valid_col).cast("boolean"), F.lit(False))
             deleted_expr = F.coalesce(deleted_expr, F.lit(False))
+            raw_cols = [c for c in src.columns if c != valid_col]
             fuse_extras = [
                 vcol.alias(VALID_COL),
                 F.when(~vcol, F.col(op_col).cast("string")).alias(SRC_OP_COL),
+                F.when(
+                    ~vcol, F.to_json(F.struct(*[F.col(c) for c in raw_cols]))
+                ).alias(RAW_COL),
             ]
         batch_phys = src.select(
             *[F.col(k).cast(types_by_name[k]).alias(k) for k in key_cols],
@@ -788,16 +796,15 @@ class MiniLakeTable:
                 # the repartition and the two exchanges stop being
                 # reusable. Identical-lsn duplicate deliveries of a dead
                 # row collapse to one DLQ entry (a bonus, not a loss).
+                # lsn-less fallback hashes the FULL pre-cast row (_raw
+                # embeds keys, payload and op) so only byte-identical
+                # dead rows collapse — hashing just keys+op collapsed
+                # distinct malformed events that shared null keys,
+                # losing forensics
                 dlq_key = F.when(
                     F.col(VALID_COL), F.lit(None).cast("long")
                 ).otherwise(
-                    F.coalesce(
-                        F.col(LSN_COL),
-                        F.xxhash64(
-                            *[F.col(c) for c in key_cols],
-                            F.col(SRC_OP_COL),
-                        ),
-                    )
+                    F.coalesce(F.col(LSN_COL), F.xxhash64(F.col(RAW_COL)))
                 )
                 clustered = clustered.withColumn("_dlq_key", dlq_key).drop(
                     VALID_COL
@@ -806,7 +813,7 @@ class MiniLakeTable:
                     clustered,
                     keys=[BUCKET_COL] + list(key_cols) + ["_dlq_key"],
                     order_col=LSN_COL,
-                    payload_cols=payload_cols + [DELETED_COL, SRC_OP_COL],
+                    payload_cols=payload_cols + [DELETED_COL, SRC_OP_COL, RAW_COL],
                 ).drop("_dlq_key")
             else:
                 merged = lww_reduce(

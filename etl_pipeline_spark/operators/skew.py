@@ -36,11 +36,16 @@ def salted_agg(
     compose sum/count themselves.
 
     The salt is always content-derived (``salt_col`` if given, else a
-    hash over keys + agg input columns) — deterministic under replay AND
-    under any re-split of the input, unlike
-    ``monotonically_increasing_id`` whose value depends on the partition
-    layout. Content-identical rows share a salt; the two-phase combine
-    is indifferent to that.
+    hash over ALL input columns) — deterministic under replay AND under
+    any re-split of the input, unlike ``monotonically_increasing_id``
+    whose value depends on the partition layout. That determinism has a
+    documented limit: rows that are BYTE-IDENTICAL across every column
+    share a salt, so a hot key whose rows are exact duplicates is not
+    spread — callers with duplicate-heavy hot keys must pass an explicit
+    row-distinguishing ``salt_col`` (an offset/lsn/file-position column;
+    any source worth ingesting at this scale has one). Hashing all
+    columns rather than just keys+agg-inputs maximizes the spread the
+    content can give.
     """
     for alias, (fn, _) in aggs.items():
         if fn not in _RESPLITTABLE:
@@ -48,8 +53,7 @@ def salted_agg(
     if salt_col is not None:
         salt_src = [F.col(salt_col)]
     else:
-        inputs = list(dict.fromkeys(c for _, c in aggs.values()))
-        salt_src = [F.col(c) for c in [*keys, *inputs]]
+        salt_src = [F.col(c) for c in df.columns]
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[

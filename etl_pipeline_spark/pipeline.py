@@ -30,7 +30,15 @@ from pyspark.sql import types as T
 
 from .functions.cleaning import clean_text_col, clean_text_pudf
 from .lake.lineage import LineageLog
-from .lake.minilake import FENCES_PROP, MergeResult, MiniLakeTable
+from .lake.minilake import (
+    DELETED_COL,
+    FENCES_PROP,
+    LSN_COL,
+    RAW_COL,
+    SRC_OP_COL,
+    MergeResult,
+    MiniLakeTable,
+)
 from .operators.lww import detect_hot_keys, lww_reduce, lww_reduce_salted
 from .operators.validate import split_valid, valid_predicate
 from .schema import KEY_COLS
@@ -67,6 +75,37 @@ class ApplyConfig:
     # "full": opt-in; one extra aggregation job per batch for exact
     #   per-source-partition offset ranges in lineage.
     lineage_level: str = "batch"
+
+
+def _normalize_dead_letters(
+    dead: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    types_by_name: dict,
+    lsn_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Project a raw dead-letter frame onto the DLQ contract the fused
+    writer (MiniLakeTable.merge) emits: key/payload columns try-cast to
+    table types, plus ``_lsn``, ``_deleted``, ``_src_op`` and the full
+    untouched source row as ``_raw`` JSON. One schema across fused and
+    legacy batch subdirs. The cast caveat lives in ``_raw``: a value
+    that fails the table-type cast reads as null in its typed column but
+    stays intact inside ``_raw``."""
+    raw = F.to_json(F.struct(*[F.col(c) for c in dead.columns]))
+    return dead.select(
+        *[F.col(k).try_cast(types_by_name[k]).alias(k) for k in key_cols],
+        *[
+            (
+                F.col(c) if c in dead.columns else F.lit(None)
+            ).try_cast(types_by_name[c]).alias(c)
+            for c in payload_cols
+        ],
+        F.col(lsn_col).try_cast("long").alias(LSN_COL),
+        F.coalesce(F.col(op_col) == "D", F.lit(False)).alias(DELETED_COL),
+        F.col(op_col).cast("string").alias(SRC_OP_COL),
+        raw.alias(RAW_COL),
+    )
 
 
 def _estimate_batch_bytes(df: DataFrame) -> int | None:
@@ -204,7 +243,9 @@ def apply_batch(
     # a relocatable pseudo-bucket instead of a second O(batch) source
     # re-scan per dirty batch. Salted / pre-reduced batches pre-collapse
     # the valid side in the pipeline, which forks the plan before the
-    # shared exchange — those keep the legacy separate write.
+    # shared exchange — those keep the legacy separate write. The COW
+    # path keeps it too, but its second split_valid scan is absorbed by
+    # the merge's persist() of the batch frame — no extra source I/O.
     fuse_dead = (
         not salted
         and not must_reduce
@@ -330,9 +371,15 @@ def apply_batch(
     dead_count = int(c["n_dead"] or 0)
 
     # 7. Dead letters — fused mode already wrote them inside the merge
-    #    job; legacy mode writes a separate job only when counters saw any.
+    #    job; legacy mode writes a separate job only when counters saw
+    #    any, normalized to the SAME physical schema as the fused
+    #    pseudo-bucket files so a consumer reads the whole _deadletter
+    #    tree as one frame.
     if dead_count and not fuse_dead:
-        dead.write.mode("append").parquet(
+        _normalize_dead_letters(
+            dead, cfg.key_cols, payload_cols, types_by_name,
+            cfg.lsn_col, cfg.op_col,
+        ).write.mode("append").parquet(
             os.path.join(dl_dir, f"batch-{batch_id:06d}")
         )
 

