@@ -2005,7 +2005,55 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}
 """
 
 
-def _simhash_sig_ctes(n_bits: int = 60) -> str:
+# SimHash boundary fixture (r4 verdict #3): planted docs whose PAIRWISE
+# Hamming distances straddle the pigeonhole band threshold (5 bands of
+# 12 bits, max_hamming = 4), found by offline search over the exact
+# tokenize→md5long→vote pipeline both engines run:
+#   (3000001, 3000002)  h = 4 = bands−1  -> MUST match (>=1 clean band;
+#                       they share bands {0,2,4})
+#   (3000001, 3000003)  h = 5 = bands    -> MUST NOT match — and this
+#                       pair DOES share band 4, so it enters the
+#                       candidate join and the bit_count verify filter
+#                       itself is what rejects it (the boundary the
+#                       grading previously never exercised)
+#   (3000002, 3000003)  h = 5            -> must not match either
+#   (3000004, 3000005), (3000006, 3000007)  token permutations: simhash
+#                       is a multiset sketch, so each pair has h = 0 —
+#                       two extra identical-signature groups for
+#                       docs_simhash_groups (1 corpus group was thin
+#                       evidence for a banding algorithm)
+_SIMHASH_PLANTED = [
+    (3000001, "zqalphax0 zqbravox1 zqcarbonx2 zqdeltax3 zqemberx4 "
+              "zqfjordx5 zqglyphx6 zqhazelx7"),
+    (3000002, "zqalphax0 zqbravox1 zqcarbonx2 zqdeltax3 zqemberx4 "
+              "zqfjordx5 zqglyphx6 vn2qr"),
+    (3000003, "zqalphax0 zqbravox1 zqcarbonx2 zqdeltax3 zqemberx4 "
+              "zqfjordx5 zqglyphx6 vn20qr"),
+    (3000004, "mlk plasma quartz rivet sable"),
+    (3000005, "sable rivet quartz plasma mlk"),
+    (3000006, "tundra umbra vortex wisp yonder"),
+    (3000007, "yonder wisp vortex umbra tundra"),
+]
+
+_SIMHASH_PDOCS_SQL = (
+    "pdocs AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in _SIMHASH_PLANTED
+    )
+    + ") AS pv(doc_id, text))"
+)
+
+
+def _docs_with_simhash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _SIMHASH_PLANTED, "doc_id long, text string"
+    )
+    return d.unionByName(planted)
+
+
+def _simhash_sig_ctes(n_bits: int = 60, src: str = "documents") -> str:
     """Shared CTE chain ending in ``sig(id, simhash)`` — the DuckDB
     replay of operators.dedup.simhash_signatures."""
     votes = ",\n       ".join(
@@ -2018,7 +2066,7 @@ def _simhash_sig_ctes(n_bits: int = 60) -> str:
     )
     return f"""e AS (
   SELECT doc_id AS id, unnest({TOKENIZE_SQL_FRAG.format(col='text')}) AS tok
-  FROM documents
+  FROM {src}
 ),
 h AS (SELECT id, {_md5long_sql('tok')} AS h FROM e),
 v AS (SELECT id,
@@ -2031,7 +2079,8 @@ sig AS (SELECT id,
 
 def _simhash_oracle_sql() -> str:
     return f"""
-WITH {_simhash_sig_ctes()}
+WITH {_SIMHASH_PDOCS_SQL},
+{_simhash_sig_ctes(src='pdocs')}
 SELECT simhash, min(id) AS keep_id, count(*) AS n_docs
 FROM sig GROUP BY simhash HAVING count(*) > 1
 """
@@ -2045,7 +2094,8 @@ def _simhash_near_dups_sql(max_hamming: int = 4, bands: int = 5) -> str:
         f"(simhash >> {b * band_bits}) & {mask}" for b in range(bands)
     )
     return f"""
-WITH {_simhash_sig_ctes()},
+WITH {_SIMHASH_PDOCS_SQL},
+{_simhash_sig_ctes(src='pdocs')},
 bb AS (
   SELECT id, simhash,
          unnest([{band_list}]) AS band,
@@ -2065,14 +2115,18 @@ DOCS_SIMHASH_PAIRS_SQL = _simhash_near_dups_sql()
 
 def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-banded SimHash near-dups (exact by pigeonhole: 5 disjoint
-    12-bit bands cover every pair within Hamming distance 4)."""
+    12-bit bands cover every pair within Hamming distance 4). Runs over
+    corpus + boundary fixture: the planted h=4 pair must surface, the
+    planted h=5 pair becomes a band-collision candidate that the verify
+    filter must reject (see _SIMHASH_PLANTED)."""
     from .operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"))
+    return simhash_near_dups(_docs_with_simhash_fixture(spark, sf_dir))
 
 
 EDITDIST_SQL = f"""
-WITH {_simhash_sig_ctes()},
+WITH {_SIMHASH_PDOCS_SQL},
+{_simhash_sig_ctes(src='pdocs')},
 bb AS (
   SELECT id, simhash,
          unnest([0, 1, 2, 3, 4]) AS band,
@@ -2091,8 +2145,8 @@ SELECT p.id_a, p.id_b,
        CAST(levenshtein(substr(da.text, 1, 60), substr(db.text, 1, 60))
             AS INTEGER) AS lev60
 FROM pairs p
-JOIN documents da ON da.doc_id = p.id_a
-JOIN documents db ON db.doc_id = p.id_b
+JOIN pdocs da ON da.doc_id = p.id_a
+JOIN pdocs db ON db.doc_id = p.id_b
 """
 
 
@@ -2104,7 +2158,7 @@ def q_docs_simhash_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame
     shrank the pair set first."""
     from .operators.dedup import simhash_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_with_simhash_fixture(spark, sf_dir)
     pairs = simhash_near_dups(d)
     da = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     db = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
@@ -2341,7 +2395,11 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+    """Identical-signature groups over corpus + boundary fixture (see
+    _SIMHASH_PLANTED): the two planted token-permutation pairs pin the
+    multiset property (order never changes the signature) alongside the
+    one natural corpus group."""
+    return simhash_dup_groups(_docs_with_simhash_fixture(spark, sf_dir))
 
 
 MM_FEATURES_SQL = """
