@@ -20,8 +20,18 @@ import os
 
 from pyspark.sql import functions as F
 
+from ..operators.lww import lww_reduce
 from ..schema import DELETED_COL, LSN_COL
 from .minilake import MiniLakeTable
+
+
+def _write_batch(out, out_dir: str, batch_index: int) -> str | None:
+    if out.isEmpty():  # O(first row) probe — no phantom batch files
+        return None
+    path = os.path.join(out_dir, f"batch-{batch_index:06d}.parquet")
+    # one distributed write; .parquet dir reads identically to a file
+    out.write.mode("overwrite").parquet(path)
+    return path
 
 
 def export_changes(
@@ -62,9 +72,46 @@ def export_changes(
         *key_cols,
         *payload,
     )
-    if out.isEmpty():  # O(first row) probe — no phantom batch files
-        return None
-    path = os.path.join(out_dir, f"batch-{batch_index:06d}.parquet")
-    # one distributed write; .parquet dir reads identically to a file
-    out.write.mode("overwrite").parquet(path)
-    return path
+    return _write_batch(out, out_dir, batch_index)
+
+
+def export_snapshot(
+    table: MiniLakeTable,
+    out_dir: str,
+    batch_index: int = 0,
+) -> str | None:
+    """Re-seed export: the table's CURRENT resolved state as one
+    changelog batch — live rows as op='U', tombstoned keys as op='D',
+    each carrying its winning ``_lsn``.
+
+    This is the documented recovery path when ``export_changes``'s
+    ``from_version`` has fallen behind the retention horizon (its
+    manifest was dropped by ``expire_snapshots`` and the incremental
+    read raises a clear ValueError). Because every row keeps the lsn
+    that won LWW on the primary, applying a snapshot to a replica that
+    already holds SOME prefix of the change stream still converges:
+    newer replica rows survive, older ones are overwritten, and deletes
+    replay as tombstones rather than silent absences. O(table), not
+    O(changes) — use only to (re-)seed, then return to incremental
+    exports from the snapshot's version.
+    """
+    m = table.manifest()
+    key_cols = m["key_cols"]
+    payload = [
+        f.name for f in table.schema().fields if f.name not in key_cols
+    ]
+    phys = table.read_physical()
+    if m.get("write_mode", "cow") == "mor":
+        phys = lww_reduce(
+            phys,
+            keys=key_cols,
+            order_col=LSN_COL,
+            payload_cols=payload + [DELETED_COL],
+        )
+    out = phys.select(
+        F.col(LSN_COL).alias("lsn"),
+        F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
+        *key_cols,
+        *payload,
+    )
+    return _write_batch(out, out_dir, batch_index)

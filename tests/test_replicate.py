@@ -7,8 +7,10 @@ from __future__ import annotations
 
 import pandas as pd
 
+import pytest
+
 from etl_pipeline_spark.lake.minilake import MiniLakeTable
-from etl_pipeline_spark.lake.replicate import export_changes
+from etl_pipeline_spark.lake.replicate import export_changes, export_snapshot
 from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
 from etl_pipeline_spark.sources.genlog import GenConfig, write_changelog
 from etl_pipeline_spark.streaming.ingest import replay_files
@@ -96,3 +98,137 @@ def test_replication_is_idempotent(spark, tmp_path):
     replay_files(spark, out, replica)  # same stream id → fenced no-op
     replay_files(spark, out, replica, files_per_batch=2)  # new grouping
     assert _state(replica).equals(before)
+
+
+# --- disorder: out-of-order / duplicate export application ---------------
+
+_TS = pd.Timestamp("2026-01-01")
+
+
+def _events(rows) -> pd.DataFrame:
+    """rows: (lsn, op, conv, turn, text). Fills the remaining change-event
+    columns with deterministic values."""
+    df = pd.DataFrame(
+        [
+            {
+                "lsn": lsn, "op": op, "conv_id": conv, "turn_idx": turn,
+                "role": "user", "text": text, "tool": None,
+                "ts": _TS + pd.Timedelta(seconds=lsn), "source_part": 0,
+            }
+            for lsn, op, conv, turn, text in rows
+        ]
+    )
+    # Spark's parquet reader rejects pandas' default TIMESTAMP(NANOS)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def _write_manual_batch(df: pd.DataFrame, dir_path, name="batch-000000.parquet"):
+    dir_path.mkdir(parents=True, exist_ok=True)
+    df.to_parquet(str(dir_path / name), index=False)
+
+
+def test_out_of_order_and_duplicate_batches_converge(spark, tmp_path):
+    """Replication's order-insensitivity claim, graded: export batches
+    applied to the replica out of order AND twice must converge to the
+    primary's LWW state — including a tombstone (high lsn D) applied
+    BEFORE a stale U (lower lsn) that must not resurrect the key."""
+    # three primary ingest stages; key ("c2", 0) is updated in stage 1
+    # (lsn 4) then deleted in stage 2 (lsn 5) — applying stage 2's export
+    # before stage 1's exercises exactly the stale-U-after-D hazard.
+    stages = [
+        _events([(1, "I", "c1", 0, "a"), (2, "I", "c2", 0, "b")]),
+        _events([(3, "U", "c1", 0, "a2"), (4, "U", "c2", 0, "b-stale")]),
+        _events([(5, "D", "c2", 0, None), (6, "U", "c1", 0, "a3")]),
+    ]
+    clog = tmp_path / "clog"
+    for i, df in enumerate(stages):
+        _write_manual_batch(df, clog, f"batch-{i:06d}.parquet")
+
+    primary = _mor(spark, tmp_path / "primary")
+    exports = []
+    for i in range(3):
+        from_v = primary.current_version()
+        replay_files(spark, str(clog), primary, stop_after=1,
+                     start_batch=i)
+        out = str(tmp_path / f"export{i}")  # own dir => own fence stream
+        assert export_changes(primary, out, from_version=from_v) is not None
+        exports.append(out)
+
+    replica = _mor(spark, tmp_path / "replica")
+    # stage 2 (the delete) first, then the stale stage 1, then stage 0,
+    # then both early stages AGAIN (operator retry)
+    for out in [exports[2], exports[1], exports[0], exports[1], exports[0]]:
+        replay_files(spark, out, replica)
+
+    assert _state(replica).equals(_state(primary))
+    live = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in replica.read().collect()
+    }
+    assert live == {("c1", 0, "a3")}  # c2 stayed deleted; c1 at lsn 6
+    tombs = {
+        (r["conv_id"], r["turn_idx"], r["_lsn"])
+        for r in replica.read_tombstones().collect()
+    }
+    assert ("c2", 0, 5) in tombs  # the delete is a physical tombstone
+
+
+# --- retention horizon × replication chain -------------------------------
+
+
+def test_export_past_retention_horizon_raises(spark, tmp_path):
+    cfg = GenConfig(n_events=5_000, batch_size=500)  # 10 versions
+    clog = str(tmp_path / "clog")
+    write_changelog(cfg, clog)
+    primary = _mor(spark, tmp_path / "primary")
+    replay_files(spark, clog, primary)
+    primary.expire_snapshots(keep_last=2)
+
+    with pytest.raises(ValueError, match="retention"):
+        export_changes(primary, str(tmp_path / "out"), from_version=1)
+    # the implicit full export anchors on v1 too — same clear failure,
+    # pointing the operator at the snapshot re-seed path
+    with pytest.raises(ValueError, match="retention"):
+        export_changes(primary, str(tmp_path / "out"))
+
+
+def test_snapshot_reseed_converges_stale_replica(spark, tmp_path):
+    """The documented recovery: a replica that fell behind the primary's
+    retention horizon re-seeds from export_snapshot and converges —
+    including keys the primary deleted AFTER the replica's last applied
+    export (they must vanish on the replica, via snapshot tombstones)."""
+    cfg = GenConfig(
+        n_events=6_000, batch_size=500, op_mix=(0.5, 0.3, 0.2), seed=7,
+    )
+    clog = str(tmp_path / "clog")
+    write_changelog(cfg, clog)
+    primary = _mor(spark, tmp_path / "primary")
+    replica = _mor(spark, tmp_path / "replica")
+
+    # replica applies an early export, then falls behind
+    replay_files(spark, clog, primary, stop_after=3)
+    assert export_changes(primary, str(tmp_path / "e0")) is not None
+    replay_files(spark, str(tmp_path / "e0"), replica)
+
+    # primary advances 9 more versions and GC drops the replica's anchor
+    replay_files(spark, clog, primary)
+    stale_anchor = 4
+    primary.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="retention"):
+        export_changes(
+            primary, str(tmp_path / "e1"), from_version=stale_anchor
+        )
+
+    # re-seed: snapshot export onto the SAME (stale) replica
+    assert export_snapshot(primary, str(tmp_path / "seed")) is not None
+    replay_files(spark, str(tmp_path / "seed"), replica)
+    assert _state(replica).equals(_state(primary))
+    # deletes arrived as tombstones, not silent absences
+    assert replica.read_tombstones().count() > 0
+    # and the chain resumes incrementally from the snapshot's version
+    v = primary.current_version()
+    assert export_changes(
+        primary, str(tmp_path / "e2"), from_version=v, batch_index=0
+    ) is None  # nothing new yet — no phantom batch
