@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 from .minilake import FENCES_PROP, MergeResult, MiniLakeTable
 
 
+def _check_view_key(source: MiniLakeTable, view: MiniLakeTable) -> str:
+    key = view.manifest()["key_cols"]
+    if len(key) != 1 or key[0] != source.manifest()["key_cols"][0]:
+        raise ValueError(
+            "view key must be exactly the source's primary key column "
+            f"(view: {key}, source: {source.manifest()['key_cols']})"
+        )
+    return key[0]
+
+
 def refresh_keyed_aggregate(
     source: MiniLakeTable,
     view: MiniLakeTable,
@@ -48,13 +58,7 @@ def refresh_keyed_aggregate(
     the source's primary key column (bucket pruning derives from it).
     Returns the MERGE result, or None when the view is already current.
     """
-    key = view.manifest()["key_cols"]
-    if len(key) != 1 or key[0] != source.manifest()["key_cols"][0]:
-        raise ValueError(
-            "view key must be exactly the source's primary key column "
-            f"(view: {key}, source: {source.manifest()['key_cols']})"
-        )
-    key = key[0]
+    key = _check_view_key(source, view)
     stream_id = f"mv:{source.root}"
     watermark = view.snapshot_props().get(FENCES_PROP, {}).get(stream_id, -1)
     from_version = max(int(watermark), 1)
@@ -99,5 +103,51 @@ def refresh_keyed_aggregate(
     return view.merge(
         upserts.unionByName(deletes),
         batch_id=to_version,  # the fence IS the watermark
+        stream_id=stream_id,
+    )
+
+
+def reseed_keyed_aggregate(
+    source: MiniLakeTable,
+    view: MiniLakeTable,
+    agg_fn: Callable[[DataFrame], DataFrame],
+    to_version: int | None = None,
+) -> MergeResult:
+    """Full-recompute re-seed: rebuild the ENTIRE view from the source's
+    current (or pinned) snapshot and advance the fence-watermark to it.
+
+    This is the documented recovery path when the view's watermark has
+    fallen behind the source's retention horizon — ``expire_snapshots``
+    dropped the watermark's manifest, so :func:`refresh_keyed_aggregate`
+    raises the clear retention ValueError instead of silently missing
+    changes. O(source), not O(changes) — one-time; afterwards incremental
+    refreshes resume from ``to_version`` via the same fence.
+
+    View keys with no surviving source rows (deleted while the view was
+    stale) are tombstoned, so the re-seed converges the view exactly —
+    deletes replay as auditable tombstones, not silent absences.
+    """
+    key = _check_view_key(source, view)
+    stream_id = f"mv:{source.root}"
+    to_version = (
+        to_version if to_version is not None else source.current_version()
+    )
+    fresh = agg_fn(source.read(version=to_version))
+    payload_cols = [c for c in fresh.columns if c != key]
+    upserts = fresh.select(
+        key, *payload_cols,
+        F.lit(int(to_version)).alias("lsn"), F.lit("U").alias("op"),
+    )
+    stale = view.read().select(key).join(
+        fresh.select(key), key, "left_anti"
+    ).select(
+        key,
+        *[F.lit(None).alias(c) for c in payload_cols],
+        F.lit(int(to_version)).alias("lsn"),
+        F.lit("D").alias("op"),
+    )
+    return view.merge(
+        upserts.unionByName(stale),
+        batch_id=to_version,
         stream_id=stream_id,
     )
