@@ -45,6 +45,13 @@ def main() -> None:
         help="export mode: last source version already exported "
         "(default: full export since table creation)",
     )
+    ap.add_argument(
+        "--snapshot", action="store_true",
+        help="export mode: re-seed export — the current resolved state "
+        "(live rows as U, tombstones as D, winning lsn kept) as one "
+        "batch; the recovery path when --from-version fell behind the "
+        "retention horizon",
+    )
     ap.add_argument("--batch-index", type=int, default=0)
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--n-buckets", type=int, default=32)
@@ -85,12 +92,20 @@ def main() -> None:
     if args.mode == "export":
         if not args.out:
             ap.error("--mode export requires --out")
-        from etl_pipeline_spark.lake.replicate import export_changes
-
-        path = export_changes(
-            table, args.out,
-            from_version=args.from_version, batch_index=args.batch_index,
+        from etl_pipeline_spark.lake.replicate import (
+            export_changes,
+            export_snapshot,
         )
+
+        if args.snapshot:
+            path = export_snapshot(
+                table, args.out, batch_index=args.batch_index
+            )
+        else:
+            path = export_changes(
+                table, args.out,
+                from_version=args.from_version, batch_index=args.batch_index,
+            )
         print(
             json.dumps(
                 {
