@@ -1115,37 +1115,79 @@ class MiniLakeTable:
 
     # ---------------------------------------------------------- retention
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_min_age_s: float = 86400.0
+    ) -> dict:
         """Retention GC (Iceberg ``expire_snapshots`` analog): drop
         manifests older than the newest ``keep_last`` versions and delete
         every data directory no retained manifest references. Time
         travel and incremental reads older than the horizon become
         unavailable — the standard retention trade. Never touches the
-        current version. Returns counts of removed manifests/dirs."""
+        current version.
+
+        Unreferenced dirs split two ways (Iceberg's ``expire_snapshots``
+        vs ``remove_orphan_files(older_than=...)`` distinction):
+
+        - referenced by a DROPPED manifest but no kept one — committed
+          data past the horizon; removed unconditionally;
+        - referenced by NO manifest at all — either a crashed writer's
+          leftovers or a CONCURRENT writer's not-yet-committed dir
+          (writers stage data files BEFORE their CAS commit). Deleting
+          the latter would corrupt an in-flight commit, so true orphans
+          are only removed once every file under them is older than
+          ``orphan_min_age_s`` (default 24h; pass 0 in tests / after a
+          known crash).
+
+        Returns counts of removed manifests/dirs and skipped young
+        orphans."""
         keep_last = max(int(keep_last), 1)
         versions = sorted(
             int(os.path.basename(p)[1:-5])
             for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
         )
         kept, dropped = versions[-keep_last:], versions[:-keep_last]
-        referenced = {
-            d
-            for v in kept
-            for ds in self.manifest(v)["buckets"].values()
-            for d in ds
-        }
-        # data dirs are <data>/<commit-or-compact dir>/<bucket=..>; a
-        # top-level dir survives iff ANY of its bucket dirs is referenced
-        live_tops = {os.path.dirname(d) for d in referenced}
-        removed_dirs = []
+
+        def _tops(vs: list[int]) -> set[str]:
+            # data dirs are <data>/<commit-or-compact dir>/<bucket=..>; a
+            # top-level dir survives iff ANY of its bucket dirs is
+            # referenced
+            return {
+                os.path.dirname(d)
+                for v in vs
+                for ds in self.manifest(v)["buckets"].values()
+                for d in ds
+            }
+
+        live_tops = _tops(kept)
+        expired_tops = _tops(dropped) - live_tops
+        now = time.time()
+        removed_dirs: list[str] = []
+        skipped_orphans: list[str] = []
         for name in os.listdir(self.data_dir):
             top = os.path.join(self.data_dir, name)
-            if top not in live_tops:
-                shutil.rmtree(top, ignore_errors=True)
-                removed_dirs.append(top)
+            if top in live_tops:
+                continue
+            if top not in expired_tops:
+                newest = max(
+                    (
+                        os.path.getmtime(os.path.join(r, f))
+                        for r, _, fs in os.walk(top)
+                        for f in fs
+                    ),
+                    default=os.path.getmtime(top),
+                )
+                if now - newest < orphan_min_age_s:
+                    skipped_orphans.append(top)
+                    continue
+            shutil.rmtree(top, ignore_errors=True)
+            removed_dirs.append(top)
         for v in dropped:
             os.remove(self._manifest_path(v))
-        return {"manifests_removed": len(dropped), "dirs_removed": len(removed_dirs)}
+        return {
+            "manifests_removed": len(dropped),
+            "dirs_removed": len(removed_dirs),
+            "young_orphans_skipped": len(skipped_orphans),
+        }
 
     # ------------------------------------------------------------ compact
 

@@ -3200,18 +3200,42 @@ def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Planted fixture (same doc_id-derived pattern as _dirty_col): the raw
 # docs corpus has no naturally repeated cross-doc sentence at small sf,
-# so the r3 driver row graded 0 == 0 — trivially true. Every 5th doc
-# gets one of two shared boilerplate sentences appended (index doc_id%2),
-# deterministically in BOTH engines, so the query grades non-empty at
-# every sf: each planted sentence lands in ≥2 docs once the corpus has
-# ≥ ~10 rows. The '! ' prefix guarantees a sentence-split boundary
-# regardless of how the original text ends.
+# so the r3 driver row graded 0 == 0 — trivially true. Fixtures are
+# appended deterministically in BOTH engines so every semantic edge of
+# the operator is graded, not just the happy path (the r4 verdict
+# flagged the 2-row thinness):
+#  - every 5th doc: one of two shared boilerplate sentences
+#    (index doc_id%2) — the basic cross-doc positive;
+#  - every 7th doc: one of three boilerplates whose CASING varies by
+#    doc (upper on even doc_id, lower on odd) — grades that the
+#    lower() normalization is what merges the group;
+#  - every 11th doc: a sentence repeated twice WITHIN the same doc
+#    (unique per doc, so n_docs=1) — must be EXCLUDED by the
+#    n_docs>=2 filter (an occurrence-counting bug would leak it),
+#    followed by a shared epilogue sentence that grades n_occurrences
+#    alongside n_docs.
+# The '! ' prefix guarantees a sentence-split boundary regardless of
+# how the original text ends; appends compose on doc_ids divisible by
+# several of 5/7/11 (identically in both engines).
 _PLANTED_SENT_SQL = """
   SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0
-              THEN text || '! Shared corpus sentence '
-                        || CAST(doc_id % 2 AS VARCHAR) || '.'
-              ELSE text END AS text
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '! Shared corpus sentence '
+                      || CAST(doc_id % 2 AS VARCHAR) || '.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN CASE WHEN doc_id % 2 = 0
+                           THEN '! MIXED CASE BOILERPLATE '
+                                || CAST(doc_id % 3 AS VARCHAR) || '.'
+                           ELSE '! mixed case boilerplate '
+                                || CAST(doc_id % 3 AS VARCHAR) || '.' END
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN '! Within doc repeat ' || CAST(doc_id AS VARCHAR)
+                      || '. Within doc repeat ' || CAST(doc_id AS VARCHAR)
+                      || '. Cross doc epilogue.'
+                 ELSE '' END AS text
   FROM documents
 """
 
@@ -3244,15 +3268,45 @@ def q_docs_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-fixture view (see _PLANTED_SENT_SQL) so the result is
     non-empty at every sf."""
     d = _t(spark, sf_dir, "documents")
-    planted_text = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit("! Shared corpus sentence "),
-            (F.col("doc_id") % 2).cast("string"),
-            F.lit("."),
-        ),
-    ).otherwise(F.col("text"))
+    doc = F.col("doc_id")
+    planted_text = F.concat(
+        F.col("text"),
+        F.when(
+            doc % 5 == 0,
+            F.concat(
+                F.lit("! Shared corpus sentence "),
+                (doc % 2).cast("string"),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 7 == 0,
+            F.when(
+                doc % 2 == 0,
+                F.concat(
+                    F.lit("! MIXED CASE BOILERPLATE "),
+                    (doc % 3).cast("string"),
+                    F.lit("."),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("! mixed case boilerplate "),
+                    (doc % 3).cast("string"),
+                    F.lit("."),
+                )
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 11 == 0,
+            F.concat(
+                F.lit("! Within doc repeat "),
+                doc.cast("string"),
+                F.lit(". Within doc repeat "),
+                doc.cast("string"),
+                F.lit(". Cross doc epilogue."),
+            ),
+        ).otherwise(F.lit("")),
+    )
     s = (
         d.select(
             "doc_id",

@@ -108,3 +108,35 @@ def test_incremental_changes_survive_compaction(spark, table):
     # and the compaction snapshot itself contributed no "changes"
     lsns = sorted(r["_lsn"] for r in ch.collect())
     assert lsns == [100, 101, 102, 200]
+
+
+def test_expire_spares_young_orphans(table):
+    """A dir referenced by NO manifest may be a CONCURRENT writer's
+    staged-but-not-yet-committed data (writers stage files before their
+    CAS commit). expire_snapshots must leave it alone until it is older
+    than orphan_min_age_s — Iceberg's remove_orphan_files(older_than=...)
+    guard — while still reclaiming expired-snapshot dirs immediately."""
+    import os
+
+    table.compact(drop_tombstones=False)
+    orphan = os.path.join(table.data_dir, "commit_inflight_fake")
+    os.makedirs(os.path.join(orphan, "bucket=0"))
+    with open(os.path.join(orphan, "bucket=0", "part-0.parquet"), "wb") as f:
+        f.write(b"not-yet-committed")
+
+    res = table.expire_snapshots(keep_last=1)  # default 24h guard
+    assert res["young_orphans_skipped"] == 1
+    assert os.path.exists(orphan)
+    assert res["dirs_removed"] >= 1  # expired dirs still reclaimed now
+    before = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in table.read().collect()
+    )
+
+    # after a known crash the operator passes 0 and the orphan goes away
+    res2 = table.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    assert not os.path.exists(orphan)
+    assert res2["young_orphans_skipped"] == 0
+    after = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in table.read().collect()
+    )
+    assert after == before  # live state never touched
