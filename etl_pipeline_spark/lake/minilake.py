@@ -1070,6 +1070,18 @@ class MiniLakeTable:
                         skipped=True, reason="fenced",
                         version=version, snapshot_id=base["snapshot_id"],
                     )
+                if base["n_buckets"] != n_buckets:
+                    # the racer was a RESCALE: this delta's bucket= dirs
+                    # were computed under the old modulus — registering
+                    # them (or writing n_buckets back) would corrupt the
+                    # new layout. The caller redoes the merge; the fence
+                    # makes the redo exactly-once.
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise CommitConflict(
+                        "bucket layout changed during merge "
+                        f"({n_buckets} -> {base['n_buckets']}); redo the "
+                        "merge under the new layout"
+                    )
         return MergeResult(
             skipped=False,
             version=m2["version"],
@@ -1318,4 +1330,103 @@ class MiniLakeTable:
                 except CommitConflict:
                     shutil.rmtree(out_dir, ignore_errors=True)
                     raise
+                if base["n_buckets"] != n_buckets:
+                    # the racer was a RESCALE: this fold's bucket= dirs
+                    # were computed under the old modulus and cannot be
+                    # registered in the new layout
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise CommitConflict(
+                        "bucket layout changed during compaction "
+                        f"({n_buckets} -> {base['n_buckets']}); re-run "
+                        "compaction under the new layout"
+                    )
                 version = base["version"]
+
+    # ------------------------------------------------------------ rescale
+
+    def rescale_buckets(self, n_buckets_new: int) -> int:
+        """Online bucket-count evolution (Iceberg's partition-spec
+        evolution for the ``bucket(N, key)`` transform, applied eagerly):
+        rewrite the whole table into ``n_buckets_new`` hash buckets in
+        ONE snapshot commit. The admin op for a table that outgrew its
+        bucket count — at 10^10 events a hot table created with 32
+        buckets caps merge/compaction parallelism at 32 tasks; rescaling
+        restores it without downtime:
+
+        - readers of any pre-rescale version still see the old layout
+          (old manifests keep referencing the old dirs until
+          ``expire_snapshots`` reclaims them);
+        - fences, max-lsn and schema carry over unchanged, so
+          exactly-once batch fencing and LWW survive the rescale;
+        - MOR semantics carry over: the resolved state (tombstones KEPT
+          — a rescale mid-stream must not let stale stragglers
+          resurrect keys) is re-clustered, key-sorted and
+          bloom-filtered like compaction output;
+        - the commit CASes like any other; on conflict the rewrite is
+          abandoned and re-raised — bucket ids depend on the modulus,
+          so rebuilding on a racer's base (merge/compact retry style)
+          would register mis-bucketed dirs. Racing writers get the same
+          courtesy: their retry detects the modulus change and raises
+          instead of reverting it (see merge/compact conflict paths).
+
+        Returns the new version (current version if already at
+        ``n_buckets_new``)."""
+        n_buckets_new = int(n_buckets_new)
+        if n_buckets_new < 1:
+            raise ValueError("n_buckets_new must be >= 1")
+        base = self.manifest()
+        if base["n_buckets"] == n_buckets_new:
+            return base["version"]
+        version = base["version"]
+        key0 = base["key_cols"][0]
+        schema = schema_from_manifest(base["schema"])
+        df = self.read_physical()
+        if base.get("write_mode", "cow") == "mor":
+            payload = [
+                f.name for f in schema.fields if f.name not in base["key_cols"]
+            ]
+            df = lww_reduce(
+                df,
+                keys=base["key_cols"],
+                order_col=LSN_COL,
+                payload_cols=payload + [DELETED_COL],
+            )
+        df = df.withColumn(
+            BUCKET_COL, self._bucket_expr(key0, n_buckets_new)
+        )
+        out_dir = os.path.join(
+            self.data_dir, f"rescale-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
+        )
+        (
+            df.repartition(n_buckets_new, F.col(BUCKET_COL))
+            .sortWithinPartitions(key0)
+            .write.partitionBy(BUCKET_COL)
+            .option(f"parquet.bloom.filter.enabled#{key0}", "true")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        new_dirs: list[str] = []
+        for b in range(n_buckets_new):
+            bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.exists(bucket_dir):
+                new_buckets[str(b)] = [bucket_dir]
+                new_dirs.append(bucket_dir)
+        m2 = dict(base)
+        m2["version"] = version + 1
+        m2["parent_snapshot_id"] = base["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["n_buckets"] = n_buckets_new
+        m2["buckets"] = new_buckets
+        # every dir is fresh — stats computed here, nothing memoized from
+        # the old layout carries over
+        m2["file_stats"] = self._stats_for_manifest(
+            {"file_stats": {}}, new_dirs, new_buckets, key0
+        )
+        m2["committed_at"] = time.time()
+        try:
+            self._write_manifest(m2)
+        except CommitConflict:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        return m2["version"]

@@ -318,6 +318,49 @@ def q_cdc_replicated_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(replica.read())
 
 
+_RESCALE_CACHE: dict = {}
+
+
+def q_cdc_rescaled_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online bucket-count evolution graded end-to-end: a copy of the
+    replayed primary is rescaled 16 → 6 hash buckets
+    (lake/minilake.rescale_buckets — Iceberg partition-spec evolution
+    for bucket(N, key), applied eagerly), then one already-applied batch
+    is re-delivered to prove the fences survived the rewrite. The final
+    state must equal the SAME LWW oracle as the flagship replay — the
+    layout changed, the table didn't."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rescaled = _RESCALE_CACHE.get(key)
+    if rescaled is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_rescale_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — rescale must not mutate the
+        # cached primary other queries read
+        shutil.copytree(primary.root, root)
+        rescaled = MiniLakeTable(spark, root)
+        rescaled.rescale_buckets(6)
+        # exactly-once across the rescale: the replay driver's fences
+        # carried over, so re-delivering batch 0 must be a fenced no-op
+        from .lake.minilake import FENCES_PROP
+
+        fences = rescaled.snapshot_props().get(FENCES_PROP, {})
+        stream_id, hw = next(iter(sorted(fences.items())))
+        res = rescaled.merge(
+            spark.createDataFrame(
+                [("conv-0", 0, "ZOMBIE", None, None, 1, "U")],
+                "conv_id string, turn_idx int, text string, role string,"
+                " tool string, lsn long, op string",
+            ),
+            batch_id=hw,
+            stream_id=stream_id,
+        )
+        assert res.skipped and res.reason == "fenced"
+        _RESCALE_CACHE[key] = rescaled
+    return _state_projection(rescaled.read())
+
+
 TIME_TRAVEL_SQL = f"""
 WITH ce AS ({CE_SQL}),
 w AS ({BATCH_W_SQL}),
@@ -3765,6 +3808,7 @@ QUERIES = {
     # never-driver-graded entries, rotated/born into the window --
     "cdc_replicated_state": q_cdc_replicated_state,
     "cdc_conv_stats_mv": q_cdc_conv_stats_mv,
+    "cdc_rescaled_state": q_cdc_rescaled_state,
     "cdc_dead_letter_feed": q_cdc_dead_letter_feed,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
@@ -3864,6 +3908,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_engine_replay": LWW_STATE_SQL,
     "cdc_replicated_state": LWW_STATE_SQL,
+    "cdc_rescaled_state": LWW_STATE_SQL,
     "cdc_conv_stats_mv": CONV_STATS_SQL,
     "cdc_dead_letter_feed": CDC_DLQ_FEED_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,

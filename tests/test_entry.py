@@ -109,7 +109,8 @@ INTENDED_FIRST_50 = [
     "cdc_engine_replay", "cdc_time_travel", "cdc_incremental_changes",
     "cdc_lineage_stats", "cdc_lww_state", "cdc_dead_letter_split",
     "cdc_schema_evolution", "cdc_role_transitions",
-    "cdc_replicated_state", "cdc_conv_stats_mv", "cdc_dead_letter_feed",
+    "cdc_replicated_state", "cdc_conv_stats_mv", "cdc_rescaled_state",
+    "cdc_dead_letter_feed",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
@@ -126,7 +127,8 @@ INTENDED_FIRST_50 = [
     "events_user_value_salted", "events_salted_join",
     "events_approx_distinct_check", "events_session_windows",
     "lineitem_stats_profile", "orders_price_histogram",
-    "customer_spend_deciles",
+    # customer_spend_deciles moved below the line for the r5 insertion of
+    # cdc_rescaled_state — allowed: it has a green driver row (r02)
 ]
 
 
