@@ -15,6 +15,18 @@ orchestrator enforces that protocol end to end:
    stationary across the whole pair. Rejected draws never enter
    ``BENCH/scale_results.jsonl``.
 
+Two lessons from the rejected 2026-08-17-r5b draw are encoded here:
+
+- A calibration whose own 5 draws are bimodal (observed: [5.3, 5.7, 17.1,
+  17.5, 17.0] at local[4]) passes a drift-of-minimums check while proving
+  the window is junk. Each calibration now also gates on its internal
+  max/min spread (``SCALE_PAIR_CALIB_SPREAD``, default 1.6); a noisy
+  PRE-calibration aborts with exit code 5 BEFORE the ~35-minute pair is
+  spent, and a noisy POST-calibration rejects the draw.
+- Every verdict (accepted or rejected) is appended to
+  ``BENCH/scale_pair_windows.jsonl`` so the evidence trail records WHY a
+  window produced no accepted draw, not just the survivors.
+
 Accepted draws are appended to the evidence log with the window label and
 both calibration receipts embedded, so ``BENCH/scaling.py
 --assemble-only`` can fold them into BASELINE.md with the window's OWN
@@ -47,10 +59,21 @@ N_EVENTS = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000_000
 DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 EPB = int(sys.argv[4]) if len(sys.argv) > 4 else 5_000_000
 TOL = float(os.environ.get("SCALE_PAIR_CALIB_TOL", "0.10"))
+SPREAD_TOL = float(os.environ.get("SCALE_PAIR_CALIB_SPREAD", "1.6"))
 
 
 def _log(msg: str) -> None:
     print(f"[scale_pair {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr)
+
+
+def _spread(cal: dict) -> float:
+    """max/min over one calibration's draws — 1.0 means perfectly steady."""
+    return max(cal["all"]) / min(cal["all"])
+
+
+def _record_window(verdict: dict) -> None:
+    with open(os.path.join(REPO, "BENCH", "scale_pair_windows.jsonl"), "a") as fh:
+        fh.write(json.dumps(verdict) + "\n")
 
 
 def run_level(cpus: int) -> dict:
@@ -79,7 +102,23 @@ def main() -> None:
     cal_pre = {c: calibrate(c) for c in LEVELS}
     ceil_pre = cal_pre[lo]["min_s"] / cal_pre[hi]["min_s"]
     _log(f"pre: {cal_pre[lo]['min_s']:.2f}s@{lo} {cal_pre[hi]['min_s']:.2f}s@{hi} "
-         f"ceiling {ceil_pre:.2f}x")
+         f"ceiling {ceil_pre:.2f}x "
+         f"spread {_spread(cal_pre[lo]):.2f}@{lo} {_spread(cal_pre[hi]):.2f}@{hi}")
+    pre_spreads = {c: _spread(cal_pre[c]) for c in LEVELS}
+    if any(s > SPREAD_TOL for s in pre_spreads.values()):
+        _record_window({
+            "metric": "scale_pair_calibrated_window", "window": WINDOW,
+            "n_events": N_EVENTS, "pipeline_depth": DEPTH,
+            "events_per_batch": EPB,
+            "calib_pre": {str(k): v for k, v in cal_pre.items()},
+            "pre_spreads": {str(k): round(v, 3) for k, v in pre_spreads.items()},
+            "spread_tol": SPREAD_TOL,
+            "accepted": False,
+            "aborted": "pre-calibration non-stationary (bimodal draws)",
+        })
+        _log(f"ABORT: pre-calibration spread {max(pre_spreads.values()):.2f}x "
+             f"> {SPREAD_TOL}x — host bursty; pair not started")
+        sys.exit(5)
 
     results = {}
     for cpus in LEVELS:
@@ -98,7 +137,10 @@ def main() -> None:
         c: abs(cal_post[c]["min_s"] - cal_pre[c]["min_s"]) / cal_pre[c]["min_s"]
         for c in LEVELS
     }
-    stationary = all(d <= TOL for d in drift.values())
+    post_spreads = {c: _spread(cal_post[c]) for c in LEVELS}
+    stationary = all(d <= TOL for d in drift.values()) and all(
+        s <= SPREAD_TOL for s in post_spreads.values()
+    )
     ceiling = min(ceil_pre, ceil_post)  # conservative: the weaker window
     sp = results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
     verdict = {
@@ -110,8 +152,11 @@ def main() -> None:
         "calib_pre": {str(k): v for k, v in cal_pre.items()},
         "calib_post": {str(k): v for k, v in cal_post.items()},
         "calib_drift": {str(k): round(v, 4) for k, v in drift.items()},
+        "pre_spreads": {str(k): round(v, 3) for k, v in pre_spreads.items()},
+        "post_spreads": {str(k): round(v, 3) for k, v in post_spreads.items()},
         "stationary_within_tol": stationary,
         "tol": TOL,
+        "spread_tol": SPREAD_TOL,
         "hw_ceiling_speedup": round(ceiling, 3),
         "engine_speedup": round(sp, 3),
         "raw_efficiency": round(sp / 4.0, 3),
@@ -122,17 +167,17 @@ def main() -> None:
         "accepted": stationary,
     }
     print(json.dumps(verdict))
+    _record_window(verdict)
     if stationary:
         with open(os.path.join(REPO, "BENCH", "scale_results.jsonl"), "a") as fh:
             for c in LEVELS:
                 fh.write(json.dumps(results[c]) + "\n")
-        with open(os.path.join(REPO, "BENCH", "scale_pair_windows.jsonl"), "a") as fh:
-            fh.write(json.dumps(verdict) + "\n")
         _log(f"ACCEPTED: raw {verdict['raw_efficiency']} / normalized "
              f"{verdict['hw_normalized_efficiency']} (ceiling {ceiling:.2f}x, "
              f"drift {max(drift.values()):.1%})")
     else:
-        _log(f"REJECTED: calibration drift {max(drift.values()):.1%} > {TOL:.0%} "
+        _log(f"REJECTED: drift {max(drift.values()):.1%} (tol {TOL:.0%}) / "
+             f"post spread {max(post_spreads.values()):.2f}x (tol {SPREAD_TOL}x) "
              "— host window not stationary; draw discarded")
         sys.exit(3)
 

@@ -8,12 +8,18 @@ physical cores were available). Launching the pair into such a window
 wastes 30 minutes and can only produce a useless draw, so this watcher
 probes first:
 
-1. every CHECK_EVERY seconds, run a cheap one-shot ceiling probe
-   (sum(sqrt(id)) over 2B rows at local[4] and local[16], min-of-2);
-2. when the probe ceiling >= MIN_CEILING, exec ``BENCH/scale_pair.py``
-   (which re-runs the full min-of-5 calibration as the official
-   stationarity gate — the probe is only a cheap admission filter);
-3. every probe is appended to ``BENCH/quiet_probe_log.jsonl`` so a
+1. every CHECK_EVERY seconds, run a cheap ceiling probe
+   (sum(sqrt(id)) over 2B rows at local[4] and local[16], 3 draws each);
+   a probe is quiet only if ceiling >= MIN_CEILING AND each level's own
+   draws are steady (max/min <= PROBE_SPREAD) — the 2026-08-17-r5b
+   rejection showed an instantaneous min-of-2 probe admits bursty hosts;
+2. require QUIET_STREAK consecutive quiet probes (default 2, spaced by
+   the probe's own ~30 s + a short sleep) before launching
+   ``BENCH/scale_pair.py`` (which re-runs the full min-of-5 calibration
+   with its own spread + drift gates as the official admission);
+3. if scale_pair aborts (exit 5: noisy pre-calibration) or rejects
+   (exit 3: drift), RESUME probing until the deadline instead of dying;
+4. every probe is appended to ``BENCH/quiet_probe_log.jsonl`` so a
    never-quiet session still leaves an honest record of WHY no draw
    exists for its window.
 
@@ -33,6 +39,8 @@ WINDOW = sys.argv[1] if len(sys.argv) > 1 else time.strftime("%Y-%m-%d") + "-r5"
 DEADLINE = float(sys.argv[2]) if len(sys.argv) > 2 else time.time() + 4 * 3600
 MIN_CEILING = float(os.environ.get("QUIET_MIN_CEILING", "2.0"))
 CHECK_EVERY = float(os.environ.get("QUIET_CHECK_EVERY", "120"))
+PROBE_SPREAD = float(os.environ.get("QUIET_PROBE_SPREAD", "1.35"))
+QUIET_STREAK = int(os.environ.get("QUIET_STREAK", "2"))
 LOG = os.path.join(REPO, "BENCH", "quiet_probe_log.jsonl")
 
 _PROBE = """
@@ -45,7 +53,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(10**6).selectExpr("sum(id)").collect()
 times = []
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     spark.range(2_000_000_000).selectExpr("sum(sqrt(id))").collect()
     times.append(time.time() - t0)
@@ -63,6 +71,7 @@ def probe(cpus: int) -> dict:
 
 
 def main() -> None:
+    streak = 0
     while time.time() < DEADLINE:
         t0 = time.time()
         try:
@@ -70,26 +79,44 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — probe failure = not quiet
             print(f"[wait_quiet {time.strftime('%H:%M:%S')}] probe failed: {exc}",
                   file=sys.stderr)
+            streak = 0
             time.sleep(CHECK_EVERY)
             continue
         ceiling = lo["min_s"] / hi["min_s"]
+        spread = max(max(lo["all"]) / min(lo["all"]),
+                     max(hi["all"]) / min(hi["all"]))
+        quiet = ceiling >= MIN_CEILING and spread <= PROBE_SPREAD
+        streak = streak + 1 if quiet else 0
         rec = {"ts": time.time(), "window": WINDOW,
                "probe_s_4": round(lo["min_s"], 2),
                "probe_s_16": round(hi["min_s"], 2),
                "probe_ceiling": round(ceiling, 3),
-               "quiet": ceiling >= MIN_CEILING}
+               "probe_spread": round(spread, 3),
+               "quiet": quiet, "streak": streak}
         with open(LOG, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(f"[wait_quiet {time.strftime('%H:%M:%S')}] ceiling {ceiling:.2f}x "
-              f"({lo['min_s']:.1f}s@4 {hi['min_s']:.1f}s@16) "
-              f"{'QUIET -> launching pair' if rec['quiet'] else 'contended'}",
+              f"spread {spread:.2f}x ({lo['min_s']:.1f}s@4 {hi['min_s']:.1f}s@16) "
+              f"{'quiet' if quiet else 'contended'} streak={streak}",
               file=sys.stderr)
-        if rec["quiet"]:
-            os.execv(sys.executable,
-                     [sys.executable, os.path.join(REPO, "BENCH", "scale_pair.py"),
-                      WINDOW])
+        if streak >= QUIET_STREAK:
+            streak = 0
+            print(f"[wait_quiet {time.strftime('%H:%M:%S')}] launching pair",
+                  file=sys.stderr)
+            rc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "BENCH", "scale_pair.py"), WINDOW],
+            ).returncode
+            if rc == 0:
+                print("[wait_quiet] pair ACCEPTED — done", file=sys.stderr)
+                sys.exit(0)
+            print(f"[wait_quiet] pair exited rc={rc} "
+                  f"({'drift-rejected' if rc == 3 else 'noisy pre-calib' if rc == 5 else 'error'}) "
+                  "— resuming probe loop", file=sys.stderr)
+            time.sleep(CHECK_EVERY)
+            continue
         time.sleep(max(0.0, CHECK_EVERY - (time.time() - t0)))
-    print(f"[wait_quiet] deadline reached with no quiet window; see {LOG}",
+    print(f"[wait_quiet] deadline reached with no accepted draw; see {LOG}",
           file=sys.stderr)
     sys.exit(4)
 
