@@ -1,31 +1,28 @@
 """Calibrated same-window 200M scaling pair (r4 verdict item #2).
 
-The N -> 4N efficiency ratio on this host-multiplexed VM is dominated by
-host-steal variance between draws, so a ratio is only evidence when both
-levels ran inside one demonstrably quiet, stationary host window. This
-orchestrator enforces that protocol end to end:
+An N -> 4N efficiency ratio on this host-multiplexed VM is only evidence
+when both levels ran inside one demonstrably stationary host window.
+This orchestrator enforces that protocol end to end:
 
-1. calibrate the hardware parallel ceiling (min-of-5 ``sum(sqrt(id))``
-   over 8B rows, pure JVM, zero shuffle) at BOTH levels, BEFORE the pair;
-2. run the 200M-event replay back-to-back at local[4] then local[16]
-   (same config, fresh JVMs, ``BENCH/scale_run.py``);
+1. calibrate the hardware parallel ceiling (``sum(sqrt(id))`` over 8B
+   rows, pure JVM, zero shuffle) at BOTH levels, BEFORE the pair;
+2. run the 200M-event replay back-to-back at both levels (same config,
+   fresh JVMs, ``BENCH/scale_run.py``);
 3. calibrate AGAIN at both levels, AFTER the pair;
 4. ACCEPT the draw only if the before/after calibrations agree within
-   ``TOL`` (default 10%) at both levels — i.e. the host window was
-   stationary across the whole pair. Rejected draws never enter
-   ``BENCH/scale_results.jsonl``.
+   ``TOL`` (default 10%) at both levels AND each calibration's own draws
+   are steady (max/min <= ``SCALE_PAIR_CALIB_SPREAD``). Rejected draws
+   never enter ``BENCH/scale_results.jsonl``; every verdict (accepted or
+   not) is appended to ``BENCH/scale_pair_windows.jsonl`` so the trail
+   records WHY a window produced no accepted draw.
 
-Two lessons from the rejected 2026-08-17-r5b draw are encoded here:
-
-- A calibration whose own 5 draws are bimodal (observed: [5.3, 5.7, 17.1,
-  17.5, 17.0] at local[4]) passes a drift-of-minimums check while proving
-  the window is junk. Each calibration now also gates on its internal
-  max/min spread (``SCALE_PAIR_CALIB_SPREAD``, default 1.6); a noisy
-  PRE-calibration aborts with exit code 5 BEFORE the ~35-minute pair is
-  spent, and a noisy POST-calibration rejects the draw.
-- Every verdict (accepted or rejected) is appended to
-  ``BENCH/scale_pair_windows.jsonl`` so the evidence trail records WHY a
-  window produced no accepted draw, not just the survivors.
+Protocol v1 (min-of-5, levels 4/16) produced the r5b rejection whose
+"bimodal" calibration ([5.3, 5.7, 17.1, 17.5, 17.0] at local[4]) turned
+out not to be host noise at all — it was the host's BURST-CREDIT regime
+(see ``BENCH/burst_probe.py``): fast post-idle draws, then a rock-steady
+sustained rate. v2 ("sustained-v2", the default) burns the credits
+before every calibration and before each replay, then calibrates on
+post-burn draws — the rate a multi-minute replay actually runs at.
 
 Accepted draws are appended to the evidence log with the window label and
 both calibration receipts embedded, so ``BENCH/scaling.py
@@ -36,9 +33,9 @@ Usage:
     python BENCH/scale_pair.py [window_label] [n_events] [depth] [epb]
 
 Defaults: window=YYYY-MM-DD-r5, 200M events, depth 2, 5M-event
-micro-batches (the sweep's best-ratio config: small batches keep all 16
-threads fed; large batches amortize per-batch fixed cost at low core
-counts, inflating the denominator).
+micro-batches; levels from ``SCALE_PAIR_LEVELS`` (default ``8,32`` —
+full machine capacity; sustained per-core rates are flat from 4 to 32
+threads on this VM, so the capacity pair is the honest N→4N).
 """
 
 from __future__ import annotations
@@ -60,6 +57,48 @@ DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 EPB = int(sys.argv[4]) if len(sys.argv) > 4 else 5_000_000
 TOL = float(os.environ.get("SCALE_PAIR_CALIB_TOL", "0.10"))
 SPREAD_TOL = float(os.environ.get("SCALE_PAIR_CALIB_SPREAD", "1.6"))
+
+# Protocol v2 (r5): calibrate SUSTAINED rates, not burst rates. This host
+# runs a burst-credit regime (see BENCH/burst_probe.py) — after idle the
+# first draws run up to ~2.5x faster than steady state, which (a) made
+# min-of-5 calibrations understate the hardware ceiling, (b) made the
+# spread/drift gates structurally unpassable (every calibration straddles
+# the burst→sustained edge), and (c) explains the r5b "bimodal" abort.
+# v2 burns the credits before every calibration AND before each replay
+# (so the low level's replay start isn't turbo-subsidized), then gates on
+# the post-burn draws. Levels are parameterized: the same-per-core
+# sustained rates measured at 4/8/16/32 threads make the full-capacity
+# (8, 32) pair the preferred N→4N demonstration.
+PROTOCOL = os.environ.get("SCALE_PAIR_PROTOCOL", "sustained-v2")
+PAIR_LEVELS = tuple(
+    int(c) for c in os.environ.get("SCALE_PAIR_LEVELS", "8,32").split(",")
+) if PROTOCOL == "sustained-v2" else LEVELS
+assert len(PAIR_LEVELS) == 2 and PAIR_LEVELS[1] == 4 * PAIR_LEVELS[0], \
+    "the north rule's criterion is N vs 4N"
+
+_BURN_SCRIPT = """
+import os, time
+from pyspark.sql import SparkSession
+cpus = os.environ["CAL_CPUS"]
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+  .config("spark.sql.shuffle.partitions", cpus)
+  .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.time()
+while time.time() - t0 < 25:
+    spark.range(8_000_000_000).selectExpr("sum(sqrt(id))").collect()
+"""
+
+
+def burn(cpus: int) -> None:
+    """Drain the host's burst credits at `cpus` threads (~25s saturating
+    JVM work) so the measurement that follows runs at the sustained rate
+    from its first second."""
+    subprocess.run(
+        [sys.executable, "-c", _BURN_SCRIPT],
+        env={**os.environ, "CAL_CPUS": str(cpus)},
+        capture_output=True, text=True, timeout=300,
+    )
 
 
 def _log(msg: str) -> None:
@@ -95,19 +134,22 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    lo, hi = LEVELS
-    _log(f"window={WINDOW} n={N_EVENTS:,} depth={DEPTH} epb={EPB:,}")
+    lo, hi = PAIR_LEVELS
+    sustained = PROTOCOL == "sustained-v2"
+    _log(f"window={WINDOW} n={N_EVENTS:,} depth={DEPTH} epb={EPB:,} "
+         f"levels={PAIR_LEVELS} protocol={PROTOCOL}")
 
     _log("pre-pair calibration...")
-    cal_pre = {c: calibrate(c) for c in LEVELS}
+    cal_pre = {c: calibrate(c, sustained=sustained) for c in PAIR_LEVELS}
     ceil_pre = cal_pre[lo]["min_s"] / cal_pre[hi]["min_s"]
     _log(f"pre: {cal_pre[lo]['min_s']:.2f}s@{lo} {cal_pre[hi]['min_s']:.2f}s@{hi} "
          f"ceiling {ceil_pre:.2f}x "
          f"spread {_spread(cal_pre[lo]):.2f}@{lo} {_spread(cal_pre[hi]):.2f}@{hi}")
-    pre_spreads = {c: _spread(cal_pre[c]) for c in LEVELS}
+    pre_spreads = {c: _spread(cal_pre[c]) for c in PAIR_LEVELS}
     if any(s > SPREAD_TOL for s in pre_spreads.values()):
         _record_window({
             "metric": "scale_pair_calibrated_window", "window": WINDOW,
+            "protocol": PROTOCOL, "levels": list(PAIR_LEVELS),
             "n_events": N_EVENTS, "pipeline_depth": DEPTH,
             "events_per_batch": EPB,
             "calib_pre": {str(k): v for k, v in cal_pre.items()},
@@ -121,23 +163,26 @@ def main() -> None:
         sys.exit(5)
 
     results = {}
-    for cpus in LEVELS:
+    for cpus in PAIR_LEVELS:
+        if sustained:
+            _log(f"burning burst credits at local[{cpus}]...")
+            burn(cpus)
         _log(f"replay at local[{cpus}]...")
         results[cpus] = run_level(cpus)
         _log(f"local[{cpus}]: {results[cpus]['events_per_sec']:,.0f} events/s "
              f"({results[cpus]['replay_s']}s)")
 
     _log("post-pair calibration...")
-    cal_post = {c: calibrate(c) for c in LEVELS}
+    cal_post = {c: calibrate(c, sustained=sustained) for c in PAIR_LEVELS}
     ceil_post = cal_post[lo]["min_s"] / cal_post[hi]["min_s"]
     _log(f"post: {cal_post[lo]['min_s']:.2f}s@{lo} {cal_post[hi]['min_s']:.2f}s@{hi} "
          f"ceiling {ceil_post:.2f}x")
 
     drift = {
         c: abs(cal_post[c]["min_s"] - cal_pre[c]["min_s"]) / cal_pre[c]["min_s"]
-        for c in LEVELS
+        for c in PAIR_LEVELS
     }
-    post_spreads = {c: _spread(cal_post[c]) for c in LEVELS}
+    post_spreads = {c: _spread(cal_post[c]) for c in PAIR_LEVELS}
     stationary = all(d <= TOL for d in drift.values()) and all(
         s <= SPREAD_TOL for s in post_spreads.values()
     )
@@ -146,6 +191,8 @@ def main() -> None:
     verdict = {
         "metric": "scale_pair_calibrated_window",
         "window": WINDOW,
+        "protocol": PROTOCOL,
+        "levels": list(PAIR_LEVELS),
         "n_events": N_EVENTS,
         "pipeline_depth": DEPTH,
         "events_per_batch": EPB,
@@ -162,7 +209,7 @@ def main() -> None:
         "raw_efficiency": round(sp / 4.0, 3),
         "hw_normalized_efficiency": round(sp / ceiling, 3),
         "events_per_sec": {
-            str(c): results[c]["events_per_sec"] for c in LEVELS
+            str(c): results[c]["events_per_sec"] for c in PAIR_LEVELS
         },
         "accepted": stationary,
     }
@@ -170,7 +217,7 @@ def main() -> None:
     _record_window(verdict)
     if stationary:
         with open(os.path.join(REPO, "BENCH", "scale_results.jsonl"), "a") as fh:
-            for c in LEVELS:
+            for c in PAIR_LEVELS:
                 fh.write(json.dumps(results[c]) + "\n")
         _log(f"ACCEPTED: raw {verdict['raw_efficiency']} / normalized "
              f"{verdict['hw_normalized_efficiency']} (ceiling {ceiling:.2f}x, "

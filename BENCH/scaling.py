@@ -50,12 +50,44 @@ for _ in range(5):
 print(json.dumps({"min_s": min(times), "all": times}))
 """
 
+# Sustained-rate calibration (protocol v2, r5): this host runs a cgroup/
+# turbo BURST regime — after idle, the first draws run up to ~2.5x faster
+# than the steady rate, then settle (see BENCH/burst_probe.py for the
+# characterization and the historical mis-readings it explains). A
+# min-of-N calibration therefore measures burst speed, but a multi-minute
+# replay runs at the SUSTAINED rate. v2 burns the credits first (the burn
+# draws are kept in the receipt as evidence of the regime), then measures
+# min/spread over 5 post-burn draws — the honest denominator for
+# normalizing a long replay.
+_CALIB_SUSTAINED_SCRIPT = """
+import os, time, json
+from pyspark.sql import SparkSession
+cpus = os.environ["CAL_CPUS"]
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+  .config("spark.sql.shuffle.partitions", cpus)
+  .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(10**6).selectExpr("sum(sqrt(id))").collect()  # JIT warm
+burn, t_burn = [], time.time()
+while time.time() - t_burn < 25:  # drain burst credits (~2 draws' worth)
+    t0 = time.time()
+    spark.range(8_000_000_000).selectExpr("sum(sqrt(id))").collect()
+    burn.append(round(time.time() - t0, 3))
+times = []
+for _ in range(5):
+    t0 = time.time()
+    spark.range(8_000_000_000).selectExpr("sum(sqrt(id))").collect()
+    times.append(round(time.time() - t0, 3))
+print(json.dumps({"min_s": min(times), "all": times, "burn": burn}))
+"""
 
-def calibrate(cpus: int) -> dict:
+
+def calibrate(cpus: int, sustained: bool = False) -> dict:
+    script = _CALIB_SUSTAINED_SCRIPT if sustained else _CALIB_SCRIPT
     out = subprocess.run(
-        [sys.executable, "-c", _CALIB_SCRIPT],
+        [sys.executable, "-c", script],
         env={**os.environ, "CAL_CPUS": str(cpus)},
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=900,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -102,16 +134,19 @@ def _pair_windows() -> tuple[dict, list[str]]:
                 continue
             v = json.loads(line)
             n = v.get("n_events")
+            plo, phi = v.get("levels", LEVELS)
+            proto = v.get("protocol", "min-of-5 v1")
             if v.get("accepted"):
                 ceilings[v["window"]] = v["hw_ceiling_speedup"]
                 notes.append((n,
                     f"- Calibrated-pair draw (window `{v['window']}`, "
-                    f"`BENCH/scale_pair.py`): **raw "
+                    f"`BENCH/scale_pair.py`, {proto}, local[{plo}]→"
+                    f"local[{phi}]): **raw "
                     f"{v['raw_efficiency']:.3f} / hardware-normalized "
                     f"{v['hw_normalized_efficiency']:.3f}** "
-                    f"({v['events_per_sec'][str(LEVELS[0])]:,.0f} @ N → "
-                    f"{v['events_per_sec'][str(LEVELS[1])]:,.0f} @ 4N; "
-                    f"pre/post min-of-5 calibrations agree within "
+                    f"({v['events_per_sec'][str(plo)]:,.0f} @ N → "
+                    f"{v['events_per_sec'][str(phi)]:,.0f} @ 4N; "
+                    f"pre/post calibrations agree within "
                     f"{max(v['calib_drift'].values()):.1%}, window ceiling "
                     f"{v['hw_ceiling_speedup']:.2f}x) — ACCEPTED by the "
                     "stationarity gate."
@@ -125,10 +160,11 @@ def _pair_windows() -> tuple[dict, list[str]]:
                 ))
             else:
                 notes.append((n,
-                    f"- Window `{v['window']}`: measured raw "
+                    f"- Window `{v['window']}` ({proto}, local[{plo}]→"
+                    f"local[{phi}]): measured raw "
                     f"{v['raw_efficiency']:.3f} "
-                    f"({v['events_per_sec'][str(LEVELS[0])]:,.0f} @ N → "
-                    f"{v['events_per_sec'][str(LEVELS[1])]:,.0f} @ 4N) but "
+                    f"({v['events_per_sec'][str(plo)]:,.0f} @ N → "
+                    f"{v['events_per_sec'][str(phi)]:,.0f} @ 4N) but "
                     f"**self-REJECTED** — calibration drift "
                     f"{max(v['calib_drift'].values()):.1%} (tol "
                     f"{v['tol']:.0%}); the ratio ran in a non-stationary "
@@ -170,32 +206,35 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
     out: list[str] = []
     vols = sorted({k[0] for k in best})
     for n_events in vols:
+        # pair any (N, 4N) levels measured under the same config+window
+        # — (4, 16) for the v1 draws, (8, 32) for the sustained-v2 pairs
         pairs = sorted(
             {
-                (k[2], k[3], k[4])
+                (k[1], k[2], k[3], k[4])
                 for k in best
                 if k[0] == n_events
-                and (n_events, LEVELS[0], k[2], k[3], k[4]) in best
-                and (n_events, LEVELS[1], k[2], k[3], k[4]) in best
+                and (n_events, k[1] * 4, k[2], k[3], k[4]) in best
             }
         )
         if not pairs:
             continue
         def _speedup(c):
             return (
-                best[(n_events, LEVELS[1], *c)]["events_per_sec"]
-                / best[(n_events, LEVELS[0], *c)]["events_per_sec"]
+                best[(n_events, c[0] * 4, *c[1:])]["events_per_sec"]
+                / best[(n_events, *c)]["events_per_sec"]
             )
 
         cfg = max(
             pairs,
-            key=lambda c: best[(n_events, LEVELS[1], *c)]["events_per_sec"],
+            key=lambda c: best[(n_events, c[0] * 4, *c[1:])]["events_per_sec"],
         )
         best_ratio_cfg = max(pairs, key=_speedup)
-        lo_r = best.get((n_events, LEVELS[0], *cfg))
-        hi_r = best.get((n_events, LEVELS[1], *cfg))
+        lo_r = best.get((n_events, *cfg))
+        hi_r = best.get((n_events, cfg[0] * 4, *cfg[1:]))
         if not (lo_r and hi_r):
             continue
+        lo_lvl, hi_lvl = cfg[0], cfg[0] * 4
+        all_levels = sorted({k[1] for k in best if k[0] == n_events})
         sp = hi_r["events_per_sec"] / lo_r["events_per_sec"]
         chains = hi_r.get("delta_chain_len_pre_final_fold", {})
         out += [
@@ -203,12 +242,12 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
             f"({n_events // 20_000_000}x the sf0.1 bench volume)",
             "",
             "One bounded replay per level via `BENCH/scale_run.py` "
-            f"(volume-packed {cfg[1] // 1_000_000}M-event micro-batches, "
-            f"pipeline depth {cfg[0]}, periodic maintenance folds; solo "
+            f"(volume-packed {cfg[2] // 1_000_000}M-event micro-batches, "
+            f"pipeline depth {cfg[1]}, periodic maintenance folds; solo "
             "runs — contended draws are excluded from the record; same "
             "config at both levels):",
             "",
-            f"| metric | local[{LEVELS[0]}] (N) | local[{LEVELS[1]}] (4N) |",
+            f"| metric | local[{lo_lvl}] (N) | local[{hi_lvl}] (4N) |",
             "|---|---|---|",
             f"| replay wall (s) | {lo_r['replay_s']} | {hi_r['replay_s']} |",
             f"| **sustained events/s** | **{lo_r['events_per_sec']:,.0f}** | "
@@ -219,26 +258,28 @@ def _scale_up_section(hw_speedup: float) -> list[str]:
             f"{lo_r['mid_replay_compactions']} | "
             f"{hi_r['mid_replay_compactions']} |",
             "",
-            f"- **Raw scaling efficiency N→4N = {sp / 4:.3f}**; "
-            f"hardware-normalized = "
-            f"{sp / ceilings.get(cfg[2], hw_speedup):.3f} "
+            f"- **Raw scaling efficiency N→4N = {sp / 4:.3f}** "
+            f"(local[{lo_lvl}]→local[{hi_lvl}]); hardware-normalized = "
+            f"{sp / ceilings.get(cfg[3], hw_speedup):.3f} "
             f"(engine {sp:.2f}x vs that window's hw ceiling "
-            f"{ceilings.get(cfg[2], hw_speedup):.2f}x; "
-            f"ratio from same-window draws, host window `{cfg[2]}`)",
+            f"{ceilings.get(cfg[3], hw_speedup):.2f}x; "
+            f"ratio from same-window draws, host window `{cfg[3]}`)",
             "- Absolute bests across all recorded windows/configs: "
             + ", ".join(
                 f"local[{lvl}] "
                 f"{max(best[k]['events_per_sec'] for k in best if k[0] == n_events and k[1] == lvl):,.0f} events/s"
-                for lvl in LEVELS
+                for lvl in all_levels
             ),
             *(
                 [
                     f"- Best demonstrated same-window ratio: "
                     f"{_speedup(best_ratio_cfg) / 4:.3f} raw / "
-                    f"{_speedup(best_ratio_cfg) / ceilings.get(best_ratio_cfg[2], hw_speedup):.3f} "
-                    f"hardware-normalized ({best_ratio_cfg[1] // 1_000_000}M "
-                    f"batches, depth {best_ratio_cfg[0]}, window "
-                    f"`{best_ratio_cfg[2]}`) — window contention dominates "
+                    f"{_speedup(best_ratio_cfg) / ceilings.get(best_ratio_cfg[3], hw_speedup):.3f} "
+                    f"hardware-normalized (local[{best_ratio_cfg[0]}]→"
+                    f"local[{best_ratio_cfg[0] * 4}], "
+                    f"{best_ratio_cfg[2] // 1_000_000}M "
+                    f"batches, depth {best_ratio_cfg[1]}, window "
+                    f"`{best_ratio_cfg[3]}`) — window contention dominates "
                     "ratio variance on this host; the absolute throughputs "
                     "above are the stable round-over-round signal.",
                 ]
