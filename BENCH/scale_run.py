@@ -50,7 +50,19 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    work = tempfile.mkdtemp(prefix="scale_lake_")
+    # SCALE_RUN_TMPFS=1 puts the lake (delta writes + compaction folds)
+    # on /dev/shm. Rationale, measured in windows 2026-08-18-r5c/r5d:
+    # this sandbox has ONE disk shared by every thread, so at local[16]
+    # the replay's write side saturates it while local[4] stays
+    # CPU-bound — the N→4N ratio then measures the missing 3 disks, not
+    # the engine (a real 4x cluster brings 4x spindles). tmpfs removes
+    # the single-disk artifact; the changelog READ side stays on disk
+    # (page-cached), and the config is identical at both levels and
+    # recorded in the draw ("lake_fs").
+    tmpfs = os.environ.get("SCALE_RUN_TMPFS", "") == "1" and os.path.isdir("/dev/shm")
+    work = tempfile.mkdtemp(
+        prefix="scale_lake_", dir="/dev/shm" if tmpfs else None
+    )
     table = MiniLakeTable.create(
         spark, os.path.join(work, "table"), TRANSCRIPT_SCHEMA,
         key_cols=["conv_id", "turn_idx"], n_buckets=32, write_mode="mor",
@@ -90,6 +102,7 @@ def main() -> None:
             "SCALE_RUN_WINDOW", time.strftime("%Y-%m-%d")
         ),
         "cpus": CPUS,
+        "lake_fs": "tmpfs" if tmpfs else "disk",
         "pipeline_depth": DEPTH,
         "events_per_batch": EPB,
         "replay_s": round(replay_s, 2),
