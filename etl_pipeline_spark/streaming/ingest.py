@@ -209,6 +209,7 @@ def run_ingest_stream_evolving(
 
     schema = initial_schema or observed_change_schema(changelog_dir, base)
     restarts = 0
+    skew_memo: dict = {}  # sticky skew verdict, survives restarts-on-widen
     while True:
         known = {f.name for f in schema.fields}
         widened_to: list = []  # cell: foreachBatch → driver loop
@@ -228,7 +229,7 @@ def run_ingest_stream_evolving(
                 raise SchemaWidened(births)
             apply_batch(
                 table, batch_df, batch_id, cfg=cfg, lineage=lineage,
-                stream_id=stream_id,
+                stream_id=stream_id, skew_memo=skew_memo,
             )
 
         events = read_events_stream(
@@ -278,11 +279,12 @@ def run_ingest_stream(
     # Fence lineage = this checkpoint: Structured Streaming guarantees a
     # stable batch-id <-> offset-range mapping only within one checkpoint.
     stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
+    skew_memo: dict = {}
 
     def _apply(batch_df, batch_id: int) -> None:
         apply_batch(
             table, batch_df, batch_id, cfg=cfg, lineage=lineage,
-            stream_id=stream_id,
+            stream_id=stream_id, skew_memo=skew_memo,
         )
 
     writer = (
@@ -395,10 +397,11 @@ def replay_files(
         )
 
     applied = 0
+    skew_memo: dict = {}
     for batch_id, group in todo:
         apply_batch(
             table, _read(group), batch_id, cfg=cfg, lineage=lineage,
-            stream_id=stream_id,
+            stream_id=stream_id, skew_memo=skew_memo,
         )
         applied += 1
     return applied
@@ -443,6 +446,10 @@ def _replay_pipelined(
     for batch_id, _ in todo:
         done[batch_id] = threading.Event()
     failed = threading.Event()
+    # sticky skew verdict shared across in-flight batches: dict get/set
+    # are GIL-atomic; a concurrently-probing pair at the cadence edge
+    # just probes twice, which is harmless
+    skew_memo: dict = {}
 
     def _run(batch_id: int, df) -> None:
         def _gate() -> None:
@@ -457,6 +464,7 @@ def _replay_pipelined(
             apply_batch(
                 table, df, batch_id, cfg=cfg, lineage=lineage,
                 stream_id=stream_id, pre_commit=_gate,
+                skew_memo=skew_memo,
             )
             done[batch_id].set()
         except BaseException:

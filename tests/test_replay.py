@@ -214,3 +214,72 @@ def test_apply_batch_names_missing_required_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match=r"missing required column.*'op'"):
         apply_batch(table, no_op, 0)
+
+
+# ------------------------------------------------------------------ sticky
+# skew probe (ApplyConfig.skew_probe_every): the sampling job re-runs on a
+# cadence per stream, its verdict reused in between — skew is a property of
+# the stream, and the per-batch probe was an extra full-scan job per batch.
+
+
+def _count_probes(monkeypatch, verdict: bool):
+    """Patch pipeline.detect_hot_keys with a counting stub."""
+    import etl_pipeline_spark.pipeline as pl
+
+    calls = []
+
+    def fake(df, keys, threshold):
+        calls.append(1)
+        return verdict
+
+    monkeypatch.setattr(pl, "detect_hot_keys", fake)
+    return calls
+
+
+def test_sticky_skew_probe_cadence(spark, tmp_path, monkeypatch):
+    calls = _count_probes(monkeypatch, verdict=False)
+    cfg = GenConfig(n_events=10_000, batch_size=2_000)
+    changelog = str(tmp_path / "changelog")
+    write_changelog(cfg, changelog)
+    table = _fresh_table(spark, tmp_path)
+    replay_files(
+        spark, changelog, table,
+        cfg=ApplyConfig(skew_probe_min_bytes=0, skew_probe_every=2),
+    )
+    # 5 batches, cadence 2 -> probed on batches 0, 2, 4 only
+    assert len(calls) == 3
+    _assert_state_equal(_engine_state(table), _oracle_state(cfg))
+
+
+def test_sticky_probe_salted_verdict_reused(spark, tmp_path, monkeypatch):
+    calls = _count_probes(monkeypatch, verdict=True)
+    cfg = GenConfig(n_events=10_000, batch_size=2_000)
+    changelog = str(tmp_path / "changelog")
+    write_changelog(cfg, changelog)
+    table = _fresh_table(spark, tmp_path)
+    replay_files(
+        spark, changelog, table,
+        cfg=ApplyConfig(skew_probe_min_bytes=0, skew_probe_every=4),
+    )
+    # probed on 0 and 4; batches 1-3 reuse the salted verdict without a job
+    assert len(calls) == 2
+    recs = [
+        r for r in LineageLog(table.root).records()
+        if not r.get("skipped_fenced")
+    ]
+    assert len(recs) == 5 and all(r["salted_reduce"] for r in recs)
+    _assert_state_equal(_engine_state(table), _oracle_state(cfg))
+
+
+def test_direct_apply_batch_probes_every_batch(spark, tmp_path, monkeypatch):
+    # no memo (direct caller) -> legacy probe-every-batch behavior, and
+    # cadence 1 with a driver memo behaves identically
+    calls = _count_probes(monkeypatch, verdict=False)
+    cfg = GenConfig(n_events=10_000, batch_size=2_000)
+    changelog = str(tmp_path / "changelog")
+    write_changelog(cfg, changelog)
+    replay_files(
+        spark, changelog, _fresh_table(spark, tmp_path),
+        cfg=ApplyConfig(skew_probe_min_bytes=0, skew_probe_every=1),
+    )
+    assert len(calls) == 5
