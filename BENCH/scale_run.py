@@ -26,6 +26,12 @@ N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 EPB = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000_000
+# input-split sizing: a 5M-event changelog file is ~165 MB, so the old
+# fixed 16 MB split yields ~11 scan tasks — an uneven single wave on 16
+# cores (5 idle) while local[4] packs 3 full waves. The scan stage then
+# caps N→4N scaling regardless of the engine. Default 4 MB ≈ 42 splits
+# ≈ 2.6 even waves at 16 cores; overridable per probe.
+SPLIT_MB = int(os.environ.get("SCALE_RUN_SPLIT_MB", "4"))
 
 
 def main() -> None:
@@ -45,7 +51,7 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(SPLIT_MB * 1024 * 1024),
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
@@ -103,6 +109,7 @@ def main() -> None:
         ),
         "cpus": CPUS,
         "lake_fs": "tmpfs" if tmpfs else "disk",
+        "split_mb": SPLIT_MB,
         "pipeline_depth": DEPTH,
         "events_per_batch": EPB,
         "replay_s": round(replay_s, 2),
