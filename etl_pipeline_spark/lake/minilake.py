@@ -92,6 +92,11 @@ class MergeResult:
     rows_deleted: int = 0
     buckets_touched: int = 0
     wall_ms: float = 0.0
+    # write-audit-publish: merge(stage_to=...) ran the write job but did
+    # NOT commit — version/snapshot_id are the base the stage saw, and
+    # the change becomes visible only after publish_staged(wap_id)
+    staged: bool = False
+    wap_id: str | None = None
 
 
 class MiniLakeTable:
@@ -639,6 +644,7 @@ class MiniLakeTable:
         pre_commit: "object | None" = None,
         valid_col: str | None = None,
         dead_sink: str | None = None,
+        stage_to: str | None = None,
     ) -> MergeResult:
         """Apply a (LWW-pre-reduced) change batch as a key-partitioned
         MERGE: tombstone DELETE / UPDATE / INSERT in one atomic snapshot.
@@ -679,11 +685,30 @@ class MiniLakeTable:
         key, so the plan keeps exactly one scan and one exchange.
         Dead-letter delivery is at-least-once across crash/retry, same
         as the previous separate-job write.
+
+        ``stage_to`` (**MOR only**) enables write-audit-publish (the
+        Iceberg WAP pattern: snapshots staged under ``wap.id``, then
+        cherry-picked): the expensive write job runs now, but instead of
+        committing, the batch's manifest delta is parked in a staged
+        descriptor under that id. Readers see nothing until
+        :meth:`publish_staged` — a metadata-only CAS that re-checks the
+        fence, so audit time costs zero extra data jobs and a staged
+        batch another writer applied meanwhile publishes as a fenced
+        no-op. Audit the pending state with :meth:`read_staged`; discard
+        with :meth:`abort_staged`. Incompatible with ``pre_commit``
+        (staging IS the commit decoupling). Sound for MOR because delta
+        files are base-independent — the same invariant the conflict
+        retry relies on; COW reads state at write time and is rejected.
         """
         t0 = time.time()
         base = self.manifest()  # fence + CAS base: the SAME snapshot
         if pre_commit is not None and base.get("write_mode", "cow") != "mor":
             raise ValueError("pre_commit pipelining requires merge-on-read mode")
+        if stage_to is not None:
+            if base.get("write_mode", "cow") != "mor":
+                raise ValueError("stage_to (WAP) requires merge-on-read mode")
+            if pre_commit is not None:
+                raise ValueError("stage_to is incompatible with pre_commit")
         if valid_col is not None:
             if base.get("write_mode", "cow") != "mor":
                 raise ValueError(
@@ -924,6 +949,15 @@ class MiniLakeTable:
                 if dead_sink is not None:  # all-dead batch: keep the rows
                     self._relocate_dead_letters(out_dir, dead_sink)
                 shutil.rmtree(out_dir, ignore_errors=True)
+                if stage_to is not None:
+                    # a staged empty batch parks a data-free descriptor;
+                    # publish_staged turns it into the fence-only commit
+                    # (dead letters above are already relocated — DLQ
+                    # delivery stays at-least-once, same as unstaged)
+                    return self._write_staged(
+                        stage_to, stream_id, batch_id, version,
+                        n_buckets, {}, 0, 0, -1, t0,
+                    )
                 return self._commit_fence_only(
                     base, version, stream_id, batch_id, t0
                 )
@@ -1000,6 +1034,18 @@ class MiniLakeTable:
                     F.max(LSN_COL).alias("max_lsn"),
                 )
                 .collect()[0]
+            )
+
+        if stage_to is not None:
+            # WAP: the write job is done; park the manifest delta instead
+            # of committing. MOR delta dirs are base-independent, so the
+            # publish can rebase onto whatever commits land meanwhile —
+            # identical soundness argument to the CommitConflict retry.
+            return self._write_staged(
+                stage_to, stream_id, batch_id, version, n_buckets,
+                {str(b): d for b, d in delta_dirs.items() if d is not None},
+                int(stats_row["live"]), int(stats_row["dead"]),
+                int(stats_row["max_lsn"] or -1), t0,
             )
 
         while True:
@@ -1092,6 +1138,201 @@ class MiniLakeTable:
             wall_ms=(time.time() - t0) * 1000,
         )
 
+    # ------------------------------------------------- write-audit-publish
+    # Iceberg WAP analog: spark.wap.id stages a snapshot that is not the
+    # table's current until cherry_pick_snapshot publishes it. Here the
+    # staged state is a descriptor under metadata/staged/<wap_id>.json
+    # holding the batch's manifest DELTA (MOR delta dirs + fence advance
+    # + stats); publish is a metadata-only CAS, audit is a read over
+    # current ∪ staged dirs. Retention GC treats staged dirs as live.
+
+    def _staged_path(self, wap_id: str) -> str:
+        if "/" in wap_id or wap_id.startswith("."):
+            raise ValueError(f"invalid wap_id {wap_id!r}")
+        return os.path.join(self.meta_dir, "staged", f"{wap_id}.json")
+
+    def _load_staged(self, wap_id: str) -> dict:
+        try:
+            with open(self._staged_path(wap_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(f"no staged commit {wap_id!r}") from None
+
+    def list_staged(self) -> list[str]:
+        return sorted(
+            os.path.basename(p)[:-5]
+            for p in glob.glob(os.path.join(self.meta_dir, "staged", "*.json"))
+        )
+
+    def _write_staged(
+        self,
+        wap_id: str,
+        stream_id: str,
+        batch_id: int,
+        base_version: int,
+        n_buckets: int,
+        delta_dirs: dict[str, str],
+        live: int,
+        dead: int,
+        max_lsn: int,
+        t0: float,
+    ) -> MergeResult:
+        path = self._staged_path(wap_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        desc = {
+            "wap_id": wap_id,
+            "stream_id": stream_id,
+            "batch_id": batch_id,
+            "base_version_at_stage": base_version,
+            "n_buckets": n_buckets,
+            "delta_dirs": delta_dirs,
+            "stats": {"live": live, "dead": dead, "max_lsn": max_lsn},
+            "staged_at": time.time(),
+        }
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            # duplicate wap_id: drop the just-written (unreferenced)
+            # delta dirs rather than leaking them until orphan GC
+            for top in {os.path.dirname(d) for d in delta_dirs.values()}:
+                shutil.rmtree(top, ignore_errors=True)
+            raise ValueError(f"staged commit {wap_id!r} already exists")
+        with os.fdopen(fd, "w") as f:
+            json.dump(desc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        return MergeResult(
+            skipped=False,
+            version=base_version,
+            snapshot_id=self.manifest(base_version)["snapshot_id"],
+            rows_upserted=live,
+            rows_deleted=dead,
+            buckets_touched=len(delta_dirs),
+            wall_ms=(time.time() - t0) * 1000,
+            staged=True,
+            wap_id=wap_id,
+        )
+
+    def read_staged(self, wap_id: str) -> DataFrame:
+        """The audit view: current table state with the staged batch
+        applied (LWW-resolved), bookkeeping hidden — what :meth:`read`
+        would return after :meth:`publish_staged`. Metadata-only setup;
+        no data is rewritten. If another writer applied the same batch
+        meanwhile, the duplicate rows are byte-identical and the LWW
+        fold collapses them — the audit stays correct."""
+        desc = self._load_staged(wap_id)
+        m = self.manifest()
+        if m["n_buckets"] != desc["n_buckets"]:
+            raise CommitConflict(
+                "bucket layout changed while staged "
+                f"({desc['n_buckets']} -> {m['n_buckets']}); abort and "
+                "restage under the new layout"
+            )
+        dirs = [d for ds in m["buckets"].values() for d in ds] + sorted(
+            desc["delta_dirs"].values()
+        )
+        return self.read(_dirs=dirs)
+
+    def publish_staged(self, wap_id: str) -> MergeResult:
+        """Commit a staged (WAP) batch: metadata-only CAS appending the
+        staged MOR delta dirs and advancing the stream's fence. Re-checks
+        the fence against the publish-time base — a batch another writer
+        applied while staged publishes as a fenced no-op and its staged
+        files are dropped. Conflicts with concurrent commits retry on the
+        fresh base (delta dirs are base-independent); a bucket-count
+        rescale while staged raises :class:`CommitConflict` — abort and
+        restage under the new layout."""
+        t0 = time.time()
+        desc = self._load_staged(wap_id)
+        delta_dirs: dict[str, str] = desc["delta_dirs"]
+        stream_id, batch_id = desc["stream_id"], desc["batch_id"]
+        base = self.manifest()
+        while True:
+            version = base["version"]
+            hw = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
+            if batch_id <= hw:
+                self.abort_staged(wap_id)
+                return MergeResult(
+                    skipped=True, reason="fenced",
+                    version=version, snapshot_id=base["snapshot_id"],
+                    wap_id=wap_id,
+                )
+            if base["n_buckets"] != desc["n_buckets"]:
+                raise CommitConflict(
+                    "bucket layout changed while staged "
+                    f"({desc['n_buckets']} -> {base['n_buckets']}); abort "
+                    "and restage under the new layout"
+                )
+            if not delta_dirs:  # staged empty batch: fence advance only
+                res = self._commit_fence_only(
+                    base, version, stream_id, batch_id, t0
+                )
+                os.remove(self._staged_path(wap_id))
+                res.wap_id = wap_id
+                return res
+            new_buckets = dict(base["buckets"])
+            new_dirs: list[str] = []
+            for b, d in sorted(delta_dirs.items()):
+                new_dirs.append(d)
+                new_buckets[b] = new_buckets.get(b, []) + [d]
+            m2 = {
+                "version": version + 1,
+                "snapshot_id": str(uuid.uuid4()),
+                "parent_snapshot_id": base["snapshot_id"],
+                "schema": base["schema"],
+                "key_cols": base["key_cols"],
+                "n_buckets": base["n_buckets"],
+                "write_mode": base.get("write_mode", "cow"),
+                "buckets": new_buckets,
+                "file_stats": self._stats_for_manifest(
+                    base, new_dirs, new_buckets, base["key_cols"][0]
+                ),
+                "properties": {
+                    **base["properties"],
+                    FENCES_PROP: {
+                        **base["properties"].get(FENCES_PROP, {}),
+                        stream_id: batch_id,
+                    },
+                    MAX_LSN_PROP: max(
+                        base["properties"].get(MAX_LSN_PROP, -1),
+                        int(desc["stats"]["max_lsn"]),
+                    ),
+                },
+                "stats": {
+                    "live_rows": int(desc["stats"]["live"]),
+                    "tombstones": int(desc["stats"]["dead"]),
+                    "stats_scope": "mor_delta",
+                },
+                "committed_at": time.time(),
+            }
+            try:
+                self._write_manifest(m2)
+                break
+            except CommitConflict:
+                # same soundness as merge's MOR retry: the delta is
+                # base-independent, so rebase on the racer's snapshot
+                # (torn-orphan livelock surfaces as the re-raise)
+                base = self._reload_after_conflict(version)
+        os.remove(self._staged_path(wap_id))
+        return MergeResult(
+            skipped=False,
+            version=m2["version"],
+            snapshot_id=m2["snapshot_id"],
+            rows_upserted=int(desc["stats"]["live"]),
+            rows_deleted=int(desc["stats"]["dead"]),
+            buckets_touched=len(delta_dirs),
+            wall_ms=(time.time() - t0) * 1000,
+            wap_id=wap_id,
+        )
+
+    def abort_staged(self, wap_id: str) -> None:
+        """Discard a staged (WAP) batch: delete its delta dirs and the
+        descriptor. The table never saw the data."""
+        desc = self._load_staged(wap_id)
+        for top in {os.path.dirname(d) for d in desc["delta_dirs"].values()}:
+            shutil.rmtree(top, ignore_errors=True)
+        os.remove(self._staged_path(wap_id))
+
     # ----------------------------------------------------------- rollback
 
     def rollback(self, version: int) -> int:
@@ -1171,6 +1412,14 @@ class MiniLakeTable:
             }
 
         live_tops = _tops(kept)
+        # staged (write-audit-publish) delta dirs are referenced by no
+        # manifest yet — they are pending commits, not orphans, whatever
+        # their age
+        for wid in self.list_staged():
+            live_tops |= {
+                os.path.dirname(d)
+                for d in self._load_staged(wid)["delta_dirs"].values()
+            }
         expired_tops = _tops(dropped) - live_tops
         now = time.time()
         removed_dirs: list[str] = []
@@ -1377,6 +1626,16 @@ class MiniLakeTable:
         base = self.manifest()
         if base["n_buckets"] == n_buckets_new:
             return base["version"]
+        staged = self.list_staged()
+        if staged:
+            # staged WAP deltas are bucketed under the CURRENT modulus; a
+            # rescale would strand them unpublishable. Publish or abort
+            # first — failing early here beats a CommitConflict at
+            # publish time with the data already rewritten.
+            raise ValueError(
+                f"cannot rescale with staged commits pending: {staged}; "
+                "publish_staged or abort_staged them first"
+            )
         version = base["version"]
         key0 = base["key_cols"][0]
         schema = schema_from_manifest(base["schema"])

@@ -361,6 +361,108 @@ def q_cdc_rescaled_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(rescaled.read())
 
 
+_WAP_CACHE: dict = {}
+
+
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish graded end-to-end (Iceberg's wap.id +
+    cherry_pick_snapshot pattern, lake/minilake.py merge(stage_to=...)):
+    a deterministic follow-up batch — every non-delete change event with
+    lsn % 53 == 0 re-emitted above the stream's max lsn as an update
+    (text suffixed ' [wap]') or, on turn_idx % 5 == 0 keys, a delete —
+    is STAGED against a copy of the replayed primary, audited via
+    read_staged while the table provably still serves the old state,
+    then published as a metadata-only CAS. A re-staged duplicate of the
+    same batch must publish as a fenced no-op (exactly-once holds
+    through the WAP detour). The oracle recomputes LWW over the original
+    stream plus the same synthetic batch in SQL."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wap = _WAP_CACHE.get(key)
+    if wap is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_wap_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — staging must not mutate the
+        # cached primary other queries read
+        shutil.copytree(primary.root, root)
+        wap = MiniLakeTable(spark, root)
+        ce = derive_change_events(spark, sf_dir)
+        mx = int(ce.agg(F.max("lsn")).first()[0] or 0)
+        extra = ce.filter(
+            (F.col("lsn") % 53 == 0) & (F.col("op") != "D")
+        ).select(
+            (F.col("lsn") + F.lit(mx + 1)).alias("lsn"),
+            F.when(F.col("turn_idx") % 5 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.concat(F.col("text"), F.lit(" [wap]")).alias("text"),
+            "ts",
+        )
+        from .lake.minilake import FENCES_PROP
+
+        fences = wap.snapshot_props().get(FENCES_PROP, {})
+        stream_id, hw = next(iter(sorted(fences.items())))
+        v0 = wap.current_version()
+        staged = wap.merge(
+            extra, batch_id=hw + 1, stream_id=stream_id, stage_to="audit-1"
+        )
+        assert staged.staged and not staged.skipped
+        # the audit gate: pending updates are all visible in the staged
+        # view, none in the still-uncommitted table
+        audited = (
+            wap.read_staged("audit-1")
+            .filter(F.col("text").endswith(" [wap]"))
+            .count()
+        )
+        assert audited == staged.rows_upserted
+        assert wap.current_version() == v0
+        pub = wap.publish_staged("audit-1")
+        assert not pub.skipped
+        # exactly-once through the WAP detour: re-delivering the batch is
+        # fenced at STAGE time (publish advanced the fence; a stage-vs-
+        # apply race is fenced at publish time instead —
+        # tests/test_wap.py::test_publish_is_fenced_when_batch_applied_meanwhile)
+        redo = wap.merge(
+            extra, batch_id=hw + 1, stream_id=stream_id, stage_to="audit-2"
+        )
+        assert redo.skipped and redo.reason == "fenced"
+        assert wap.list_staged() == []
+        _WAP_CACHE[key] = wap
+    return _state_projection(wap.read())
+
+
+WAP_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+extra AS (
+  SELECT lsn + (SELECT max(lsn) FROM ce) + 1 AS lsn,
+         CASE WHEN turn_idx % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+         conv_id, turn_idx, role,
+         text || ' [wap]' AS text,
+         ts
+  FROM ce
+  WHERE lsn % 53 = 0 AND op <> 'D'
+),
+allce AS (
+  SELECT lsn, op, conv_id, turn_idx, role, text, ts FROM ce
+  UNION ALL
+  SELECT lsn, op, conv_id, turn_idx, role, text, ts FROM extra
+),
+r AS (
+  SELECT allce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM allce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
 TIME_TRAVEL_SQL = f"""
 WITH ce AS ({CE_SQL}),
 w AS ({BATCH_W_SQL}),
@@ -3810,6 +3912,7 @@ QUERIES = {
     "cdc_conv_stats_mv": q_cdc_conv_stats_mv,
     "cdc_rescaled_state": q_cdc_rescaled_state,
     "cdc_dead_letter_feed": q_cdc_dead_letter_feed,
+    "cdc_wap_publish": q_cdc_wap_publish,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -3851,8 +3954,10 @@ QUERIES = {
     "events_approx_distinct_check": q_events_approx_distinct_check,
     "events_session_windows": q_events_session_windows,
     "lineitem_stats_profile": q_lineitem_stats_profile,
-    "orders_price_histogram": q_orders_price_histogram,
+    # orders_price_histogram moved below the line for the r5 insertion
+    # of cdc_wap_publish — allowed: it has green driver rows (r03, r04)
     "customer_spend_deciles": q_customer_spend_deciles,
+    "orders_price_histogram": q_orders_price_histogram,
     # ---------------- driver window ends here (first 50) ----------------
     # Rows below were driver-confirmed green in earlier rounds (unchanged
     # since) and remain fully oracle-gated by tests/test_entry.py.
@@ -3911,6 +4016,7 @@ ORACLE_SQL = {
     "cdc_rescaled_state": LWW_STATE_SQL,
     "cdc_conv_stats_mv": CONV_STATS_SQL,
     "cdc_dead_letter_feed": CDC_DLQ_FEED_SQL,
+    "cdc_wap_publish": WAP_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
