@@ -354,18 +354,21 @@ class MiniLakeTable:
         self,
         version: int | None = None,
         as_of_ts: float | None = None,
+        tag: str | None = None,
         _dirs: list[str] | None = None,
     ) -> DataFrame:
         """The logical read view: live rows only, bookkeeping hidden.
-        ``version`` / ``as_of_ts`` select a historical snapshot
-        (VERSION AS OF / TIMESTAMP AS OF).
+        ``version`` / ``as_of_ts`` / ``tag`` select a historical snapshot
+        (VERSION AS OF / TIMESTAMP AS OF / ``VERSION AS OF 'tag-name'``).
 
         On a merge-on-read table the per-key LWW resolution happens here
         (deltas may hold many versions of a key); copy-on-write tables
         are already key-unique on disk and skip the shuffle."""
-        if as_of_ts is not None:
-            if version is not None:
-                raise ValueError("pass version or as_of_ts, not both")
+        if sum(x is not None for x in (version, as_of_ts, tag)) > 1:
+            raise ValueError("pass at most one of version, as_of_ts, tag")
+        if tag is not None:
+            version = self.tag_version(tag)
+        elif as_of_ts is not None:
             version = self.version_as_of(as_of_ts)
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
@@ -1138,6 +1141,76 @@ class MiniLakeTable:
             wall_ms=(time.time() - t0) * 1000,
         )
 
+    # ----------------------------------------------------------------- tags
+    # Iceberg tag refs: a named, immutable pointer to a snapshot that
+    # retention must keep (expire_snapshots honors tags the way Iceberg's
+    # expire_snapshots honors refs). One O_EXCL file per tag under
+    # metadata/tags/ — create is atomic, tags never move (drop+recreate
+    # to retarget, exactly Iceberg's replace-tag discipline).
+
+    def _tag_path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.meta_dir, "tags", f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a committed snapshot (default: current). The tagged
+        version survives :meth:`expire_snapshots` until the tag is
+        dropped — the audit/compliance pin ("the table as shipped to
+        eval X") that plain ``keep_last`` retention can't express.
+
+        A tag pins the snapshot READ (``read(tag=...)`` / time travel to
+        that version); it does not pin the incremental CDC chain —
+        ``read_changes_since(tagged_version)`` still fails with the
+        clear horizon error once GC drops intermediate manifests,
+        matching Iceberg (refs keep snapshots, not every snapshot
+        between them)."""
+        if version is None:
+            version = self.current_version()
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(
+                f"cannot tag version {version}: no such committed snapshot "
+                "(never existed, or already expired)"
+            )
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"name": name, "version": version, "created_at": time.time()},
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        return version
+
+    def tags(self) -> dict[str, int]:
+        """All tag refs: {name: version}."""
+        out = {}
+        for p in glob.glob(os.path.join(self.meta_dir, "tags", "*.json")):
+            with open(p) as f:
+                d = json.load(f)
+            out[d["name"]] = d["version"]
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(self._tag_path(name)) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag ref. The snapshot it pinned becomes eligible for
+        retention GC like any other."""
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
     # ------------------------------------------------- write-audit-publish
     # Iceberg WAP analog: spark.wap.id stages a snapshot that is not the
     # table's current until cherry_pick_snapshot publishes it. Here the
@@ -1398,7 +1471,11 @@ class MiniLakeTable:
             int(os.path.basename(p)[1:-5])
             for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
         )
-        kept, dropped = versions[-keep_last:], versions[:-keep_last]
+        # tag refs pin their snapshots past the keep_last horizon,
+        # exactly Iceberg expire_snapshots honoring named refs
+        tagged = set(self.tags().values())
+        kept = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
+        dropped = [v for v in versions if v not in kept]
 
         def _tops(vs: list[int]) -> set[str]:
             # data dirs are <data>/<commit-or-compact dir>/<bucket=..>; a

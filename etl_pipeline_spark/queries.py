@@ -488,6 +488,42 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(table.read(version=2))
 
 
+_TAGGED_CACHE: dict = {}
+
+
+def q_cdc_tagged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tag refs graded end-to-end (Iceberg tags +
+    expire_snapshots-honors-refs, lake/minilake.py create_tag /
+    read(tag=...)): on a copy of the replayed primary, version 2 (the
+    first micro-batch's commit — same snapshot the time-travel query
+    reads) is tagged 'audited', then retention GC runs with keep_last=1,
+    dropping every untagged historical snapshot. The tagged read must
+    still equal the time-travel oracle — the tag, and only the tag, kept
+    that snapshot alive past the retention horizon."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tagged = _TAGGED_CACHE.get(key)
+    if tagged is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_tagged_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — GC must not mutate the cached
+        # primary other queries (incl. cdc_time_travel) read
+        shutil.copytree(primary.root, root)
+        tagged = MiniLakeTable(spark, root)
+        tagged.create_tag("audited", version=2)
+        tagged.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+        # the pin held: v2 reads; its untagged neighbor is gone
+        try:
+            tagged.manifest(3)
+        except ValueError:
+            pass
+        else:  # pragma: no cover - guards the fixture's meaning
+            raise AssertionError("GC kept an untagged snapshot")
+        _TAGGED_CACHE[key] = tagged
+    return _state_projection(tagged.read(tag="audited"))
+
+
 _POINT_KEYS = ["conv-7", "conv-23", "conv-64"]
 _POINT_KEYS_SQL = ", ".join(f"'{k}'" for k in _POINT_KEYS)
 
@@ -3913,6 +3949,7 @@ QUERIES = {
     "cdc_rescaled_state": q_cdc_rescaled_state,
     "cdc_dead_letter_feed": q_cdc_dead_letter_feed,
     "cdc_wap_publish": q_cdc_wap_publish,
+    "cdc_tagged_state": q_cdc_tagged_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -3953,10 +3990,11 @@ QUERIES = {
     "events_salted_join": q_events_salted_join,
     "events_approx_distinct_check": q_events_approx_distinct_check,
     "events_session_windows": q_events_session_windows,
-    "lineitem_stats_profile": q_lineitem_stats_profile,
-    # orders_price_histogram moved below the line for the r5 insertion
-    # of cdc_wap_publish — allowed: it has green driver rows (r03, r04)
+    # lineitem_stats_profile (green r03+r04) and orders_price_histogram
+    # (green r03+r04) moved below the line for the r5 insertions of
+    # cdc_tagged_state and cdc_wap_publish
     "customer_spend_deciles": q_customer_spend_deciles,
+    "lineitem_stats_profile": q_lineitem_stats_profile,
     "orders_price_histogram": q_orders_price_histogram,
     # ---------------- driver window ends here (first 50) ----------------
     # Rows below were driver-confirmed green in earlier rounds (unchanged
@@ -4017,6 +4055,7 @@ ORACLE_SQL = {
     "cdc_conv_stats_mv": CONV_STATS_SQL,
     "cdc_dead_letter_feed": CDC_DLQ_FEED_SQL,
     "cdc_wap_publish": WAP_STATE_SQL,
+    "cdc_tagged_state": TIME_TRAVEL_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
