@@ -21,6 +21,7 @@ Scale shape per batch (10^10-event design), merge-on-read mode:
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -154,6 +155,7 @@ def apply_batch(
     if batch_id <= highwater:
         res = MergeResult(
             skipped=True,
+            reason="fenced",
             version=table.current_version(),
             snapshot_id=table.manifest()["snapshot_id"],
         )
@@ -447,4 +449,95 @@ def apply_batch(
         }
     )
     res.wall_ms = wall * 1000
+    return res
+
+
+def requeue_dead_letters(
+    spark,
+    table: MiniLakeTable,
+    repair=None,
+    dead_dir: str | None = None,
+    stream_id: str = "dlq-requeue",
+    batch_id: int = 0,
+    cfg: ApplyConfig | None = None,
+    lineage: LineageLog | None = None,
+    archive: bool = True,
+) -> MergeResult:
+    """Close the failure-isolation loop: poison-pill recovery.
+
+    Reads the dead-letter tree (the normalized DLQ contract — typed
+    columns + ``_lsn``/``_src_op``/``_deleted``/``_raw``), applies the
+    caller's ``repair`` (DataFrame → change-event-shaped DataFrame:
+    keys + payload + ``lsn`` + ``op``; default: retry the typed row
+    as-is with ``_src_op`` as the op — covers failures fixed upstream,
+    e.g. a schema evolution that has since landed), and re-ingests the
+    result through the SAME validate → clean → LWW → MERGE pipeline as
+    any other batch, exactly-once under its own ``stream_id`` lineage.
+
+    Failure-isolation invariants hold through the requeue:
+
+    - rows the repair could NOT fix fail validation again and land back
+      in the DLQ under this requeue's batch dir — never silently
+      dropped, never crashing the batch;
+    - re-delivery is harmless: the requeue lineage is fenced by
+      ``batch_id``, and even a cross-lineage duplicate apply is
+      absorbed by the idempotent LWW merge (the same guarantee the
+      main ingest relies on).
+
+    Consumed input files are archived AFTER the commit to
+    ``<table_root>/_deadletter_archive/<stream>-<batch>/`` so the next
+    requeue doesn't re-read them. A crash between commit and archive
+    re-delivers those files to the next requeue, which the LWW
+    idempotence absorbs; a fenced re-run never archives (the files in
+    the tree may by then include NEWER dead rows it did not apply).
+
+    The reference's failure story is skip-and-log
+    (/root/reference/utils/extract.py:120-188); this is that story
+    grown into a recovery loop: quarantine, repair, replay, re-verify.
+    """
+    cfg = cfg or ApplyConfig()
+    dl_dir = dead_dir or cfg.dead_letter_dir or os.path.join(
+        table.root, "_deadletter"
+    )
+    empty = MergeResult(
+        skipped=True, reason="empty",
+        version=table.current_version(),
+        snapshot_id=table.manifest()["snapshot_id"],
+    )
+    if not os.path.isdir(dl_dir):
+        return empty
+    dlq = (
+        spark.read.option("recursiveFileLookup", "true").parquet(dl_dir)
+    )
+    consumed = [f.removeprefix("file:") for f in dlq.inputFiles()]
+    if not consumed:
+        return empty
+    if repair is not None:
+        src = repair(dlq)
+    else:
+        typed = [
+            c for c in dlq.columns
+            if c not in (LSN_COL, DELETED_COL, SRC_OP_COL, RAW_COL)
+        ]
+        src = dlq.select(
+            *typed,
+            F.col(LSN_COL).alias(cfg.lsn_col),
+            F.col(SRC_OP_COL).alias(cfg.op_col),
+        )
+    res = apply_batch(
+        table, src, batch_id, cfg=cfg, lineage=lineage, stream_id=stream_id
+    )
+    if archive and not res.skipped:
+        arch = os.path.join(
+            table.root, "_deadletter_archive", f"{stream_id}-{batch_id:06d}"
+        )
+        os.makedirs(arch, exist_ok=True)
+        for f in consumed:
+            # part-file names are globally unique (task UUIDs); a flat
+            # archive dir cannot collide
+            shutil.move(f, os.path.join(arch, os.path.basename(f)))
+        for name in os.listdir(dl_dir):  # prune now-empty batch subdirs
+            sub = os.path.join(dl_dir, name)
+            if os.path.isdir(sub) and not os.listdir(sub):
+                os.rmdir(sub)
     return res

@@ -524,6 +524,88 @@ def q_cdc_tagged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(tagged.read(tag="audited"))
 
 
+# The dirty replay's injections (see _dirty_replayed_table): lsn%97 rows
+# lose their key (unrepairable), lsn%101 rows get unknown op 'X'
+# (repairable: retry as an update at the original lsn). After the
+# requeue, state = LWW over the stream minus lost-key rows, with the
+# mangled ops restored to 'U'.
+REQUEUED_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+repaired AS (
+  SELECT lsn,
+         CASE WHEN lsn % 101 = 0 THEN 'U' ELSE op END AS op,
+         conv_id, turn_idx, role, text, ts
+  FROM ce
+  WHERE lsn % 97 <> 0
+),
+r AS (
+  SELECT repaired.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM repaired
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_REQUEUE_CACHE: dict = {}
+
+
+def q_cdc_requeue_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter requeue graded end-to-end
+    (pipeline.requeue_dead_letters — quarantine → repair → replay →
+    re-verify, the recovery loop the reference's skip-and-log story
+    leaves open, /root/reference/utils/extract.py:120-188): on a copy of
+    the dirty replay, the whole ``_deadletter`` tree is repaired
+    (unknown op 'X' → retry as 'U' at the original lsn) and re-ingested
+    through the SAME validate → clean → LWW → MERGE pipeline. Lost-key
+    rows fail validation again and re-quarantine — never silently
+    dropped. The final state must equal LWW over the stream with the
+    mangled ops restored and the unrepairable rows excluded; because the
+    repaired rows carry their ORIGINAL lsns, this also proves late
+    re-delivery converges (an old lsn never overwrites a newer row)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    requeued = _REQUEUE_CACHE.get(key)
+    if requeued is None:
+        from .pipeline import requeue_dead_letters
+
+        dirty = _dirty_replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_requeue_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree (incl. its _deadletter quarantine)
+        # — the requeue archives consumed DLQ files and must not mutate
+        # the cached dirty table cdc_dead_letter_feed reads
+        shutil.copytree(dirty.root, root)
+        requeued = MiniLakeTable(spark, root)
+
+        def repair(dlq):
+            return dlq.select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts",
+                F.col("_lsn").alias("lsn"),
+                F.when(F.col("_src_op") == "X", F.lit("U"))
+                .otherwise(F.col("_src_op"))
+                .alias("op"),
+            )
+
+        res = requeue_dead_letters(
+            spark, requeued, repair=repair, batch_id=0
+        )
+        assert not res.skipped
+        # failure isolation held through the recovery: every row left in
+        # quarantine is a lost-key row (repaired rows all applied), and
+        # the lost-key rows are all still there
+        redlq = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(root, "_deadletter")
+        )
+        assert redlq.filter(F.col("conv_id").isNotNull()).count() == 0
+        assert redlq.count() > 0
+        _REQUEUE_CACHE[key] = requeued
+    return _state_projection(requeued.read())
+
+
 _POINT_KEYS = ["conv-7", "conv-23", "conv-64"]
 _POINT_KEYS_SQL = ", ".join(f"'{k}'" for k in _POINT_KEYS)
 
@@ -3950,6 +4032,7 @@ QUERIES = {
     "cdc_dead_letter_feed": q_cdc_dead_letter_feed,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_tagged_state": q_cdc_tagged_state,
+    "cdc_requeue_state": q_cdc_requeue_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4056,6 +4139,7 @@ ORACLE_SQL = {
     "cdc_dead_letter_feed": CDC_DLQ_FEED_SQL,
     "cdc_wap_publish": WAP_STATE_SQL,
     "cdc_tagged_state": TIME_TRAVEL_SQL,
+    "cdc_requeue_state": REQUEUED_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
