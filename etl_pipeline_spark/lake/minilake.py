@@ -97,6 +97,10 @@ class MergeResult:
     # the change becomes visible only after publish_staged(wap_id)
     staged: bool = False
     wap_id: str | None = None
+    # branch refs: merge(to_branch=...) parked the delta as the branch's
+    # next commit — visible on read(branch=...) immediately, on main only
+    # after fast_forward / cherry_pick_branch
+    branch: str | None = None
 
 
 class MiniLakeTable:
@@ -355,18 +359,32 @@ class MiniLakeTable:
         version: int | None = None,
         as_of_ts: float | None = None,
         tag: str | None = None,
+        branch: str | None = None,
         _dirs: list[str] | None = None,
     ) -> DataFrame:
         """The logical read view: live rows only, bookkeeping hidden.
         ``version`` / ``as_of_ts`` / ``tag`` select a historical snapshot
-        (VERSION AS OF / TIMESTAMP AS OF / ``VERSION AS OF 'tag-name'``).
+        (VERSION AS OF / TIMESTAMP AS OF / ``VERSION AS OF 'tag-name'``);
+        ``branch`` reads a branch ref (base snapshot + every branch
+        commit, LWW-folded — what main WOULD show after fast_forward).
 
         On a merge-on-read table the per-key LWW resolution happens here
         (deltas may hold many versions of a key); copy-on-write tables
         are already key-unique on disk and skip the shuffle."""
-        if sum(x is not None for x in (version, as_of_ts, tag)) > 1:
-            raise ValueError("pass at most one of version, as_of_ts, tag")
-        if tag is not None:
+        if sum(x is not None for x in (version, as_of_ts, tag, branch)) > 1:
+            raise ValueError(
+                "pass at most one of version, as_of_ts, tag, branch"
+            )
+        if branch is not None:
+            bdesc = self._load_branch(branch)
+            version = bdesc["base_version"]
+            bm = self.manifest(version)
+            _dirs = [d for ds in bm["buckets"].values() for d in ds] + [
+                d
+                for c in self._branch_commits(branch)
+                for d in sorted(c["delta_dirs"].values())
+            ]
+        elif tag is not None:
             version = self.tag_version(tag)
         elif as_of_ts is not None:
             version = self.version_as_of(as_of_ts)
@@ -648,6 +666,7 @@ class MiniLakeTable:
         valid_col: str | None = None,
         dead_sink: str | None = None,
         stage_to: str | None = None,
+        to_branch: str | None = None,
     ) -> MergeResult:
         """Apply a (LWW-pre-reduced) change batch as a key-partitioned
         MERGE: tombstone DELETE / UPDATE / INSERT in one atomic snapshot.
@@ -702,9 +721,37 @@ class MiniLakeTable:
         (staging IS the commit decoupling). Sound for MOR because delta
         files are base-independent — the same invariant the conflict
         retry relies on; COW reads state at write time and is rejected.
+
+        ``to_branch`` (**MOR only**) writes the batch to a named branch
+        ref (Iceberg branches: ``WAP branch`` / write-to-branch +
+        ``fast_forward``): the delta-write job runs against the branch's
+        base snapshot and the result is appended as the branch's next
+        commit — ``main`` readers see nothing, ``read(branch=...)`` sees
+        base + every branch commit, and fencing is branch-local (base
+        fences ∪ branch commits), so exactly-once holds within the
+        branch. Publish with :meth:`fast_forward` (main unmoved since
+        divergence) or :meth:`cherry_pick_branch` (rebase onto an
+        advanced main, per-commit fence re-check); discard with
+        :meth:`delete_branch`. The multi-commit generalization of
+        ``stage_to`` — incompatible with ``stage_to``/``pre_commit``/
+        ``valid_col``.
         """
         t0 = time.time()
-        base = self.manifest()  # fence + CAS base: the SAME snapshot
+        if to_branch is not None:
+            if stage_to is not None or pre_commit is not None or valid_col is not None:
+                raise ValueError(
+                    "to_branch is incompatible with stage_to/pre_commit/"
+                    "valid_col"
+                )
+            bdesc = self._load_branch(to_branch)
+            # the branch diverged at base_version: write against THAT
+            # snapshot (schema/layout/fences as of the divergence), not
+            # whatever main moved to meanwhile
+            base = self.manifest(bdesc["base_version"])
+            if base.get("write_mode", "cow") != "mor":
+                raise ValueError("to_branch requires merge-on-read mode")
+        else:
+            base = self.manifest()  # fence + CAS base: the SAME snapshot
         if pre_commit is not None and base.get("write_mode", "cow") != "mor":
             raise ValueError("pre_commit pipelining requires merge-on-read mode")
         if stage_to is not None:
@@ -721,10 +768,25 @@ class MiniLakeTable:
                 raise ValueError("valid_col requires dead_sink")
         version = base["version"]
         highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
+        if to_branch is not None:
+            # branch-local fencing: commits already on the branch raise
+            # the high-water past the base snapshot's
+            highwater = max(
+                highwater,
+                max(
+                    (
+                        c["batch_id"]
+                        for c in self._branch_commits(to_branch)
+                        if c["stream_id"] == stream_id
+                    ),
+                    default=-1,
+                ),
+            )
         if batch_id <= highwater:
             return MergeResult(
                 skipped=True, reason="fenced",
                 version=version, snapshot_id=base["snapshot_id"],
+                branch=to_branch,
             )
 
         key_cols = base["key_cols"]
@@ -961,6 +1023,13 @@ class MiniLakeTable:
                         stage_to, stream_id, batch_id, version,
                         n_buckets, {}, 0, 0, -1, t0,
                     )
+                if to_branch is not None:
+                    # an empty branch batch parks a data-free commit so
+                    # the branch-local fence still advances (exactly-once
+                    # includes no-op batches, on branches too)
+                    return self._append_branch_commit(
+                        to_branch, stream_id, batch_id, {}, 0, 0, -1, t0,
+                    )
                 return self._commit_fence_only(
                     base, version, stream_id, batch_id, t0
                 )
@@ -1046,6 +1115,15 @@ class MiniLakeTable:
             # identical soundness argument to the CommitConflict retry.
             return self._write_staged(
                 stage_to, stream_id, batch_id, version, n_buckets,
+                {str(b): d for b, d in delta_dirs.items() if d is not None},
+                int(stats_row["live"]), int(stats_row["dead"]),
+                int(stats_row["max_lsn"] or -1), t0,
+            )
+        if to_branch is not None:
+            # branch write: the job is done; append the delta as the
+            # branch's next commit instead of CASing main's manifest
+            return self._append_branch_commit(
+                to_branch, stream_id, batch_id,
                 {str(b): d for b, d in delta_dirs.items() if d is not None},
                 int(stats_row["live"]), int(stats_row["dead"]),
                 int(stats_row["max_lsn"] or -1), t0,
@@ -1306,43 +1384,45 @@ class MiniLakeTable:
         )
         return self.read(_dirs=dirs)
 
-    def publish_staged(self, wap_id: str) -> MergeResult:
-        """Commit a staged (WAP) batch: metadata-only CAS appending the
-        staged MOR delta dirs and advancing the stream's fence. Re-checks
-        the fence against the publish-time base — a batch another writer
-        applied while staged publishes as a fenced no-op and its staged
-        files are dropped. Conflicts with concurrent commits retry on the
-        fresh base (delta dirs are base-independent); a bucket-count
-        rescale while staged raises :class:`CommitConflict` — abort and
-        restage under the new layout."""
-        t0 = time.time()
-        desc = self._load_staged(wap_id)
-        delta_dirs: dict[str, str] = desc["delta_dirs"]
-        stream_id, batch_id = desc["stream_id"], desc["batch_id"]
+    def _publish_delta(
+        self,
+        stream_id: str,
+        batch_id: int,
+        delta_dirs: dict[str, str],
+        stats: dict,
+        expect_n_buckets: int,
+        t0: float,
+    ) -> MergeResult:
+        """The shared metadata-only publish core behind
+        :meth:`publish_staged` and the branch
+        :meth:`fast_forward`/:meth:`cherry_pick_branch`: CAS-append
+        already-written MOR delta dirs and advance the stream's fence.
+        Re-checks the fence against the publish-time base — a batch
+        another writer applied meanwhile returns a fenced no-op WITH its
+        delta dirs removed. Conflicts with concurrent commits retry on
+        the fresh base (delta dirs are base-independent); a bucket-count
+        mismatch raises :class:`CommitConflict` (deltas are bucketed
+        under the layout they were written against)."""
         base = self.manifest()
         while True:
             version = base["version"]
             hw = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
             if batch_id <= hw:
-                self.abort_staged(wap_id)
+                for top in {os.path.dirname(d) for d in delta_dirs.values()}:
+                    shutil.rmtree(top, ignore_errors=True)
                 return MergeResult(
                     skipped=True, reason="fenced",
                     version=version, snapshot_id=base["snapshot_id"],
-                    wap_id=wap_id,
                 )
-            if base["n_buckets"] != desc["n_buckets"]:
+            if base["n_buckets"] != expect_n_buckets:
                 raise CommitConflict(
-                    "bucket layout changed while staged "
-                    f"({desc['n_buckets']} -> {base['n_buckets']}); abort "
-                    "and restage under the new layout"
+                    "bucket layout changed since the delta was written "
+                    f"({expect_n_buckets} -> {base['n_buckets']})"
                 )
-            if not delta_dirs:  # staged empty batch: fence advance only
-                res = self._commit_fence_only(
+            if not delta_dirs:  # empty batch: fence advance only
+                return self._commit_fence_only(
                     base, version, stream_id, batch_id, t0
                 )
-                os.remove(self._staged_path(wap_id))
-                res.wap_id = wap_id
-                return res
             new_buckets = dict(base["buckets"])
             new_dirs: list[str] = []
             for b, d in sorted(delta_dirs.items()):
@@ -1368,12 +1448,12 @@ class MiniLakeTable:
                     },
                     MAX_LSN_PROP: max(
                         base["properties"].get(MAX_LSN_PROP, -1),
-                        int(desc["stats"]["max_lsn"]),
+                        int(stats["max_lsn"]),
                     ),
                 },
                 "stats": {
-                    "live_rows": int(desc["stats"]["live"]),
-                    "tombstones": int(desc["stats"]["dead"]),
+                    "live_rows": int(stats["live"]),
+                    "tombstones": int(stats["dead"]),
                     "stats_scope": "mor_delta",
                 },
                 "committed_at": time.time(),
@@ -1386,17 +1466,40 @@ class MiniLakeTable:
                 # base-independent, so rebase on the racer's snapshot
                 # (torn-orphan livelock surfaces as the re-raise)
                 base = self._reload_after_conflict(version)
-        os.remove(self._staged_path(wap_id))
         return MergeResult(
             skipped=False,
             version=m2["version"],
             snapshot_id=m2["snapshot_id"],
-            rows_upserted=int(desc["stats"]["live"]),
-            rows_deleted=int(desc["stats"]["dead"]),
+            rows_upserted=int(stats["live"]),
+            rows_deleted=int(stats["dead"]),
             buckets_touched=len(delta_dirs),
             wall_ms=(time.time() - t0) * 1000,
-            wap_id=wap_id,
         )
+
+    def publish_staged(self, wap_id: str) -> MergeResult:
+        """Commit a staged (WAP) batch: metadata-only CAS appending the
+        staged MOR delta dirs and advancing the stream's fence. Re-checks
+        the fence against the publish-time base — a batch another writer
+        applied while staged publishes as a fenced no-op and its staged
+        files are dropped. Conflicts with concurrent commits retry on the
+        fresh base (delta dirs are base-independent); a bucket-count
+        rescale while staged raises :class:`CommitConflict` — abort and
+        restage under the new layout."""
+        t0 = time.time()
+        desc = self._load_staged(wap_id)
+        if self.manifest()["n_buckets"] != desc["n_buckets"]:
+            raise CommitConflict(
+                "bucket layout changed while staged "
+                f"({desc['n_buckets']} -> {self.manifest()['n_buckets']});"
+                " abort and restage under the new layout"
+            )
+        res = self._publish_delta(
+            desc["stream_id"], desc["batch_id"], desc["delta_dirs"],
+            desc["stats"], desc["n_buckets"], t0,
+        )
+        os.remove(self._staged_path(wap_id))
+        res.wap_id = wap_id
+        return res
 
     def abort_staged(self, wap_id: str) -> None:
         """Discard a staged (WAP) batch: delete its delta dirs and the
@@ -1405,6 +1508,193 @@ class MiniLakeTable:
         for top in {os.path.dirname(d) for d in desc["delta_dirs"].values()}:
             shutil.rmtree(top, ignore_errors=True)
         os.remove(self._staged_path(wap_id))
+
+    # ------------------------------------------------------------ branches
+    # Iceberg branch refs: a named, mutable lineage diverging from a base
+    # snapshot — the multi-commit generalization of WAP staging. Writes go
+    # to the branch (merge(to_branch=...)) with branch-local fencing; main
+    # readers see nothing; read(branch=...) sees base + every branch
+    # commit; the branch lands on main via fast_forward (Iceberg
+    # fast_forward: main unmoved since divergence) or cherry_pick_branch
+    # (rebase onto an advanced main — sound because MOR deltas are
+    # base-independent). Layout: metadata/branches/<name>/branch.json
+    # (O_EXCL create) + commit-%06d.json slots (O_EXCL append — two racing
+    # branch writers can never both claim a slot). Retention GC treats
+    # branch delta dirs as live and pins each branch's base snapshot.
+
+    def _branch_dir(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self.meta_dir, "branches", name)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Create branch ``name`` diverging at ``version`` (default:
+        current). Returns the base version the branch pins."""
+        base = self.manifest(version)
+        if base.get("write_mode", "cow") != "mor":
+            raise ValueError("branches require merge-on-read mode")
+        d = self._branch_dir(name)
+        os.makedirs(d, exist_ok=True)
+        desc = {
+            "name": name,
+            "base_version": base["version"],
+            "n_buckets": base["n_buckets"],
+            "created_at": time.time(),
+        }
+        try:
+            fd = os.open(
+                os.path.join(d, "branch.json"),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(desc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        return base["version"]
+
+    def branches(self) -> list[str]:
+        """All branch refs by name."""
+        root = os.path.join(self.meta_dir, "branches")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(root)
+            if os.path.exists(os.path.join(root, n, "branch.json"))
+        )
+
+    def _load_branch(self, name: str) -> dict:
+        try:
+            with open(os.path.join(self._branch_dir(name), "branch.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(f"no branch {name!r}") from None
+
+    def _branch_commits(self, name: str) -> list[dict]:
+        out = []
+        for p in sorted(
+            glob.glob(os.path.join(self._branch_dir(name), "commit-*.json"))
+        ):
+            with open(p) as f:
+                out.append({**json.load(f), "_path": p})
+        return out
+
+    def _append_branch_commit(
+        self,
+        name: str,
+        stream_id: str,
+        batch_id: int,
+        delta_dirs: dict[str, str],
+        live: int,
+        dead: int,
+        max_lsn: int,
+        t0: float,
+    ) -> MergeResult:
+        """O_EXCL-claim the branch's next commit slot. On a slot race the
+        branch fence is re-checked (the racer may have applied this very
+        batch — then this write's delta dirs drop and the result is a
+        fenced no-op) and the append retries on the next slot."""
+        bdesc = self._load_branch(name)
+        base_snap = self.manifest(bdesc["base_version"])["snapshot_id"]
+        while True:
+            commits = self._branch_commits(name)
+            hw = max(
+                (
+                    c["batch_id"]
+                    for c in commits
+                    if c["stream_id"] == stream_id
+                ),
+                default=-1,
+            )
+            if batch_id <= hw:
+                for top in {os.path.dirname(d) for d in delta_dirs.values()}:
+                    shutil.rmtree(top, ignore_errors=True)
+                return MergeResult(
+                    skipped=True, reason="fenced",
+                    version=bdesc["base_version"], snapshot_id=base_snap,
+                    branch=name,
+                )
+            path = os.path.join(
+                self._branch_dir(name), f"commit-{len(commits):06d}.json"
+            )
+            desc = {
+                "stream_id": stream_id,
+                "batch_id": batch_id,
+                "delta_dirs": delta_dirs,
+                "stats": {"live": live, "dead": dead, "max_lsn": max_lsn},
+                "committed_at": time.time(),
+            }
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                continue  # racer claimed the slot; re-list and re-check
+            with os.fdopen(fd, "w") as f:
+                json.dump(desc, f)
+                f.flush()
+                os.fsync(f.fileno())
+            return MergeResult(
+                skipped=False,
+                version=bdesc["base_version"],
+                snapshot_id=base_snap,
+                rows_upserted=live,
+                rows_deleted=dead,
+                buckets_touched=len(delta_dirs),
+                wall_ms=(time.time() - t0) * 1000,
+                branch=name,
+            )
+
+    def fast_forward(self, name: str) -> list[MergeResult]:
+        """Publish branch ``name`` onto main, Iceberg ``fast_forward``
+        style: requires main to still BE the branch's base (no divergence
+        — otherwise raises :class:`CommitConflict` pointing at
+        :meth:`cherry_pick_branch`). Each branch commit lands as its own
+        snapshot, preserving per-commit history, fences and incremental
+        CDC-out granularity. A crash mid-publish is recoverable: already-
+        published commit slots are gone, the remainder re-lands via
+        cherry_pick_branch (the per-commit fence makes re-publish
+        exactly-once)."""
+        bdesc = self._load_branch(name)
+        if self.manifest()["version"] != bdesc["base_version"]:
+            raise CommitConflict(
+                f"main advanced past branch {name!r} base "
+                f"v{bdesc['base_version']}; use cherry_pick_branch to "
+                "rebase"
+            )
+        return self._publish_branch(name)
+
+    def cherry_pick_branch(self, name: str) -> list[MergeResult]:
+        """Publish branch ``name`` onto an ADVANCED main (the Iceberg
+        cherry-pick analog): sound because MOR delta dirs are
+        base-independent and the read/compact LWW fold resolves by lsn.
+        The per-commit fence re-check drops any (stream, batch) main
+        already applied — their delta dirs are removed, not double-
+        counted."""
+        return self._publish_branch(name)
+
+    def _publish_branch(self, name: str) -> list[MergeResult]:
+        bdesc = self._load_branch(name)
+        results: list[MergeResult] = []
+        for c in self._branch_commits(name):
+            res = self._publish_delta(
+                c["stream_id"], c["batch_id"], c["delta_dirs"],
+                c["stats"], bdesc["n_buckets"], time.time(),
+            )
+            res.branch = name
+            results.append(res)
+            os.remove(c["_path"])
+        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+        return results
+
+    def delete_branch(self, name: str) -> None:
+        """Discard a branch: delete its commits' delta dirs and the
+        descriptor. Main never saw the data."""
+        self._load_branch(name)  # KeyError if absent
+        for c in self._branch_commits(name):
+            for top in {os.path.dirname(d) for d in c["delta_dirs"].values()}:
+                shutil.rmtree(top, ignore_errors=True)
+        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
 
     # ----------------------------------------------------------- rollback
 
@@ -1472,9 +1762,17 @@ class MiniLakeTable:
             for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
         )
         # tag refs pin their snapshots past the keep_last horizon,
-        # exactly Iceberg expire_snapshots honoring named refs
+        # exactly Iceberg expire_snapshots honoring named refs; branch
+        # refs pin their BASE snapshot the same way (a branch read folds
+        # base + branch commits — expiring the base would orphan it)
         tagged = set(self.tags().values())
-        kept = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
+        branch_bases = {
+            self._load_branch(b)["base_version"] for b in self.branches()
+        }
+        kept = sorted(
+            set(versions[-keep_last:])
+            | ((tagged | branch_bases) & set(versions))
+        )
         dropped = [v for v in versions if v not in kept]
 
         def _tops(vs: list[int]) -> set[str]:
@@ -1497,6 +1795,12 @@ class MiniLakeTable:
                 os.path.dirname(d)
                 for d in self._load_staged(wid)["delta_dirs"].values()
             }
+        # branch commits' delta dirs are pending publishes, same as staged
+        for bname in self.branches():
+            for c in self._branch_commits(bname):
+                live_tops |= {
+                    os.path.dirname(d) for d in c["delta_dirs"].values()
+                }
         expired_tops = _tops(dropped) - live_tops
         now = time.time()
         removed_dirs: list[str] = []
@@ -1712,6 +2016,15 @@ class MiniLakeTable:
             raise ValueError(
                 f"cannot rescale with staged commits pending: {staged}; "
                 "publish_staged or abort_staged them first"
+            )
+        pending_branches = self.branches()
+        if pending_branches:
+            # branch deltas are bucketed under the CURRENT modulus too —
+            # same stranding hazard as staged WAP commits
+            raise ValueError(
+                "cannot rescale with branches pending: "
+                f"{pending_branches}; fast_forward/cherry_pick_branch or "
+                "delete_branch them first"
             )
         version = base["version"]
         key0 = base["key_cols"][0]

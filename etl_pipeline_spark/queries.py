@@ -606,6 +606,144 @@ def q_cdc_requeue_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(requeued.read())
 
 
+# Branch follow-up batches: every non-delete change event with
+# lsn % 59 == 0 re-emitted above max lsn as a ' [branch]' update (split
+# into two branch commits by turn_idx parity); every lsn % 61 == 0 row
+# re-emitted above 2*max as a ' [main]' update applied directly to main
+# (forcing the rebase path). Keys touched by both get main's higher lsn.
+BRANCH_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+mx AS (SELECT max(lsn) AS m FROM ce),
+branch_extra AS (
+  SELECT lsn + (SELECT m FROM mx) + 1 AS lsn, 'U' AS op,
+         conv_id, turn_idx, role, text || ' [branch]' AS text, ts
+  FROM ce WHERE lsn % 59 = 0 AND op <> 'D'
+),
+main_extra AS (
+  SELECT lsn + 2 * (SELECT m FROM mx) + 2 AS lsn, 'U' AS op,
+         conv_id, turn_idx, role, text || ' [main]' AS text, ts
+  FROM ce WHERE lsn % 61 = 0 AND op <> 'D'
+),
+allce AS (
+  SELECT lsn, op, conv_id, turn_idx, role, text, ts FROM ce
+  UNION ALL SELECT * FROM branch_extra
+  UNION ALL SELECT * FROM main_extra
+),
+r AS (
+  SELECT allce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM allce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_BRANCH_CACHE: dict = {}
+
+
+def q_cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs graded end-to-end (Iceberg branches —
+    lake/minilake.py create_branch / merge(to_branch=...) /
+    read(branch=...) / fast_forward / cherry_pick_branch — the
+    multi-commit generalization of WAP): on a copy of the replayed
+    primary, two deterministic follow-up batches are written to a
+    branch under branch-local fencing while main provably still serves
+    the old state; the branch view is audited; a third batch then lands
+    DIRECTLY on main, so fast_forward must refuse (main diverged) and
+    cherry_pick_branch rebases the branch onto the advanced main —
+    sound because MOR deltas are base-independent and the LWW fold
+    resolves by lsn (keys touched by both lineages get main's higher
+    lsn). A re-delivery of a published branch batch must fence. The
+    oracle recomputes LWW over the original stream plus both synthetic
+    lineages in SQL."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    branched = _BRANCH_CACHE.get(key)
+    if branched is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_branch_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — branching must not mutate the
+        # cached primary other queries read
+        shutil.copytree(primary.root, root)
+        branched = MiniLakeTable(spark, root)
+        ce = derive_change_events(spark, sf_dir)
+        mx = int(ce.agg(F.max("lsn")).first()[0] or 0)
+        branch_extra = ce.filter(
+            (F.col("lsn") % 59 == 0) & (F.col("op") != "D")
+        ).select(
+            (F.col("lsn") + F.lit(mx + 1)).alias("lsn"),
+            F.lit("U").alias("op"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.concat(F.col("text"), F.lit(" [branch]")).alias("text"),
+            "ts",
+        )
+        main_extra = ce.filter(
+            (F.col("lsn") % 61 == 0) & (F.col("op") != "D")
+        ).select(
+            (F.col("lsn") + F.lit(2 * mx + 2)).alias("lsn"),
+            F.lit("U").alias("op"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.concat(F.col("text"), F.lit(" [main]")).alias("text"),
+            "ts",
+        )
+        from .lake.minilake import CommitConflict, FENCES_PROP
+
+        fences = branched.snapshot_props().get(FENCES_PROP, {})
+        stream_id, hw = next(iter(sorted(fences.items())))
+        v0 = branched.current_version()
+        branched.create_branch("audit")
+        # two branch commits under branch-local fencing (split by key
+        # parity so each key lands in exactly one commit)
+        r1 = branched.merge(
+            branch_extra.filter(F.col("turn_idx") % 2 == 0),
+            batch_id=0, stream_id="bf", to_branch="audit",
+        )
+        r2 = branched.merge(
+            branch_extra.filter(F.col("turn_idx") % 2 == 1),
+            batch_id=1, stream_id="bf", to_branch="audit",
+        )
+        assert not r1.skipped and not r2.skipped
+        # the audit gate: every pending branch key visible on the
+        # branch, none on still-unmoved main
+        audited = (
+            branched.read(branch="audit")
+            .filter(F.col("text").endswith(" [branch]"))
+            .count()
+        )
+        expected = (
+            branch_extra.select("conv_id", "turn_idx").distinct().count()
+        )
+        assert audited == expected
+        assert branched.current_version() == v0
+        # main diverges → fast_forward must refuse, cherry-pick rebases
+        branched.merge(main_extra, batch_id=hw + 1, stream_id=stream_id)
+        try:
+            branched.fast_forward("audit")
+        except CommitConflict:
+            pass
+        else:  # pragma: no cover - guards the fixture's meaning
+            raise AssertionError("fast_forward accepted a diverged main")
+        pubs = branched.cherry_pick_branch("audit")
+        assert [p.skipped for p in pubs] == [False, False]
+        assert branched.branches() == []
+        # exactly-once through the branch detour: re-delivering a
+        # published branch batch to main is fenced
+        redo = branched.merge(
+            branch_extra.limit(1), batch_id=1, stream_id="bf"
+        )
+        assert redo.skipped and redo.reason == "fenced"
+        _BRANCH_CACHE[key] = branched
+    return _state_projection(branched.read())
+
+
 _POINT_KEYS = ["conv-7", "conv-23", "conv-64"]
 _POINT_KEYS_SQL = ", ".join(f"'{k}'" for k in _POINT_KEYS)
 
@@ -4033,6 +4171,7 @@ QUERIES = {
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_tagged_state": q_cdc_tagged_state,
     "cdc_requeue_state": q_cdc_requeue_state,
+    "cdc_branch_state": q_cdc_branch_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4140,6 +4279,7 @@ ORACLE_SQL = {
     "cdc_wap_publish": WAP_STATE_SQL,
     "cdc_tagged_state": TIME_TRAVEL_SQL,
     "cdc_requeue_state": REQUEUED_STATE_SQL,
+    "cdc_branch_state": BRANCH_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
