@@ -243,6 +243,57 @@ def test_rescale_blocked_while_branch_pending(spark, tmp_path):
     t.rescale_buckets(4)  # clear after the branch is gone
 
 
+def test_concurrent_branch_writers_exactly_once(spark, tmp_path):
+    """Two writers racing the SAME batches into one branch: the O_EXCL
+    commit-slot claim plus the per-retry fence re-check must land every
+    batch exactly once (the loser's delta dirs drop), and the published
+    state must equal single-writer LWW."""
+    import threading
+
+    t = _seeded(spark, tmp_path)
+    t.create_branch("race")
+    batches = [
+        [("a", 0, "user", "v1", None, 10, "U"),
+         ("c", 0, "user", "c0", None, 11, "I")],
+        [("a", 0, "user", "v2", None, 20, "U")],
+        [("c", 0, None, None, None, 21, "D")],
+        [("d", 0, "user", "d0", None, 22, "I")],
+    ]
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def run():
+        barrier.wait()
+        try:
+            for i, rows in enumerate(batches):
+                t.merge(
+                    _src(spark, rows), batch_id=i, stream_id="bf",
+                    to_branch="race",
+                )
+        except Exception as e:  # pragma: no cover - assertion target
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    commits = t._branch_commits("race")
+    assert sorted((c["stream_id"], c["batch_id"]) for c in commits) == [
+        ("bf", i) for i in range(4)
+    ]
+    t.fast_forward("race")
+    assert _state(t) == {
+        ("a", 0): "v2",
+        ("b", 0): "hi",
+        ("d", 0): "d0",
+    }
+    # the losers' duplicate delta dirs were reclaimed, not leaked
+    rep = t.expire_snapshots(keep_last=100, orphan_min_age_s=0.0)
+    assert rep["dirs_removed"] == 0 and rep["young_orphans_skipped"] == 0
+
+
 def test_branch_requires_mor_and_unique_name(spark, tmp_path):
     t = _seeded(spark, tmp_path)
     t.create_branch("bf")
