@@ -59,6 +59,7 @@ from ..schema import (
     BUCKET_COL,
     DELETED_COL,
     LSN_COL,
+    physical_name,
     schema_from_manifest,
     schema_to_manifest,
 )
@@ -66,6 +67,9 @@ from ..schema import (
 FENCES_PROP = "engine.fences"  # {stream_id: batch-id high-water}
 HIGHWATER_PROP = FENCES_PROP  # backwards-compat alias for importers
 MAX_LSN_PROP = "engine.max-lsn"
+# physical column names retired by drop_column — add_columns must never
+# reuse them (Iceberg field-id semantics: re-added columns read fresh)
+RETIRED_PROP = "engine.retired-physical"
 # dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
 # dead rows ride the delta write in this pseudo-bucket, then the dir is
 # relocated to the dead-letter sink before the manifest registers buckets
@@ -286,10 +290,15 @@ class MiniLakeTable:
         return schema_from_manifest(self.manifest(version)["schema"])
 
     def physical_read_schema(self, version: int | None = None) -> T.StructType:
-        """Logical schema + bookkeeping cols (what data files contain)."""
+        """On-disk schema + bookkeeping cols (what data files contain):
+        each field under its PHYSICAL name — stable across renames, so
+        one read schema projects files written at any version."""
         s = self.schema(version)
         return T.StructType(
-            list(s.fields)
+            [
+                T.StructField(physical_name(f), f.dataType, f.nullable)
+                for f in s.fields
+            ]
             + [
                 T.StructField(LSN_COL, T.LongType(), False),
                 T.StructField(DELETED_COL, T.BooleanType(), False),
@@ -300,21 +309,112 @@ class MiniLakeTable:
         """Additive schema evolution: append columns to the manifest
         schema in a new snapshot. Existing files read them as null via
         schema projection — no data rewrite (Iceberg add-column
-        semantics). Rejects non-additive changes."""
+        semantics). Rejects non-additive changes.
+
+        If a new column's name collides with a PHYSICAL name already in
+        use or ever retired (a drop, or a rename freeing the logical
+        name while the file column lives on), the column gets a fresh
+        suffixed physical name — the Iceberg field-id guarantee that a
+        re-added column never reads a dropped column's old values."""
         m = self.manifest()
         schema = schema_from_manifest(m["schema"])
         existing = {f.name for f in schema.fields}
+        taken = {physical_name(f) for f in schema.fields} | set(
+            m["properties"].get(RETIRED_PROP, [])
+        )
+        resolved: list[T.StructField] = []
         for f in new_fields:
             if f.name in existing:
                 raise ValueError(f"column {f.name} already exists")
             if f.name.startswith("_"):
                 raise ValueError(f"reserved column name {f.name}")
-        new_schema = T.StructType(list(schema.fields) + list(new_fields))
+            if f.name in taken:
+                k = 2
+                while f"{f.name}__r{k}" in taken:
+                    k += 1
+                md = dict(f.metadata or {})
+                md["physical"] = f"{f.name}__r{k}"
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+            taken.add(physical_name(f))
+            resolved.append(f)
+        new_schema = T.StructType(list(schema.fields) + resolved)
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["parent_snapshot_id"] = m["snapshot_id"]
         m2["snapshot_id"] = str(uuid.uuid4())
         m2["schema"] = schema_to_manifest(new_schema)
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME
+        COLUMN): the logical name changes in a new snapshot; every data
+        file — past and future — keeps the column under its original
+        PHYSICAL name and readers alias it. Time travel to a pre-rename
+        version reads the old name; key columns rename too (the bucket
+        hash is over values, not names, so layout and fences are
+        untouched)."""
+        m = self.manifest()
+        schema = schema_from_manifest(m["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new.startswith("_") or not new:
+            raise ValueError(f"reserved column name {new!r}")
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md.setdefault("physical", f.name)
+                fields.append(T.StructField(new, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["schema"] = schema_to_manifest(T.StructType(fields))
+        if old in m["key_cols"]:
+            m2["key_cols"] = [new if k == old else k for k in m["key_cols"]]
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop (Iceberg ALTER TABLE ... DROP
+        COLUMN): the field leaves the schema in a new snapshot; data
+        files are never rewritten (the physical column simply stops
+        being projected) and time travel to a pre-drop version still
+        reads it. The physical name is RETIRED so a later add_columns
+        of the same name maps to a fresh physical column — old values
+        can never resurrect. Key columns cannot be dropped."""
+        m = self.manifest()
+        schema = schema_from_manifest(m["schema"])
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no column {name!r}")
+        if name in m["key_cols"]:
+            raise ValueError(f"cannot drop key column {name!r}")
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["schema"] = schema_to_manifest(
+            T.StructType([f for f in schema.fields if f.name != name])
+        )
+        # retired set lives in properties: every manifest rebuild site
+        # spread-carries properties, so a later merge/publish/compact
+        # can never silently un-retire a physical name
+        m2["properties"] = {
+            **m["properties"],
+            RETIRED_PROP: sorted(
+                set(m["properties"].get(RETIRED_PROP, []))
+                | {physical_name(field)}
+            ),
+        }
         m2["committed_at"] = time.time()
         self._write_manifest(m2)
         return m2["version"]
@@ -328,10 +428,31 @@ class MiniLakeTable:
     def _read_files(
         self, dirs: list[str], version: int | None = None
     ) -> DataFrame:
+        """Scan under PHYSICAL names, surface LOGICAL names — the single
+        choke point that makes column renames metadata-only: every
+        caller (reads, LWW folds, compaction, CDC-out) sees the logical
+        schema; files are never rewritten."""
         schema = self.physical_read_schema(version)
         if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*dirs)
+        for f in self.schema(version).fields:
+            p = physical_name(f)
+            if p != f.name:
+                df = df.withColumnRenamed(p, f.name)
+        return df
+
+    def _to_physical(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """The write-side twin of :meth:`_read_files`'s aliasing: rename
+        logical columns back to their physical (on-disk) names just
+        before a file write, so a column's physical name stays immutable
+        for its lifetime whatever renames happened logically."""
+        for f in schema.fields:
+            p = physical_name(f)
+            if p != f.name and f.name in df.columns:
+                df = df.withColumnRenamed(f.name, p)
+        return df
 
     def read_physical(self, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
@@ -581,8 +702,16 @@ class MiniLakeTable:
         dropped dirs are trimmed so the manifest never grows beyond the
         live file set."""
         stats = dict(base.get("file_stats", {}))
+        # footers store the PHYSICAL column name (rescale passes a
+        # synthetic schema-less base — its caller resolves names itself)
+        pkey0 = key0
+        if "schema" in base:
+            pkey0 = {
+                f.name: physical_name(f)
+                for f in schema_from_manifest(base["schema"]).fields
+            }.get(key0, key0)
         for d in new_dirs:
-            s = self._collect_dir_stats(d, key0)
+            s = self._collect_dir_stats(d, pkey0)
             if s is not None:
                 stats[d] = s
         live = {d for ds in new_buckets.values() for d in ds}
@@ -968,7 +1097,8 @@ class MiniLakeTable:
         # both branches arrive bucket-clustered from the reduce — the
         # write never reshuffles
         (
-            merged.write.partitionBy(BUCKET_COL)
+            self._to_physical(merged, table_schema)
+            .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -1888,18 +2018,24 @@ class MiniLakeTable:
         out_dir = os.path.join(
             self.data_dir, f"compact-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
         )
+        # files carry PHYSICAL names (stable across renames) — the sort
+        # key and bloom-filter option must name the on-disk column
+        pkey0 = {f.name: physical_name(f) for f in schema.fields}[key0]
         (
-            df.repartition(max(len(target), 1), F.col(BUCKET_COL))
+            self._to_physical(
+                df.repartition(max(len(target), 1), F.col(BUCKET_COL)),
+                schema,
+            )
             # Key-clustered row groups: compaction is the long-lived
             # layout, so pay one local sort here and every later point
             # lookup prunes row groups on tight key min/max (plus better
             # dictionary/RLE compression). Deltas stay unsorted — they
             # are short-lived by design.
-            .sortWithinPartitions(key0)
+            .sortWithinPartitions(pkey0)
             .write.partitionBy(BUCKET_COL)
             # parquet bloom filter on the key: equality pushdown skips
             # row groups the min/max bounds can't exclude
-            .option(f"parquet.bloom.filter.enabled#{key0}", "true")
+            .option(f"parquet.bloom.filter.enabled#{pkey0}", "true")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -2046,11 +2182,14 @@ class MiniLakeTable:
         out_dir = os.path.join(
             self.data_dir, f"rescale-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
         )
+        pkey0 = {f.name: physical_name(f) for f in schema.fields}[key0]
         (
-            df.repartition(n_buckets_new, F.col(BUCKET_COL))
-            .sortWithinPartitions(key0)
+            self._to_physical(
+                df.repartition(n_buckets_new, F.col(BUCKET_COL)), schema
+            )
+            .sortWithinPartitions(pkey0)
             .write.partitionBy(BUCKET_COL)
-            .option(f"parquet.bloom.filter.enabled#{key0}", "true")
+            .option(f"parquet.bloom.filter.enabled#{pkey0}", "true")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -2070,7 +2209,7 @@ class MiniLakeTable:
         # every dir is fresh — stats computed here, nothing memoized from
         # the old layout carries over
         m2["file_stats"] = self._stats_for_manifest(
-            {"file_stats": {}}, new_dirs, new_buckets, key0
+            {"file_stats": {}}, new_dirs, new_buckets, pkey0
         )
         m2["committed_at"] = time.time()
         try:

@@ -512,6 +512,16 @@ def requeue_dead_letters(
     consumed = [f.removeprefix("file:") for f in dlq.inputFiles()]
     if not consumed:
         return empty
+    # DLQ files written after a column rename carry the PHYSICAL
+    # on-disk names (they ride the merge's own write) — alias them back
+    # to the table's logical names so repair fns and the re-ingest see
+    # the schema every other surface speaks
+    from .schema import physical_name
+
+    for f in table.schema().fields:
+        p = physical_name(f)
+        if p != f.name and p in dlq.columns:
+            dlq = dlq.withColumnRenamed(p, f.name)
     if repair is not None:
         src = repair(dlq)
     else:

@@ -744,6 +744,96 @@ def q_cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(branched.read())
 
 
+# Rename follow-up batch: every non-delete change event with
+# lsn % 67 == 0 re-emitted above max lsn as an update arriving under the
+# RENAMED column name. The oracle emits the text column AS body.
+RENAMED_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+mx AS (SELECT max(lsn) AS m FROM ce),
+extra AS (
+  SELECT lsn + (SELECT m FROM mx) + 1 AS lsn, 'U' AS op,
+         conv_id, turn_idx, role,
+         text || ' [renamed]' AS text, ts
+  FROM ce WHERE lsn % 67 = 0 AND op <> 'D'
+),
+allce AS (
+  SELECT lsn, op, conv_id, turn_idx, role, text, ts FROM ce
+  UNION ALL SELECT * FROM extra
+),
+r AS (
+  SELECT allce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM allce
+)
+SELECT conv_id, turn_idx, role, text AS body,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_RENAME_CACHE: dict = {}
+
+
+def q_cdc_renamed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename graded end-to-end (Iceberg ALTER TABLE ... RENAME
+    COLUMN — lake/minilake.py rename_column, metadata-only via the
+    field-id-style physical-name indirection): on a copy of the
+    replayed primary, `text` is renamed to `body` WITHOUT rewriting a
+    single data file (asserted: the committed file set is unchanged),
+    then one more deterministic batch arrives speaking the NEW name and
+    must LWW-resolve against rows written under the old one. The final
+    state must equal the flagship LWW oracle with the column aliased —
+    proving rename is pure metadata and readers/writers/CDC agree
+    across it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    renamed = _RENAME_CACHE.get(key)
+    if renamed is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_rename_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — evolution must not mutate the
+        # cached primary other queries read
+        shutil.copytree(primary.root, root)
+        renamed = MiniLakeTable(spark, root)
+        files_before = sorted(
+            d for ds in renamed.manifest()["buckets"].values() for d in ds
+        )
+        renamed.rename_column("text", "body")
+        files_after = sorted(
+            d for ds in renamed.manifest()["buckets"].values() for d in ds
+        )
+        assert files_after == files_before  # metadata-only: zero rewrite
+        ce = derive_change_events(spark, sf_dir)
+        mx = int(ce.agg(F.max("lsn")).first()[0] or 0)
+        extra = ce.filter(
+            (F.col("lsn") % 67 == 0) & (F.col("op") != "D")
+        ).select(
+            (F.col("lsn") + F.lit(mx + 1)).alias("lsn"),
+            F.lit("U").alias("op"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.concat(F.col("text"), F.lit(" [renamed]")).alias("body"),
+            "ts",
+        )
+        from .lake.minilake import FENCES_PROP
+
+        fences = renamed.snapshot_props().get(FENCES_PROP, {})
+        stream_id, hw = next(iter(sorted(fences.items())))
+        res = renamed.merge(extra, batch_id=hw + 1, stream_id=stream_id)
+        assert not res.skipped
+        _RENAME_CACHE[key] = renamed
+    return renamed.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "body",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 _POINT_KEYS = ["conv-7", "conv-23", "conv-64"]
 _POINT_KEYS_SQL = ", ".join(f"'{k}'" for k in _POINT_KEYS)
 
@@ -4172,6 +4262,7 @@ QUERIES = {
     "cdc_tagged_state": q_cdc_tagged_state,
     "cdc_requeue_state": q_cdc_requeue_state,
     "cdc_branch_state": q_cdc_branch_state,
+    "cdc_renamed_state": q_cdc_renamed_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4280,6 +4371,7 @@ ORACLE_SQL = {
     "cdc_tagged_state": TIME_TRAVEL_SQL,
     "cdc_requeue_state": REQUEUED_STATE_SQL,
     "cdc_branch_state": BRANCH_STATE_SQL,
+    "cdc_renamed_state": RENAMED_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

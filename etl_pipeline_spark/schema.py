@@ -76,9 +76,19 @@ def physical_fields(logical_fields: list[T.StructField]) -> list[T.StructField]:
 
 
 def schema_to_manifest(schema: T.StructType) -> dict:
-    """Manifest-serializable schema (Spark's own JSON representation)."""
+    """Manifest-serializable schema (Spark's own JSON representation —
+    field metadata, incl. the ``physical`` on-disk name, round-trips)."""
     return schema.jsonValue()
 
 
 def schema_from_manifest(obj: dict) -> T.StructType:
     return T.StructType.fromJson(obj)
+
+
+def physical_name(field: T.StructField) -> str:
+    """The column's on-disk (Parquet) name — the Iceberg field-id analog
+    kept in StructField metadata. Equal to the logical name unless the
+    column was renamed (metadata-only: files keep their original column
+    name forever; readers alias physical → logical) or re-added after a
+    drop (a fresh physical name so old files' values never resurrect)."""
+    return (field.metadata or {}).get("physical", field.name)
