@@ -633,6 +633,65 @@ class MiniLakeTable:
     def snapshot_props(self) -> dict:
         return self.manifest()["properties"]
 
+    # ------------------------------------------------------ metadata tables
+    # Iceberg's `table.files` / `table.snapshots` metadata-table analogs:
+    # the manifest graph surfaced AS DataFrames so operators can query
+    # table health (file counts, delta-chain length, row bounds, commit
+    # history) with the same API they query data. Driver-side O(dirs)/
+    # O(versions) — metadata only, never a data scan.
+
+    def inspect_files(self, version: int | None = None) -> DataFrame:
+        """One row per live data directory of the snapshot: bucket, dir,
+        manifest row count and key/lsn bounds (null where footer stats
+        were unusable — pruning metadata is an optimization, never a
+        correctness dependency)."""
+        m = self.manifest(version)
+        stats = m.get("file_stats", {})
+        rows = []
+        for b, ds in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            for d in ds:
+                s = stats.get(d) or {}
+                rows.append((
+                    int(b),
+                    d,
+                    s.get("rows"),
+                    None if s.get("key_min") is None else str(s["key_min"]),
+                    None if s.get("key_max") is None else str(s["key_max"]),
+                    s.get("lsn_min"),
+                    s.get("lsn_max"),
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, dir string, rows long, key_min string, "
+            "key_max string, lsn_min long, lsn_max long",
+        )
+
+    def inspect_snapshots(self) -> DataFrame:
+        """One row per retained snapshot: the commit history with its
+        write-observed stats — Iceberg's `table.snapshots` analog."""
+        rows = []
+        for m in self.history():
+            st = m.get("stats", {}) or {}
+            rows.append((
+                int(m["version"]),
+                m["snapshot_id"],
+                m.get("parent_snapshot_id"),
+                float(m.get("committed_at", 0.0)),
+                m.get("write_mode", "cow"),
+                int(m["n_buckets"]),
+                sum(len(ds) for ds in m["buckets"].values()),
+                st.get("live_rows"),
+                st.get("tombstones"),
+                st.get("stats_scope"),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, snapshot_id string, parent_snapshot_id string, "
+            "committed_at double, write_mode string, n_buckets int, "
+            "n_dirs long, live_rows long, tombstones long, "
+            "stats_scope string",
+        )
+
     def history(self) -> list[dict]:
         versions = sorted(
             int(os.path.basename(p)[1:-5])

@@ -834,6 +834,73 @@ def q_cdc_renamed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# After a tombstone-keeping full compaction, every key ever seen holds
+# exactly ONE physical row (its LWW winner — live or tombstone), so the
+# files metadata table's row counts are predictable from the raw stream.
+FILES_METADATA_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+winners AS (SELECT * FROM r WHERE rn = 1)
+SELECT count(*) AS total_rows,
+       count(*) FILTER (WHERE op <> 'D') AS live_rows,
+       count(*) FILTER (WHERE op = 'D') AS tombstone_rows
+FROM winners
+"""
+
+
+_FILESMETA_CACHE: dict = {}
+
+
+def q_cdc_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables graded against the data they describe (Iceberg
+    `table.files` analog — lake/minilake.py inspect_files): a copy of
+    the replayed primary is fully compacted with tombstones KEPT, after
+    which every key ever seen holds exactly one physical row. The files
+    metadata table's summed row counts must then equal the raw stream's
+    distinct-key count, and the live/tombstone split read from the DATA
+    must agree — proving the manifest's file statistics (the same
+    bounds that drive point-lookup pruning) faithfully describe what is
+    on disk."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    compacted = _FILESMETA_CACHE.get(key)
+    if compacted is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_filesmeta_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — compaction must not mutate the
+        # cached primary other queries read
+        shutil.copytree(primary.root, root)
+        compacted = MiniLakeTable(spark, root)
+        compacted.compact(drop_tombstones=False)
+        fi = compacted.inspect_files()
+        # the stats that drive pruning must exist for compaction output
+        assert fi.filter(F.col("rows").isNull()).count() == 0
+        _FILESMETA_CACHE[key] = compacted
+    meta = compacted.inspect_files().agg(
+        F.sum("rows").alias("total_rows")
+    )
+    counts = (
+        compacted.read()
+        .agg(F.count(F.lit(1)).alias("live_rows"))
+        # 1-row × 1-row metadata join (documented, like the KNN
+        # broadcast): never a data-path cartesian
+        .crossJoin(
+            compacted.read_tombstones().agg(
+                F.count(F.lit(1)).alias("tombstone_rows")
+            )
+        )
+    )
+    return meta.crossJoin(counts).select(
+        "total_rows", "live_rows", "tombstone_rows"
+    )
+
+
 _POINT_KEYS = ["conv-7", "conv-23", "conv-64"]
 _POINT_KEYS_SQL = ", ".join(f"'{k}'" for k in _POINT_KEYS)
 
@@ -4263,6 +4330,7 @@ QUERIES = {
     "cdc_requeue_state": q_cdc_requeue_state,
     "cdc_branch_state": q_cdc_branch_state,
     "cdc_renamed_state": q_cdc_renamed_state,
+    "cdc_files_metadata": q_cdc_files_metadata,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4372,6 +4440,7 @@ ORACLE_SQL = {
     "cdc_requeue_state": REQUEUED_STATE_SQL,
     "cdc_branch_state": BRANCH_STATE_SQL,
     "cdc_renamed_state": RENAMED_STATE_SQL,
+    "cdc_files_metadata": FILES_METADATA_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

@@ -112,6 +112,7 @@ INTENDED_FIRST_50 = [
     "cdc_replicated_state", "cdc_conv_stats_mv", "cdc_rescaled_state",
     "cdc_dead_letter_feed", "cdc_wap_publish", "cdc_tagged_state",
     "cdc_requeue_state", "cdc_branch_state", "cdc_renamed_state",
+    "cdc_files_metadata",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
@@ -125,16 +126,16 @@ INTENDED_FIRST_50 = [
     "user_event_paths_jvm", "events_last_value_per_user",
     "customer_cumulative_revenue", "hourly_view_vs_purchase",
     "customers_with_orders", "customers_without_big_orders",
-    "events_user_value_salted",
     # customer_spend_deciles moved below the line for the r5 insertion of
     # cdc_rescaled_state — allowed: it has a green driver row (r02).
     # orders_price_histogram and lineitem_stats_profile moved below the
     # line for the r5 insertions of cdc_wap_publish and cdc_tagged_state
     # — allowed: both have green driver rows (r03, r04).
-    # events_session_windows, events_approx_distinct_check and
-    # events_salted_join moved below the line for the r5 insertions of
-    # cdc_requeue_state, cdc_branch_state and cdc_renamed_state —
-    # allowed: green driver rows (r03, r04)
+    # events_session_windows, events_approx_distinct_check,
+    # events_salted_join and events_user_value_salted moved below the
+    # line for the r5 insertions of cdc_requeue_state, cdc_branch_state,
+    # cdc_renamed_state and cdc_files_metadata — allowed: all four have
+    # green driver rows (r03, r04)
 ]
 
 

@@ -298,3 +298,54 @@ def test_reads_past_retention_horizon_fail_clearly(spark, tmp_path):
         t.read(version=2)
     # current state survives GC untouched
     assert t.read().count() == 6
+
+
+def test_metadata_tables_describe_the_data(spark, tmp_path):
+    """inspect_files / inspect_snapshots (Iceberg `table.files` /
+    `table.snapshots` analogs): the manifest graph surfaced as
+    DataFrames must agree with the data it describes — row counts after
+    a tombstone-keeping compaction equal the per-key LWW winners, and
+    the snapshot history carries the commit lineage."""
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0, key_cols=KEYS,
+        n_buckets=4, write_mode="mor",
+    )
+    t.merge(
+        _src(spark, [
+            ("a", 0, "user", "a0", None, 1, "I"),
+            ("b", 0, "user", "b0", None, 2, "I"),
+            ("c", 0, "user", "c0", None, 3, "I"),
+        ]),
+        batch_id=0,
+    )
+    t.merge(
+        _src(spark, [
+            ("a", 0, "user", "a1", None, 10, "U"),
+            ("c", 0, None, None, None, 11, "D"),
+        ]),
+        batch_id=1,
+    )
+    # pre-compaction: delta files hold more rows than keys
+    assert (
+        t.inspect_files().agg(F.sum("rows")).first()[0] == 5
+    )
+    t.compact(drop_tombstones=False)
+    fi = t.inspect_files()
+    # exactly one physical row per key ever seen (live or tombstone)
+    assert fi.agg(F.sum("rows")).first()[0] == 3
+    # bounds exist for compaction output and bracket the actual keys
+    row = fi.filter(F.col("rows") > 0).first()
+    assert row["key_min"] <= row["key_max"]
+    assert row["lsn_min"] >= 1 and row["lsn_max"] <= 11
+    snaps = t.inspect_snapshots().orderBy("version").collect()
+    assert [s["version"] for s in snaps] == [1, 2, 3, 4]
+    # parent chain is intact
+    by_id = {s["snapshot_id"]: s for s in snaps}
+    for s in snaps[1:]:
+        assert s["parent_snapshot_id"] in by_id
+    # stats carry their scope label so a reader knows what they cover
+    assert all(
+        s["stats_scope"] in (None, "mor_delta", "full",
+                             "touched_buckets_only")
+        for s in snaps
+    )
