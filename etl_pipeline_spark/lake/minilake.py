@@ -601,7 +601,9 @@ class MiniLakeTable:
         )
 
     def read_changes_since(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int | str,
+        to_version: int | str | None = None,
     ) -> DataFrame:
         """CDC-out: the delta rows appended by MERGE commits in
         (from_version, to_version] — on a MOR table each merge's delta is
@@ -610,7 +612,19 @@ class MiniLakeTable:
         columns ``_lsn``/``_deleted`` stay visible). Compaction rewrites
         are maintenance, not changes, and are excluded; deltas that a
         later compaction folded away are still served (compaction never
-        deletes the underlying files — no vacuum here)."""
+        deletes the underlying files — no vacuum here).
+
+        Either bound may be a TAG NAME (str) instead of a version — the
+        'changes since the audited release' idiom. The tag pins the
+        BOUND snapshot past retention GC, but the walk still needs the
+        intermediate manifests: size retention (keep_last /
+        older_than_ts) to cover the consumer's catch-up lag, and a
+        consumer that does fall behind the horizon re-seeds via
+        replicate.export_snapshot."""
+        if isinstance(from_version, str):
+            from_version = self.tag_version(from_version)
+        if isinstance(to_version, str):
+            to_version = self.tag_version(to_version)
         to_version = to_version if to_version is not None else self.current_version()
         seen = {
             d
@@ -1921,14 +1935,19 @@ class MiniLakeTable:
     # ---------------------------------------------------------- retention
 
     def expire_snapshots(
-        self, keep_last: int = 10, orphan_min_age_s: float = 86400.0
+        self,
+        keep_last: int = 10,
+        orphan_min_age_s: float = 86400.0,
+        older_than_ts: float | None = None,
     ) -> dict:
         """Retention GC (Iceberg ``expire_snapshots`` analog): drop
         manifests older than the newest ``keep_last`` versions and delete
         every data directory no retained manifest references. Time
         travel and incremental reads older than the horizon become
         unavailable — the standard retention trade. Never touches the
-        current version.
+        current version. ``older_than_ts`` adds Iceberg's
+        ``older_than``/``retain_last`` combination: snapshots committed
+        at or after the timestamp survive regardless of ``keep_last``.
 
         Unreferenced dirs split two ways (Iceberg's ``expire_snapshots``
         vs ``remove_orphan_files(older_than=...)`` distinction):
@@ -1958,8 +1977,21 @@ class MiniLakeTable:
         branch_bases = {
             self._load_branch(b)["base_version"] for b in self.branches()
         }
+        # Iceberg's expire_snapshots(older_than=ts, retain_last=N):
+        # a snapshot survives if it is recent enough OR inside the
+        # retain-last window OR pinned by a ref
+        recent = (
+            {
+                v
+                for v in versions
+                if self.manifest(v).get("committed_at", 0) >= older_than_ts
+            }
+            if older_than_ts is not None
+            else set()
+        )
         kept = sorted(
             set(versions[-keep_last:])
+            | recent
             | ((tagged | branch_bases) & set(versions))
         )
         dropped = [v for v in versions if v not in kept]

@@ -97,3 +97,42 @@ def test_tag_pins_read_not_cdc_chain(spark, tmp_path):
     assert t.read(tag="old").count() == 1
     with pytest.raises(ValueError, match="expired by retention"):
         t.read_changes_since(2).count()
+
+
+def test_tag_addressed_incremental_read(spark, tmp_path):
+    """read_changes_since accepts a TAG as either bound — the 'changes
+    since the audited release' idiom. The tag pins its own snapshot;
+    the chain through dropped intermediates still fails with the clear
+    horizon error (documented: size retention to the consumer's lag)."""
+    t = _grown(spark, tmp_path, n=6)
+    t.create_tag("rel-1", version=4)  # after the 3rd merge
+    by_tag = {r["text"] for r in t.read_changes_since("rel-1").collect()}
+    by_ver = {r["text"] for r in t.read_changes_since(4).collect()}
+    assert by_tag == by_ver == {"v3", "v4", "v5"}
+    # both bounds as tags
+    t.create_tag("rel-2", version=6)
+    assert {
+        r["text"] for r in t.read_changes_since("rel-1", "rel-2").collect()
+    } == {"v3", "v4"}
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    # the tag still resolves (its snapshot is pinned), and the chain
+    # error is the documented clear one, not a raw FileNotFoundError
+    with pytest.raises(ValueError, match="expired by retention"):
+        t.read_changes_since("rel-1").count()
+
+
+def test_expire_older_than_ts_keeps_recent(spark, tmp_path):
+    """Iceberg's expire_snapshots(older_than=ts, retain_last=N): every
+    snapshot committed at or after the timestamp survives, whatever
+    keep_last says; older untagged ones go."""
+    t = _grown(spark, tmp_path, n=6)  # versions 1..7
+    ts = t.manifest(5)["committed_at"]
+    rep = t.expire_snapshots(
+        keep_last=1, orphan_min_age_s=0.0, older_than_ts=ts
+    )
+    assert rep["manifests_removed"] == 4  # v1..v4
+    for v in (5, 6, 7):
+        t.manifest(v)  # still readable
+    with pytest.raises(ValueError, match="expired by retention"):
+        t.read(version=4)
+    assert t.read().collect()[0]["text"] == "v5"
