@@ -1848,6 +1848,22 @@ class MiniLakeTable:
                 branch=name,
             )
 
+    def branch_fences(self, name: str) -> dict:
+        """Branch-local fence map: the base snapshot's per-stream
+        high-waters folded with every commit already on the branch —
+        what a branch-targeted ingest driver consults for its fence
+        fast-path (merge(to_branch=...) re-checks internally)."""
+        bdesc = self._load_branch(name)
+        fences = dict(
+            self.manifest(bdesc["base_version"])["properties"].get(
+                FENCES_PROP, {}
+            )
+        )
+        for c in self._branch_commits(name):
+            s = c["stream_id"]
+            fences[s] = max(fences.get(s, -1), c["batch_id"])
+        return fences
+
     def fast_forward(self, name: str) -> list[MergeResult]:
         """Publish branch ``name`` onto main, Iceberg ``fast_forward``
         style: requires main to still BE the branch's base (no divergence

@@ -142,16 +142,31 @@ def apply_batch(
     stream_id: str = "default",
     pre_commit=None,
     skew_memo: dict | None = None,
+    to_branch: str | None = None,
 ) -> MergeResult:
     """Apply one change-event micro-batch exactly once (within the
     ``stream_id`` source lineage; cross-lineage redelivery is made
-    harmless by the idempotent LWW merge)."""
+    harmless by the idempotent LWW merge).
+
+    ``to_branch`` targets a branch ref instead of main (audited
+    backfill: ingest a whole stream onto a branch, inspect with
+    ``read(branch=...)``, publish with ``fast_forward`` /
+    ``cherry_pick_branch``). Fencing is branch-local; dead-letter
+    FUSION is off on branches (merge forbids riders on a staged write),
+    so dirty batches take the legacy second-scan path — quarantine
+    semantics are unchanged. Incompatible with ``pre_commit``
+    pipelining."""
     cfg = cfg or ApplyConfig()
     lineage = lineage or LineageLog(table.root)
     t0 = time.time()
 
     # 0. Fence first — a replayed batch must cost nothing but a manifest read.
-    highwater = table.snapshot_props().get(FENCES_PROP, {}).get(stream_id, -1)
+    if to_branch is not None:
+        highwater = table.branch_fences(to_branch).get(stream_id, -1)
+    else:
+        highwater = table.snapshot_props().get(FENCES_PROP, {}).get(
+            stream_id, -1
+        )
     if batch_id <= highwater:
         res = MergeResult(
             skipped=True,
@@ -281,6 +296,7 @@ def apply_batch(
     fuse_dead = (
         not salted
         and not must_reduce
+        and to_branch is None  # merge forbids DLQ riders on branch writes
         and getattr(table, "supports_dead_letter_fusion", False)
     )
 
@@ -322,6 +338,16 @@ def apply_batch(
         and not f.name.startswith("_")
     ]
     if batch_payload_fields:
+        if to_branch is not None:
+            # branch writes resolve against the branch's BASE snapshot
+            # schema; evolving main mid-backfill would silently drop the
+            # new column from every branch commit. Fail loud instead.
+            raise ValueError(
+                "in-flight schema evolution during a branch backfill is "
+                f"unsupported (new column(s) "
+                f"{[f.name for f in batch_payload_fields]}): evolve main "
+                "first and re-create the branch"
+            )
         table.add_columns(
             [T.StructField(f.name, f.dataType, True) for f in batch_payload_fields]
         )
@@ -377,6 +403,9 @@ def apply_batch(
         op_col=cfg.op_col,
         assert_unique_keys=cfg.assert_unique_keys and (salted or must_reduce),
         pre_commit=pre_commit,
+        # only branch-capable backends see the kwarg (same pattern as
+        # fuse_kwargs — the real-Iceberg wrapper has no branch writes)
+        **({"to_branch": to_branch} if to_branch is not None else {}),
         **fuse_kwargs,
     )
 

@@ -310,6 +310,7 @@ def replay_files(
     stop_after: int | None = None,
     pipeline_depth: int = 1,
     events_per_batch: int | None = None,
+    to_branch: str | None = None,
 ) -> int:
     """Bounded replay: ordered batch files → micro-batches, schema
     inferred per batch (true in-flight column birth). Idempotent and
@@ -333,6 +334,12 @@ def replay_files(
     caps scaling as per-batch wall shrinks with executor count. Batches
     whose Parquet schema births a new column drain the pipeline first, so
     in-flight additive evolution keeps its serialized semantics.
+
+    ``to_branch`` replays the whole changelog onto a branch ref (audited
+    backfill: main serves the old state until ``fast_forward`` /
+    ``cherry_pick_branch``). Branch-local fencing keeps the replay
+    idempotent/resumable exactly like main-targeted replays; runs serial
+    (ordered-commit pipelining targets main's CAS chain).
     """
     lineage = LineageLog(table.root)
     files = list_batch_files(changelog_dir)
@@ -391,7 +398,11 @@ def replay_files(
         # the reference's rule at transform.py:139-165).
         return read_events(spark, group)
 
-    if pipeline_depth > 1 and table.manifest().get("write_mode") == "mor":
+    if (
+        pipeline_depth > 1
+        and to_branch is None  # branch writes stay serial (no pre_commit)
+        and table.manifest().get("write_mode") == "mor"
+    ):
         return _replay_pipelined(
             table, todo, _read, cfg, lineage, stream_id, pipeline_depth
         )
@@ -401,7 +412,7 @@ def replay_files(
     for batch_id, group in todo:
         apply_batch(
             table, _read(group), batch_id, cfg=cfg, lineage=lineage,
-            stream_id=stream_id, skew_memo=skew_memo,
+            stream_id=stream_id, skew_memo=skew_memo, to_branch=to_branch,
         )
         applied += 1
     return applied
