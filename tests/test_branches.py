@@ -375,3 +375,25 @@ def test_branch_backfill_rejects_inflight_evolution(spark, tmp_path):
         apply_batch(t, evolved, batch_id=0, to_branch="bf")
     # main's schema was not mutated by the failed attempt
     assert "tool" not in [f.name for f in t.schema().fields]
+
+
+def test_published_branch_feeds_cdc_out(spark, tmp_path):
+    """After fast_forward, the branch's commits ARE ordinary snapshots:
+    read_changes_since(base) must serve exactly the branch rows
+    (tombstones included) — the replication chain needs no special
+    casing for branch-published history."""
+    t = _seeded(spark, tmp_path)
+    v0 = t.current_version()
+    t.create_branch("bf")
+    t.merge(
+        _src(spark, [("c", 0, "user", "via branch", None, 20, "I")]),
+        batch_id=0, stream_id="bf", to_branch="bf",
+    )
+    t.merge(
+        _src(spark, [("a", 0, None, None, None, 21, "D")]),
+        batch_id=1, stream_id="bf", to_branch="bf",
+    )
+    t.fast_forward("bf")
+    ch = t.read_changes_since(v0)
+    rows = {(r["conv_id"], r["_deleted"]) for r in ch.collect()}
+    assert rows == {("c", False), ("a", True)}

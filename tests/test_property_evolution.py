@@ -1,0 +1,150 @@
+"""Property-based schema evolution: ARBITRARY interleavings of merge /
+rename / drop / re-add / compact must match a pure-Python field-identity
+model.
+
+The model is Iceberg's field-id semantics distilled: a cell belongs to a
+FIELD (identity), not a name — rename moves the name, drop retires the
+identity, re-adding a name mints a fresh identity that reads None for
+every pre-existing row. Hypothesis searches interleavings the unit
+tests don't enumerate (rename→drop→re-add→rename-back, drops between
+merges, compaction at every point...).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from etl_pipeline_spark.lake.minilake import MiniLakeTable
+
+KEYS = ["k"]
+COL_POOL = ["p1", "p2", "p3"]
+
+# op space: merges write to whichever payload columns currently exist
+op_strategy = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),          # key
+                st.sampled_from(["x", "y", "z", None]),    # value written
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.tuples(st.just("rename"), st.integers(0, 5)),
+    st.tuples(st.just("drop"), st.integers(0, 5)),
+    st.tuples(st.just("add"), st.integers(0, 5)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+class Model:
+    """Field-identity model of the table."""
+
+    def __init__(self, cols):
+        self._ids = itertools.count()
+        self.live = {}      # logical name -> field id
+        for c in cols:
+            self.live[c] = next(self._ids)
+        self.cells = {}     # (key, field_id) -> value
+        self.rows = set()   # live keys
+        self.dead = set()   # tombstoned keys
+
+    def merge(self, writes, col):
+        fid = self.live[col]
+        for k, v in writes:
+            self.rows.add(k)
+            self.dead.discard(k)
+            self.cells[(k, fid)] = v
+
+    def rename(self, old, new):
+        self.live[new] = self.live.pop(old)
+
+    def drop(self, name):
+        del self.live[name]
+
+    def add(self, name):
+        self.live[name] = next(self._ids)
+
+    def state(self):
+        out = {}
+        for k in self.rows:
+            out[k] = {
+                c: self.cells.get((k, fid))
+                for c, fid in self.live.items()
+            }
+        return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_strategy, min_size=1, max_size=8))
+def test_evolution_sequences_match_field_identity_model(
+    spark, tmp_path_factory, ops
+):
+    tmp = tmp_path_factory.mktemp("evo")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType(), False)]
+        + [T.StructField(c, T.StringType(), True) for c in COL_POOL[:2]]
+    )
+    t = MiniLakeTable.create(
+        spark, str(tmp / "t"), schema, key_cols=KEYS, n_buckets=2,
+        write_mode="mor",
+    )
+    model = Model(COL_POOL[:2])
+    lsn = itertools.count(1)
+    batch = itertools.count()
+
+    for op, arg in ops:
+        cols = sorted(model.live)
+        if op == "merge":
+            col = cols[0] if cols else None
+            if col is None:
+                continue
+            writes = arg
+            rows = [
+                (k, v, next(lsn), "U") for k, v in writes
+            ]
+            df = spark.createDataFrame(
+                rows, f"k string, {col} string, lsn long, op string"
+            )
+            t.merge(df, batch_id=next(batch))
+            model.merge(writes, col)
+        elif op == "rename":
+            if not cols:
+                continue
+            old = cols[arg % len(cols)]
+            candidates = [c for c in COL_POOL if c not in cols] or ["q1"]
+            new = candidates[arg % len(candidates)]
+            t.rename_column(old, new)
+            model.rename(old, new)
+        elif op == "drop":
+            if not cols:
+                continue
+            name = cols[arg % len(cols)]
+            t.drop_column(name)
+            model.drop(name)
+        elif op == "add":
+            candidates = [c for c in COL_POOL if c not in cols]
+            if not candidates:
+                continue
+            name = candidates[arg % len(candidates)]
+            t.add_columns([T.StructField(name, T.StringType(), True)])
+            model.add(name)
+        elif op == "compact":
+            t.compact(drop_tombstones=False)
+
+    got = {
+        r["k"]: {c: r[c] for c in sorted(model.live)}
+        for r in t.read().collect()
+    }
+    assert got == model.state()
