@@ -24,12 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--changelog", required=True)
+    ap.add_argument("--changelog", default=None)
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
         "--mode",
-        choices=["stream", "evolving-stream", "replay", "export"],
+        choices=[
+            "stream", "evolving-stream", "replay", "export",
+            "requeue", "publish-branch",
+        ],
         default="stream",
         help="stream: fixed superset read schema; evolving-stream: "
         "per-run Parquet-footer schema reconciliation plus in-trigger "
@@ -37,7 +40,21 @@ def main() -> None:
         "bounded ordered-file replay, per-batch schema inference; "
         "export: CDC-out — write the table's changes since "
         "--from-version as a changelog batch (--out) a downstream "
-        "replica ingests with any other mode",
+        "replica ingests with any other mode; requeue: repair-and-replay "
+        "the table's dead-letter quarantine through the same pipeline "
+        "(as-is retry — rows dead-lettered for a since-fixed cause, e.g. "
+        "a schema that has since evolved; still-bad rows re-quarantine); "
+        "publish-branch: fast-forward --branch onto main (falls back to "
+        "cherry-pick when main advanced past the divergence)",
+    )
+    ap.add_argument(
+        "--to-branch", default=None,
+        help="replay mode: audited backfill — write every batch to this "
+        "branch ref (created at the current snapshot if missing); main "
+        "serves the old state until publish-branch",
+    )
+    ap.add_argument(
+        "--branch", default=None, help="publish-branch mode: branch name"
     )
     ap.add_argument("--out", default=None, help="export mode: output dir")
     ap.add_argument(
@@ -116,8 +133,51 @@ def main() -> None:
         )
         return
 
+    if args.mode == "publish-branch":
+        if not args.branch:
+            ap.error("--mode publish-branch requires --branch")
+        from etl_pipeline_spark.lake.minilake import CommitConflict
+
+        try:
+            results = table.fast_forward(args.branch)
+            how = "fast-forward"
+        except CommitConflict:
+            results = table.cherry_pick_branch(args.branch)
+            how = "cherry-pick"
+        print(
+            json.dumps(
+                {
+                    "published": how,
+                    "commits": len(results),
+                    "fenced_dropped": sum(1 for r in results if r.skipped),
+                    "final_version": table.current_version(),
+                }
+            )
+        )
+        return
+
     cfg = ApplyConfig(lineage_level=args.lineage_level)
     n_lineage_before = len(LineageLog(table.root).records())
+    if args.mode == "requeue":
+        from etl_pipeline_spark.pipeline import requeue_dead_letters
+
+        res = requeue_dead_letters(
+            spark, table, batch_id=args.batch_index, cfg=cfg
+        )
+        print(
+            json.dumps(
+                {
+                    "requeue_skipped": res.skipped,
+                    "reason": res.reason,
+                    "rows_upserted": res.rows_upserted,
+                    "rows_deleted": res.rows_deleted,
+                    "final_version": table.current_version(),
+                }
+            )
+        )
+        return
+    if args.changelog is None:
+        ap.error(f"--mode {args.mode} requires --changelog")
     if args.mode == "stream":
         ckpt = args.checkpoint or os.path.join(args.table, "_checkpoint")
         run_ingest_stream(
@@ -133,10 +193,13 @@ def main() -> None:
         if restarts:
             print(f"schema widened {restarts}x during ingest", file=sys.stderr)
     else:
+        if args.to_branch and args.to_branch not in table.branches():
+            table.create_branch(args.to_branch)
         replay_files(
             spark, args.changelog, table, cfg=cfg,
             files_per_batch=args.files_per_trigger,
             pipeline_depth=args.pipeline_depth,
+            to_branch=args.to_branch,
         )
 
     # summarize only THIS invocation's lineage records (the log persists
