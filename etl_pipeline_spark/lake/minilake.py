@@ -437,22 +437,35 @@ class MiniLakeTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*dirs)
-        for f in self.schema(version).fields:
-            p = physical_name(f)
-            if p != f.name:
-                df = df.withColumnRenamed(p, f.name)
-        return df
+        # ONE-SHOT projection, not sequential withColumnRenamed: a chain
+        # of renames can make one field's logical name equal another
+        # field's still-physical name mid-sequence (p1→p3 then p2→p1),
+        # and a sequential rename then hits two columns with the same
+        # name and corrupts the frame (property-tested in
+        # tests/test_property_evolution.py).
+        mapping = {
+            physical_name(f): f.name for f in self.schema(version).fields
+        }
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     def _to_physical(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """The write-side twin of :meth:`_read_files`'s aliasing: rename
         logical columns back to their physical (on-disk) names just
         before a file write, so a column's physical name stays immutable
         for its lifetime whatever renames happened logically."""
-        for f in schema.fields:
-            p = physical_name(f)
-            if p != f.name and f.name in df.columns:
-                df = df.withColumnRenamed(f.name, p)
-        return df
+        # one-shot projection for the same reason as _read_files: after a
+        # rename chain, a field's physical name may equal ANOTHER live
+        # field's logical name — sequential renames would collide
+        mapping = {
+            f.name: physical_name(f)
+            for f in schema.fields
+            if f.name in df.columns
+        }
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     def read_physical(self, version: int | None = None) -> DataFrame:
         m = self.manifest(version)

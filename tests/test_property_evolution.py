@@ -57,11 +57,17 @@ class Model:
         self.dead = set()   # tombstoned keys
 
     def merge(self, writes, col):
-        fid = self.live[col]
+        # WHOLE-ROW LWW, matching the engine: an update is a full row
+        # image — every live column the batch does not provide is
+        # written as null (merge() fills schema columns the batch
+        # predates with null, and the whole row wins by lsn). A model
+        # that only touched `col` described partial-update semantics,
+        # which is NOT this table's merge engine.
         for k, v in writes:
             self.rows.add(k)
             self.dead.discard(k)
-            self.cells[(k, fid)] = v
+            for c, fid in self.live.items():
+                self.cells[(k, fid)] = v if c == col else None
 
     def rename(self, old, new):
         self.live[new] = self.live.pop(old)
