@@ -657,6 +657,97 @@ class MiniLakeTable:
                         new_dirs.append(d)
         return self._read_files(sorted(new_dirs), version=to_version)
 
+    def net_changes(
+        self,
+        from_version: int | str,
+        to_version: int | str | None = None,
+    ) -> DataFrame:
+        """NET CDC view (Delta CDF's "net changes" / Flink changelog
+        compaction analog): ONE row per key whose state differs between
+        the two snapshots, classified against the FROM state —
+
+        - ``I``: absent at ``from_version``, live at ``to_version``
+          (final payload attached),
+        - ``U``: live at both with different payload (final payload),
+        - ``D``: live at ``from_version``, tombstoned at ``to_version``
+          (payload columns null — the tombstone's residual payload is an
+          implementation detail, not part of the contract).
+
+        Keys touched in the window but net-unchanged — inserted then
+        deleted, or rewritten back to an identical payload — are
+        SUPPRESSED; replaying the output onto a replica seeded at
+        ``from_version`` yields exactly the ``to_version`` state with
+        one write per key. Either bound may be a tag name, as in
+        :meth:`read_changes_since`.
+
+        Scale shape: the change feed contributes O(changes in window);
+        the FROM-state side is one LWW-resolved snapshot read joined on
+        the key columns — a hash-shuffle join, O(table + changes), with
+        no broadcast/collect assumptions. Output column ``net_op``
+        avoids colliding with a source stream's ``op``.
+        """
+        if isinstance(from_version, str):
+            from_version = self.tag_version(from_version)
+        if isinstance(to_version, str):
+            to_version = self.tag_version(to_version)
+        to_version = (
+            to_version if to_version is not None else self.current_version()
+        )
+        m = self.manifest(to_version)
+        keys = m["key_cols"]
+        schema = schema_from_manifest(m["schema"])
+        payload = [f.name for f in schema.fields if f.name not in keys]
+        ch = self.read_changes_since(from_version, to_version)
+        final = lww_reduce(
+            ch, keys=keys, order_col=LSN_COL,
+            payload_cols=payload + [DELETED_COL],
+        )
+        # FROM state under the TO schema (field identity, not names): a
+        # rename between the bounds must compare a cell against its own
+        # field's old value, so the from-version FILES are projected with
+        # the to-version read schema — columns added in the window read
+        # null (and diff as changes), columns dropped in the window stop
+        # existing. This is the same old-files-under-new-schema path
+        # every other reader uses.
+        fm = self.manifest(from_version)
+        from_dirs = [d for ds in fm["buckets"].values() for d in ds]
+        base_phys = self._read_files(from_dirs, version=to_version)
+        if m.get("write_mode", "cow") == "mor":
+            base_phys = lww_reduce(
+                base_phys, keys=keys, order_col=LSN_COL,
+                payload_cols=payload + [DELETED_COL],
+            )
+        base = base_phys.filter(~F.col(DELETED_COL)).select(
+            *keys, *[F.col(c).alias(f"_old_{c}") for c in payload],
+            F.lit(True).alias("_had"),
+        )
+        j = final.join(base, on=keys, how="left").withColumn(
+            "_had", F.coalesce(F.col("_had"), F.lit(False))
+        )
+        same = F.lit(True)
+        for c in payload:
+            same = same & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        net_op = (
+            F.when(F.col(DELETED_COL), F.lit("D"))
+            .when(~F.col("_had"), F.lit("I"))
+            .otherwise(F.lit("U"))
+        )
+        return (
+            j.filter(
+                ~(F.col(DELETED_COL) & ~F.col("_had"))  # born+died in window
+                & ~(~F.col(DELETED_COL) & F.col("_had") & same)  # net no-op
+            )
+            .select(
+                *keys,
+                net_op.alias("net_op"),
+                *[
+                    F.when(~F.col(DELETED_COL), F.col(c)).alias(c)
+                    for c in payload
+                ],
+                F.col(LSN_COL),
+            )
+        )
+
     def snapshot_props(self) -> dict:
         return self.manifest()["properties"]
 

@@ -4287,6 +4287,74 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NET_CHANGES_SQL = f"""
+WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
+s0 AS (
+  SELECT * FROM (
+    SELECT ce.*, TRUE AS had0,
+           row_number() OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY lsn DESC) AS rn
+    FROM ce WHERE lsn < 2 * (SELECT bw FROM w)
+  ) WHERE rn = 1 AND op <> 'D'
+),
+f AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY lsn DESC) AS rn
+    FROM ce
+  ) WHERE rn = 1
+),
+fch AS (
+  SELECT f.* FROM f
+  WHERE EXISTS (SELECT 1 FROM ce c
+                WHERE c.conv_id = f.conv_id AND c.turn_idx = f.turn_idx
+                  AND c.lsn >= 2 * (SELECT bw FROM w))
+),
+n AS (
+  SELECT fch.*, s0.role AS old_role, s0.text AS old_text, s0.ts AS old_ts,
+         coalesce(s0.had0, FALSE) AS had
+  FROM fch LEFT JOIN s0 USING (conv_id, turn_idx)
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN op = 'D' THEN 'D'
+            WHEN NOT had THEN 'I' ELSE 'U' END AS net_op,
+       CASE WHEN op = 'D' THEN NULL ELSE role END AS role,
+       CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+       CASE WHEN op = 'D' THEN NULL
+            ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS ts_epoch,
+       lsn
+FROM n
+WHERE NOT (op = 'D' AND NOT had)
+  AND NOT (op <> 'D' AND had
+           AND role IS NOT DISTINCT FROM old_role
+           AND text IS NOT DISTINCT FROM old_text
+           AND ts IS NOT DISTINCT FROM old_ts)
+"""
+
+
+def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net CDC view (minilake.net_changes): one row per key whose state
+    DIFFERS between the snapshot after batch 1 (version 3) and the
+    current snapshot, classified I/U/D against the FROM state, with
+    born-then-died and rewritten-identical keys suppressed. The oracle
+    recomputes both snapshot states from the raw stream and applies the
+    same classification; tests/test_net_changes.py additionally proves
+    the replica law (applying the net feed to the FROM state yields the
+    TO state)."""
+    table = _replayed_table(spark, sf_dir)
+    nc = table.net_changes(3)
+    return nc.select(
+        "conv_id",
+        "turn_idx",
+        "net_op",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("_lsn").alias("lsn"),
+    )
+
+
 SCD2_HISTORY_SQL = f"""
 WITH ce AS ({CE_SQL}),
 v AS (
@@ -4379,6 +4447,7 @@ QUERIES = {
     "cdc_files_metadata": q_cdc_files_metadata,
     # -- r5 session-2 additions, born inside the window per the rule --
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_net_changes": q_cdc_net_changes,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4413,12 +4482,13 @@ QUERIES = {
     "events_last_value_per_user": q_events_last_value_per_user,
     "customer_cumulative_revenue": q_customer_cumulative_revenue,
     "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
-    "customers_with_orders": q_customers_with_orders,
     # ---------------- driver window ends here (first 50) ----------------
     # Rows below were driver-confirmed green in earlier rounds (unchanged
     # since) and remain fully oracle-gated by tests/test_entry.py.
-    # customers_without_big_orders moved below the line for the r5
-    # session-2 insertion of cdc_scd2_history (green r04, 145 rows).
+    # customers_with_orders and customers_without_big_orders moved below
+    # the line for the r5 session-2 insertions of cdc_scd2_history and
+    # cdc_net_changes (both green r04).
+    "customers_with_orders": q_customers_with_orders,
     "customers_without_big_orders": q_customers_without_big_orders,
     "events_user_value_salted": q_events_user_value_salted,
     "events_salted_join": q_events_salted_join,
@@ -4492,6 +4562,7 @@ ORACLE_SQL = {
     "cdc_renamed_state": RENAMED_STATE_SQL,
     "cdc_files_metadata": FILES_METADATA_SQL,
     "cdc_scd2_history": SCD2_HISTORY_SQL,
+    "cdc_net_changes": NET_CHANGES_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
