@@ -55,6 +55,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.lww import lww_reduce
+from ..operators.partial_update import (
+    RESET_COL,
+    partial_event_frame,
+    partial_fold,
+    vl_col,
+)
 from ..schema import (
     BUCKET_COL,
     DELETED_COL,
@@ -116,12 +122,26 @@ class MiniLakeTable:
     requires_unique_source = False
 
     @property
+    def merge_engine(self) -> str:
+        """'lww' (whole-row last-writer-wins, default) or 'partial'
+        (column-coalescing — operators/partial_update.py). The pipeline
+        reads this to skip its whole-row pre-reduce, which would
+        collapse a batch's partial updates into one row image."""
+        return self.manifest().get("merge_engine", "lww")
+
+    @property
     def supports_dead_letter_fusion(self) -> bool:
         """MOR tables can write dead-letter rows inside the merge's one
         delta-write job (merge(valid_col=..., dead_sink=...)) instead of
         a second O(batch) source re-scan (pipeline.apply_batch reads
-        this flag)."""
-        return self.manifest().get("write_mode", "cow") == "mor"
+        this flag). Partial-engine tables use the separate-write DLQ
+        path — their fold invalidates per-column payload, which would
+        destroy dead-row forensics."""
+        m = self.manifest()
+        return (
+            m.get("write_mode", "cow") == "mor"
+            and m.get("merge_engine", "lww") != "partial"
+        )
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -141,9 +161,14 @@ class MiniLakeTable:
         n_buckets: int = 32,
         properties: dict | None = None,
         write_mode: str = "cow",
+        merge_engine: str = "lww",
     ) -> "MiniLakeTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
+        if merge_engine not in ("lww", "partial"):
+            raise ValueError(
+                f"merge_engine must be lww|partial, got {merge_engine!r}"
+            )
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -155,6 +180,7 @@ class MiniLakeTable:
             "key_cols": key_cols,
             "n_buckets": n_buckets,
             "write_mode": write_mode,
+            "merge_engine": merge_engine,
             "buckets": {},
             "properties": {FENCES_PROP: {}, MAX_LSN_PROP: -1,
                            **(properties or {})},
@@ -293,17 +319,25 @@ class MiniLakeTable:
         """On-disk schema + bookkeeping cols (what data files contain):
         each field under its PHYSICAL name — stable across renames, so
         one read schema projects files written at any version."""
-        s = self.schema(version)
-        return T.StructType(
-            [
-                T.StructField(physical_name(f), f.dataType, f.nullable)
+        m = self.manifest(version)
+        s = schema_from_manifest(m["schema"])
+        fields = [
+            T.StructField(physical_name(f), f.dataType, f.nullable)
+            for f in s.fields
+        ] + [
+            T.StructField(LSN_COL, T.LongType(), False),
+            T.StructField(DELETED_COL, T.BooleanType(), False),
+        ]
+        if m.get("merge_engine", "lww") == "partial":
+            # fold layout (operators/partial_update.py): each payload
+            # column's write-LSN sibling + the per-key delete-reset LSN
+            fields += [
+                T.StructField(vl_col(physical_name(f)), T.LongType(), True)
                 for f in s.fields
+                if f.name not in m["key_cols"]
             ]
-            + [
-                T.StructField(LSN_COL, T.LongType(), False),
-                T.StructField(DELETED_COL, T.BooleanType(), False),
-            ]
-        )
+            fields.append(T.StructField(RESET_COL, T.LongType(), True))
+        return T.StructType(fields)
 
     def add_columns(self, new_fields: list[T.StructField]) -> int:
         """Additive schema evolution: append columns to the manifest
@@ -443,9 +477,12 @@ class MiniLakeTable:
         # and a sequential rename then hits two columns with the same
         # name and corrupts the frame (property-tested in
         # tests/test_property_evolution.py).
-        mapping = {
-            physical_name(f): f.name for f in self.schema(version).fields
-        }
+        mapping = {}
+        for f in self.schema(version).fields:
+            mapping[physical_name(f)] = f.name
+            # partial-engine write-LSN siblings track their column's
+            # physical name on disk, logical name in memory
+            mapping[vl_col(physical_name(f))] = vl_col(f.name)
         return df.select(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
         )
@@ -458,11 +495,12 @@ class MiniLakeTable:
         # one-shot projection for the same reason as _read_files: after a
         # rename chain, a field's physical name may equal ANOTHER live
         # field's logical name — sequential renames would collide
-        mapping = {
-            f.name: physical_name(f)
-            for f in schema.fields
-            if f.name in df.columns
-        }
+        mapping = {}
+        for f in schema.fields:
+            if f.name in df.columns:
+                mapping[f.name] = physical_name(f)
+            if vl_col(f.name) in df.columns:
+                mapping[vl_col(f.name)] = vl_col(physical_name(f))
         return df.select(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
         )
@@ -487,6 +525,27 @@ class MiniLakeTable:
         if best is None:
             raise ValueError(f"no snapshot committed at or before {ts}")
         return best
+
+    def _fold(
+        self, df: DataFrame, m: dict, keys: list[str] | None = None
+    ) -> DataFrame:
+        """Per-key state resolution under the table's merge engine: the
+        LWW whole-row reduce by default, the column-coalescing partial
+        fold for ``merge_engine='partial'`` tables. Both are ONE hash
+        aggregation over the same clustering; every resolve site (read,
+        merge pre-reduce, compaction, rescale, net diff) dispatches here
+        so the engines stay interchangeable."""
+        keys = keys if keys is not None else list(m["key_cols"])
+        schema = schema_from_manifest(m["schema"])
+        payload = [
+            f.name for f in schema.fields if f.name not in m["key_cols"]
+        ]
+        if m.get("merge_engine", "lww") == "partial":
+            return partial_fold(df, keys=keys, payload_cols=payload)
+        return lww_reduce(
+            df, keys=keys, order_col=LSN_COL,
+            payload_cols=payload + [DELETED_COL],
+        )
 
     def read(
         self,
@@ -531,13 +590,7 @@ class MiniLakeTable:
             else self.read_physical(version)
         )
         if m.get("write_mode", "cow") == "mor":
-            payload = [c for c in cols if c not in m["key_cols"]]
-            phys = lww_reduce(
-                phys,
-                keys=m["key_cols"],
-                order_col=LSN_COL,
-                payload_cols=payload + [DELETED_COL],
-            )
+            phys = self._fold(phys, m)
         return phys.filter(~F.col(DELETED_COL)).select(*cols)
 
     def read_tombstones(self, version: int | None = None) -> DataFrame:
@@ -551,13 +604,7 @@ class MiniLakeTable:
         cols = [f.name for f in schema.fields]
         phys = self.read_physical(version)
         if m.get("write_mode", "cow") == "mor":
-            payload = [c for c in cols if c not in m["key_cols"]]
-            phys = lww_reduce(
-                phys,
-                keys=m["key_cols"],
-                order_col=LSN_COL,
-                payload_cols=payload + [DELETED_COL],
-            )
+            phys = self._fold(phys, m)
         return phys.filter(F.col(DELETED_COL)).select(
             *m["key_cols"], LSN_COL
         )
@@ -698,10 +745,6 @@ class MiniLakeTable:
         schema = schema_from_manifest(m["schema"])
         payload = [f.name for f in schema.fields if f.name not in keys]
         ch = self.read_changes_since(from_version, to_version)
-        final = lww_reduce(
-            ch, keys=keys, order_col=LSN_COL,
-            payload_cols=payload + [DELETED_COL],
-        )
         # FROM state under the TO schema (field identity, not names): a
         # rename between the bounds must compare a cell against its own
         # field's old value, so the from-version FILES are projected with
@@ -713,10 +756,22 @@ class MiniLakeTable:
         from_dirs = [d for ds in fm["buckets"].values() for d in ds]
         base_phys = self._read_files(from_dirs, version=to_version)
         if m.get("write_mode", "cow") == "mor":
-            base_phys = lww_reduce(
-                base_phys, keys=keys, order_col=LSN_COL,
-                payload_cols=payload + [DELETED_COL],
+            base_phys = self._fold(base_phys, m)
+        if m.get("merge_engine", "lww") == "partial":
+            # under the partial engine a changed key's TO state can hold
+            # column values written BEFORE the window (a partial update
+            # only carries touched columns), so the final state is the
+            # fold of {FROM state ∪ window changes} — sound because the
+            # fold is associative and FROM rows ARE fold rows —
+            # restricted to keys the window touched
+            ch_keys = ch.select(*keys).distinct()
+            final = self._fold(base_phys.unionByName(ch), m).join(
+                ch_keys, on=keys, how="left_semi"
             )
+        else:
+            # whole-row LWW: a changed key's winner always lies inside
+            # the window, so the feed alone determines the TO state
+            final = self._fold(ch, m)
         base = base_phys.filter(~F.col(DELETED_COL)).select(
             *keys, *[F.col(c).alias(f"_old_{c}") for c in payload],
             F.lit(True).alias("_had"),
@@ -1072,6 +1127,15 @@ class MiniLakeTable:
                 )
             if dead_sink is None:
                 raise ValueError("valid_col requires dead_sink")
+            if base.get("merge_engine", "lww") == "partial":
+                # dead rows ride the fold under a synthetic per-row key;
+                # the partial fold's per-column invalidation would null a
+                # dead row's forensic payload. Use the separate-write DLQ
+                # path (pipeline falls back automatically when
+                # supports_dead_letter_fusion is False).
+                raise ValueError(
+                    "dead-letter fusion requires the lww merge engine"
+                )
         version = base["version"]
         highwater = base["properties"].get(FENCES_PROP, {}).get(stream_id, -1)
         if to_branch is not None:
@@ -1152,6 +1216,14 @@ class MiniLakeTable:
             *fuse_extras,
         )
 
+        engine = base.get("merge_engine", "lww")
+        if engine == "partial":
+            # lift events to the fold layout (singleton folds): per-column
+            # write-LSNs + delete-reset — the SAME layout files carry, so
+            # the pre-reduce below, read resolution and compaction are one
+            # associative fold (operators/partial_update.py)
+            batch_phys = partial_event_frame(batch_phys, payload_cols)
+
         bexpr = self._bucket_expr(key_cols[0], n_buckets)
         if valid_col is not None:
             # null keys hash to a null bucket; route every dead row to
@@ -1211,6 +1283,12 @@ class MiniLakeTable:
                     order_col=LSN_COL,
                     payload_cols=payload_cols + [DELETED_COL, SRC_OP_COL, RAW_COL],
                 ).drop("_dlq_key")
+            elif engine == "partial":
+                merged = partial_fold(
+                    clustered,
+                    keys=[BUCKET_COL] + list(key_cols),
+                    payload_cols=payload_cols,
+                )
             else:
                 merged = lww_reduce(
                     clustered,
@@ -1244,17 +1322,28 @@ class MiniLakeTable:
                 BUCKET_COL, bexpr
             )
 
-            # LWW across {current state ∪ batch} per key, reduced inside
+            # Fold across {current state ∪ batch} per key, reduced inside
             # the rewrite's bucket clustering — same single-Exchange
-            # shape as the MOR branch. Tombstones survive.
-            merged = lww_reduce(
-                current.unionByName(batch_phys).repartition(
-                    len(touched), F.col(BUCKET_COL)
-                ),
-                keys=[BUCKET_COL] + list(key_cols),
-                order_col=LSN_COL,
-                payload_cols=payload_cols + [DELETED_COL],
+            # shape as the MOR branch. Tombstones survive. COW files are
+            # already key-unique fold rows, so both engines' folds apply
+            # directly (the partial fold is associative; stored rows are
+            # just previous fold results).
+            unioned = current.unionByName(batch_phys).repartition(
+                len(touched), F.col(BUCKET_COL)
             )
+            if engine == "partial":
+                merged = partial_fold(
+                    unioned,
+                    keys=[BUCKET_COL] + list(key_cols),
+                    payload_cols=payload_cols,
+                )
+            else:
+                merged = lww_reduce(
+                    unioned,
+                    keys=[BUCKET_COL] + list(key_cols),
+                    order_col=LSN_COL,
+                    payload_cols=payload_cols + [DELETED_COL],
+                )
 
         # In fused mode dead-letter rows flow through the same frame —
         # the metrics must count only APPLIED rows (dead rows carry a
@@ -1446,6 +1535,7 @@ class MiniLakeTable:
                 "key_cols": key_cols,
                 "n_buckets": n_buckets,
                 "write_mode": write_mode,
+                "merge_engine": base.get("merge_engine", "lww"),
                 "buckets": new_buckets,
                 "file_stats": self._stats_for_manifest(
                     base, new_dirs, new_buckets, key_cols[0]
@@ -1743,6 +1833,7 @@ class MiniLakeTable:
                 "key_cols": base["key_cols"],
                 "n_buckets": base["n_buckets"],
                 "write_mode": base.get("write_mode", "cow"),
+                "merge_engine": base.get("merge_engine", "lww"),
                 "buckets": new_buckets,
                 "file_stats": self._stats_for_manifest(
                     base, new_dirs, new_buckets, base["key_cols"][0]
@@ -2213,13 +2304,7 @@ class MiniLakeTable:
             dirs = [d for b in target for d in base["buckets"].get(str(b), [])]
             df = self._read_files(dirs, version=version)
         if base.get("write_mode", "cow") == "mor":
-            payload = [f.name for f in schema.fields if f.name not in base["key_cols"]]
-            df = lww_reduce(
-                df,
-                keys=base["key_cols"],
-                order_col=LSN_COL,
-                payload_cols=payload + [DELETED_COL],
-            )
+            df = self._fold(df, base)
         if drop_tombstones:
             # NOTE: only safe once no straggler event below MAX_LSN can
             # still arrive — a dropped tombstone cannot out-LWW a later
@@ -2378,15 +2463,7 @@ class MiniLakeTable:
         schema = schema_from_manifest(base["schema"])
         df = self.read_physical()
         if base.get("write_mode", "cow") == "mor":
-            payload = [
-                f.name for f in schema.fields if f.name not in base["key_cols"]
-            ]
-            df = lww_reduce(
-                df,
-                keys=base["key_cols"],
-                order_col=LSN_COL,
-                payload_cols=payload + [DELETED_COL],
-            )
+            df = self._fold(df, base)
         df = df.withColumn(
             BUCKET_COL, self._bucket_expr(key0, n_buckets_new)
         )

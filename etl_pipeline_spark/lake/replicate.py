@@ -20,9 +20,59 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators.lww import lww_reduce
+from ..operators.partial_update import RESET_COL, vl_col
 from ..schema import DELETED_COL, LSN_COL
 from .minilake import MiniLakeTable
+
+
+def _decompose_fold_rows(df, key_cols: list[str], payload: list[str]):
+    """Partial-engine export: turn fold rows back into the equivalent
+    single-column partial change EVENTS — op='U' per provided column at
+    its own write-LSN, op='D' at the delete-reset LSN, and an all-null
+    keepalive 'U' at the row LSN for liveness. Replaying these through a
+    partial-engine replica reconstructs the exact fold (the fold of the
+    decomposition IS the row), which keeps replication order-insensitive
+    and straggler-correct: a late event that would beat one COLUMN's
+    write-LSN on the primary beats it on the replica too — a whole-row
+    snapshot image at max-LSN would wrongly fence it.
+
+    Volume: ≤ (payload width + 2) events per fold row — O(changes·width)
+    with every projection JVM-side; the union is a no-shuffle plan."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def _sel(lsn_expr, op, provide: str | None):
+        return df.select(
+            lsn_expr.alias("lsn"),
+            F.lit(op).alias("op"),
+            *key_cols,
+            *[
+                (
+                    F.col(c) if c == provide else F.lit(None).cast(types[c])
+                ).alias(c)
+                for c in payload
+            ],
+        )
+
+    parts = [
+        _sel(F.col(vl_col(c)), "U", c).filter(F.col("lsn").isNotNull())
+        for c in payload
+    ]
+    parts.append(
+        _sel(F.col(RESET_COL), "D", None).filter(F.col("lsn").isNotNull())
+    )
+    keepalive = df.filter(~F.col(DELETED_COL))
+    parts.append(
+        keepalive.select(
+            F.col(LSN_COL).alias("lsn"),
+            F.lit("U").alias("op"),
+            *key_cols,
+            *[F.lit(None).cast(types[c]).alias(c) for c in payload],
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _write_batch(out, out_dir: str, batch_index: int) -> str | None:
@@ -66,12 +116,19 @@ def export_changes(
         for f in table.schema().fields
         if f.name not in key_cols
     ]
-    out = changes.select(
-        F.col(LSN_COL).alias("lsn"),
-        F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
-        *key_cols,
-        *payload,
-    )
+    if m.get("merge_engine", "lww") == "partial":
+        # fold rows are NOT row images — exporting them as whole-row
+        # events would stamp every column with the row's max LSN and
+        # mis-fence late per-column stragglers on the replica. Decompose
+        # back into single-column partial events instead.
+        out = _decompose_fold_rows(changes, key_cols, payload)
+    else:
+        out = changes.select(
+            F.col(LSN_COL).alias("lsn"),
+            F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
+            *key_cols,
+            *payload,
+        )
     return _write_batch(out, out_dir, batch_index)
 
 
@@ -102,16 +159,18 @@ def export_snapshot(
     ]
     phys = table.read_physical()
     if m.get("write_mode", "cow") == "mor":
-        phys = lww_reduce(
-            phys,
-            keys=key_cols,
-            order_col=LSN_COL,
-            payload_cols=payload + [DELETED_COL],
+        phys = table._fold(phys, m)
+    if m.get("merge_engine", "lww") == "partial":
+        # same decomposition as export_changes: the resolved state's
+        # fold rows re-expand into per-column events carrying their TRUE
+        # write-LSNs (plus the delete-reset), so a re-seeded replica
+        # fences late stragglers exactly as the primary would
+        out = _decompose_fold_rows(phys, key_cols, payload)
+    else:
+        out = phys.select(
+            F.col(LSN_COL).alias("lsn"),
+            F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
+            *key_cols,
+            *payload,
         )
-    out = phys.select(
-        F.col(LSN_COL).alias("lsn"),
-        F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
-        *key_cols,
-        *payload,
-    )
     return _write_batch(out, out_dir, batch_index)

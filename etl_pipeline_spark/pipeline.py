@@ -285,6 +285,20 @@ def apply_batch(
     must_reduce = cfg.pre_reduce or getattr(
         table, "requires_unique_source", False
     )
+    if getattr(table, "merge_engine", "lww") == "partial":
+        # the pipeline's whole-row LWW reduce would collapse a batch's
+        # partial updates into ONE row image (dropping columns the last
+        # event didn't carry) — the merge's internal column-coalescing
+        # fold IS the pre-reduce for these tables, and its map-side
+        # partial aggregation is the same hot-key collapse the salted
+        # path provides
+        if getattr(table, "requires_unique_source", False):
+            raise ValueError(
+                "partial merge engine is unsupported on backends that "
+                "require a unique-key MERGE source"
+            )
+        salted = False
+        must_reduce = False
     # Dead-letter fusion (MOR minilake, un-salted, un-pre-reduced — the
     # hot replay path): dead rows ride the merge's one delta-write job in
     # a relocatable pseudo-bucket instead of a second O(batch) source

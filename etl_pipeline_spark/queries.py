@@ -162,7 +162,11 @@ def _batch_width(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _replay_to_table(
-    spark: SparkSession, sf_dir: str, ce: DataFrame, prefix: str
+    spark: SparkSession,
+    sf_dir: str,
+    ce: DataFrame,
+    prefix: str,
+    merge_engine: str = "lww",
 ) -> MiniLakeTable:
     """Write ``ce`` as an ordered changelog and replay it into a fresh
     MOR MiniLake table — the shared engine drive behind the flagship and
@@ -211,6 +215,7 @@ def _replay_to_table(
         key_cols=["conv_id", "turn_idx"],
         n_buckets=16,
         write_mode="mor",
+        merge_engine=merge_engine,
     )
     replay_files(spark, changelog, table)
     return table
@@ -4287,6 +4292,86 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARTIAL_UPDATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+msk AS (
+  SELECT lsn, op, conv_id, turn_idx,
+         CASE WHEN op = 'U' AND lsn % 3 = 0 THEN NULL ELSE role END AS role,
+         CASE WHEN op = 'U' AND lsn % 3 = 1 THEN NULL ELSE text END AS text,
+         ts
+  FROM ce
+),
+rst AS (
+  SELECT conv_id, turn_idx,
+         coalesce(max(lsn) FILTER (WHERE op = 'D'), -1) AS reset,
+         max(lsn) AS last_lsn
+  FROM msk GROUP BY conv_id, turn_idx
+),
+j AS (
+  SELECT m.*, r.reset, r.last_lsn
+  FROM msk m JOIN rst r USING (conv_id, turn_idx)
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+         any_value(reset) AS reset, any_value(last_lsn) AS last_lsn,
+         arg_max(role, lsn) FILTER (
+           WHERE op <> 'D' AND role IS NOT NULL AND lsn > reset) AS role,
+         arg_max(text, lsn) FILTER (
+           WHERE op <> 'D' AND text IS NOT NULL AND lsn > reset) AS text,
+         arg_max(ts, lsn) FILTER (
+           WHERE op <> 'D' AND lsn > reset) AS ts
+  FROM j GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM agg WHERE last_lsn > reset
+"""
+
+
+_PARTIAL_CACHE: dict = {}
+
+
+def q_cdc_partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update merge engine graded end-to-end (minilake
+    merge_engine='partial' + operators/partial_update.py): the derived
+    change stream is deterministically MASKED into partial row images —
+    every 3rd update omits `role`, the next omits `text` (Debezium-style
+    partial binlog images) — and replayed through the full pipeline into
+    a partial-engine MOR table. Per key and per column the live value is
+    the latest PROVIDED one after the key's last delete; the oracle
+    recomputes that with per-column arg_max FILTER in SQL. The engine's
+    per-batch fold, multi-file read resolve and compaction are one
+    associative fold, so the multi-batch replay must land on the exact
+    single-pass answer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _PARTIAL_CACHE.get(key)
+    if table is None:
+        ce = derive_change_events(spark, sf_dir)
+        masked = ce.select(
+            "lsn",
+            "op",
+            "conv_id",
+            "turn_idx",
+            F.when(
+                (F.col("op") == "U") & (F.col("lsn") % 3 == 0), F.lit(None)
+            )
+            .otherwise(F.col("role"))
+            .alias("role"),
+            F.when(
+                (F.col("op") == "U") & (F.col("lsn") % 3 == 1), F.lit(None)
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "ts",
+        ).withColumn("tool", F.lit(None).cast("string"))
+        table = _replay_to_table(
+            spark, sf_dir, masked, "cdc_partial_", merge_engine="partial"
+        )
+        table.compact(drop_tombstones=False)  # fold associativity, live
+        _PARTIAL_CACHE[key] = table
+    return _state_projection(table.read())
+
+
 NET_CHANGES_SQL = f"""
 WITH ce AS ({CE_SQL}),
 w AS ({BATCH_W_SQL}),
@@ -4448,6 +4533,7 @@ QUERIES = {
     # -- r5 session-2 additions, born inside the window per the rule --
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_net_changes": q_cdc_net_changes,
+    "cdc_partial_update_state": q_cdc_partial_update_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4481,13 +4567,14 @@ QUERIES = {
     "user_event_paths_jvm": q_user_event_paths_jvm,
     "events_last_value_per_user": q_events_last_value_per_user,
     "customer_cumulative_revenue": q_customer_cumulative_revenue,
-    "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
     # ---------------- driver window ends here (first 50) ----------------
     # Rows below were driver-confirmed green in earlier rounds (unchanged
     # since) and remain fully oracle-gated by tests/test_entry.py.
-    # customers_with_orders and customers_without_big_orders moved below
-    # the line for the r5 session-2 insertions of cdc_scd2_history and
-    # cdc_net_changes (both green r04).
+    # hourly_view_vs_purchase, customers_with_orders and
+    # customers_without_big_orders moved below the line for the r5
+    # session-2 insertions of cdc_scd2_history, cdc_net_changes and
+    # cdc_partial_update_state (all green r04).
+    "hourly_view_vs_purchase": q_hourly_view_vs_purchase,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_big_orders": q_customers_without_big_orders,
     "events_user_value_salted": q_events_user_value_salted,
@@ -4563,6 +4650,7 @@ ORACLE_SQL = {
     "cdc_files_metadata": FILES_METADATA_SQL,
     "cdc_scd2_history": SCD2_HISTORY_SQL,
     "cdc_net_changes": NET_CHANGES_SQL,
+    "cdc_partial_update_state": PARTIAL_UPDATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
