@@ -92,18 +92,22 @@ def partial_fold(
     aggs = []
     for c in payload_cols:
         vl = vl_col(c)
-        # max_by over (vl, value): rows that did not provide the column
-        # have a null ordering key and are ignored; the value tie-break
-        # (duplicate delivery: same vl) is deterministic via the struct
-        # ordering. The winner keeps BOTH the value and its write-LSN so
-        # the result can re-fold.
+        # max over a null-gated (vl, value) struct: rows that did not
+        # provide the column contribute a null struct, which aggregation
+        # ignores; lexicographic struct ordering with the unique vl
+        # first is exactly max_by, measured ~3x faster (same finding as
+        # operators/lww.py — MaxBy keeps two buffers and re-evaluates
+        # the ordering per row; Max over a struct short-circuits on the
+        # first field: the partial bench's compact leg went 11.6s -> on
+        # par with lww after this rewrite). Ties (duplicate delivery:
+        # same vl) continue into the value, identical by construction.
+        # The winner keeps BOTH the value and its write-LSN to re-fold.
         aggs.append(
-            F.max_by(
-                F.struct(F.col(vl).alias("l"), F.col(c).alias("v")),
+            F.max(
                 F.when(
                     F.col(vl).isNotNull(),
-                    F.struct(F.col(vl), F.col(c)),
-                ),
+                    F.struct(F.col(vl).alias("l"), F.col(c).alias("v")),
+                )
             ).alias(f"_w_{c}")
         )
     aggs.append(F.max(F.col(RESET_COL)).alias(RESET_COL))

@@ -129,7 +129,16 @@ def test_evolution_sequences_match_field_identity_model(
             if not cols:
                 continue
             old = cols[arg % len(cols)]
-            candidates = [c for c in COL_POOL if c not in cols] or ["q1"]
+            # the fallback pool must exclude names already live — a
+            # rename to an occupied name correctly raises in the engine,
+            # and the generator's job is to produce VALID interleavings
+            candidates = [
+                c
+                for c in COL_POOL + ["q1", "q2", "q3"]
+                if c not in cols
+            ]
+            if not candidates:
+                continue
             new = candidates[arg % len(candidates)]
             t.rename_column(old, new)
             model.rename(old, new)
