@@ -54,6 +54,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.agg_engine import (
+    agg_event_frame,
+    agg_fold,
+    validate_agg_spec,
+)
 from ..operators.lww import lww_reduce
 from ..operators.partial_update import (
     RESET_COL,
@@ -90,6 +95,18 @@ VALID_COL = "_valid"
 
 class CommitConflict(RuntimeError):
     """Another writer committed the manifest version we raced for."""
+
+
+def _dedup_exact(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse byte-identical duplicate deliveries: one row per
+    ``group_cols`` (key + lsn), F.first over the rest — duplicates are
+    identical by construction, so `first` is deterministic in effect.
+    Used by the agg merge engine, whose sums are not redelivery-
+    idempotent the way LWW/partial picks are."""
+    rest = [c for c in df.columns if c not in group_cols]
+    return df.groupBy(*group_cols).agg(
+        *[F.first(F.col(c)).alias(c) for c in rest]
+    )
 
 
 @dataclass
@@ -140,7 +157,7 @@ class MiniLakeTable:
         m = self.manifest()
         return (
             m.get("write_mode", "cow") == "mor"
-            and m.get("merge_engine", "lww") != "partial"
+            and m.get("merge_engine", "lww") == "lww"
         )
 
     def __init__(self, spark: SparkSession, root: str):
@@ -162,13 +179,26 @@ class MiniLakeTable:
         properties: dict | None = None,
         write_mode: str = "cow",
         merge_engine: str = "lww",
+        agg_spec: dict | None = None,
     ) -> "MiniLakeTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
-        if merge_engine not in ("lww", "partial"):
+        if merge_engine not in ("lww", "partial", "agg"):
             raise ValueError(
-                f"merge_engine must be lww|partial, got {merge_engine!r}"
+                f"merge_engine must be lww|partial|agg, got {merge_engine!r}"
             )
+        if merge_engine == "agg":
+            # spec keyed by PHYSICAL column name — stable across renames
+            agg_spec = validate_agg_spec(
+                agg_spec,
+                [
+                    physical_name(f)
+                    for f in schema.fields
+                    if f.name not in key_cols
+                ],
+            )
+        elif agg_spec is not None:
+            raise ValueError("agg_spec requires merge_engine='agg'")
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -181,6 +211,7 @@ class MiniLakeTable:
             "n_buckets": n_buckets,
             "write_mode": write_mode,
             "merge_engine": merge_engine,
+            **({"agg_spec": agg_spec} if agg_spec is not None else {}),
             "buckets": {},
             "properties": {FENCES_PROP: {}, MAX_LSN_PROP: -1,
                            **(properties or {})},
@@ -328,7 +359,8 @@ class MiniLakeTable:
             T.StructField(LSN_COL, T.LongType(), False),
             T.StructField(DELETED_COL, T.BooleanType(), False),
         ]
-        if m.get("merge_engine", "lww") == "partial":
+        engine = m.get("merge_engine", "lww")
+        if engine == "partial":
             # fold layout (operators/partial_update.py): each payload
             # column's write-LSN sibling + the per-key delete-reset LSN
             fields += [
@@ -337,6 +369,16 @@ class MiniLakeTable:
                 if f.name not in m["key_cols"]
             ]
             fields.append(T.StructField(RESET_COL, T.LongType(), True))
+        elif engine == "agg":
+            # only `last` columns carry a write-LSN sibling; sum/min/max
+            # states are self-contained (operators/agg_engine.py)
+            spec = m.get("agg_spec", {})
+            fields += [
+                T.StructField(vl_col(physical_name(f)), T.LongType(), True)
+                for f in s.fields
+                if f.name not in m["key_cols"]
+                and spec.get(physical_name(f), "last") == "last"
+            ]
         return T.StructType(fields)
 
     def add_columns(self, new_fields: list[T.StructField]) -> int:
@@ -537,11 +579,23 @@ class MiniLakeTable:
         so the engines stay interchangeable."""
         keys = keys if keys is not None else list(m["key_cols"])
         schema = schema_from_manifest(m["schema"])
-        payload = [
-            f.name for f in schema.fields if f.name not in m["key_cols"]
+        payload_fields = [
+            f for f in schema.fields if f.name not in m["key_cols"]
         ]
-        if m.get("merge_engine", "lww") == "partial":
+        payload = [f.name for f in payload_fields]
+        engine = m.get("merge_engine", "lww")
+        if engine == "partial":
             return partial_fold(df, keys=keys, payload_cols=payload)
+        if engine == "agg":
+            spec = m.get("agg_spec", {})
+            return agg_fold(
+                df,
+                keys=keys,
+                spec_by_logical={
+                    f.name: spec.get(physical_name(f), "last")
+                    for f in payload_fields
+                },
+            )
         return lww_reduce(
             df, keys=keys, order_col=LSN_COL,
             payload_cols=payload + [DELETED_COL],
@@ -757,12 +811,12 @@ class MiniLakeTable:
         base_phys = self._read_files(from_dirs, version=to_version)
         if m.get("write_mode", "cow") == "mor":
             base_phys = self._fold(base_phys, m)
-        if m.get("merge_engine", "lww") == "partial":
-            # under the partial engine a changed key's TO state can hold
-            # column values written BEFORE the window (a partial update
-            # only carries touched columns), so the final state is the
-            # fold of {FROM state ∪ window changes} — sound because the
-            # fold is associative and FROM rows ARE fold rows —
+        if m.get("merge_engine", "lww") != "lww":
+            # under the partial/agg engines a changed key's TO state
+            # depends on contributions from BEFORE the window (untouched
+            # columns / earlier sum contributions), so the final state is
+            # the fold of {FROM state ∪ window changes} — sound because
+            # the fold is associative and FROM rows ARE fold rows —
             # restricted to keys the window touched
             ch_keys = ch.select(*keys).distinct()
             final = self._fold(base_phys.unionByName(ch), m).join(
@@ -1127,12 +1181,13 @@ class MiniLakeTable:
                 )
             if dead_sink is None:
                 raise ValueError("valid_col requires dead_sink")
-            if base.get("merge_engine", "lww") == "partial":
+            if base.get("merge_engine", "lww") != "lww":
                 # dead rows ride the fold under a synthetic per-row key;
-                # the partial fold's per-column invalidation would null a
-                # dead row's forensic payload. Use the separate-write DLQ
-                # path (pipeline falls back automatically when
-                # supports_dead_letter_fusion is False).
+                # the partial/agg folds' per-column aggregation would
+                # mangle a dead row's forensic payload. Use the
+                # separate-write DLQ path (pipeline falls back
+                # automatically when supports_dead_letter_fusion is
+                # False).
                 raise ValueError(
                     "dead-letter fusion requires the lww merge engine"
                 )
@@ -1223,6 +1278,27 @@ class MiniLakeTable:
             # the pre-reduce below, read resolution and compaction are one
             # associative fold (operators/partial_update.py)
             batch_phys = partial_event_frame(batch_phys, payload_cols)
+        elif engine == "agg":
+            # aggregation states cannot retract: reject deletes loudly
+            # before any file is written (one short limit(1) probe per
+            # batch — same pattern and cost as assert_unique_keys)
+            if batch_phys.filter(F.col(DELETED_COL)).limit(1).count():
+                raise ValueError(
+                    "agg merge engine cannot retract: op='D' events are "
+                    "unsupported (model deletes as compensating events)"
+                )
+            spec = base.get("agg_spec", {})
+            phys_by_logical = {
+                f.name: physical_name(f) for f in table_schema.fields
+            }
+            batch_phys = agg_event_frame(
+                batch_phys,
+                last_cols=[
+                    c
+                    for c in payload_cols
+                    if spec.get(phys_by_logical[c], "last") == "last"
+                ],
+            )
 
         bexpr = self._bucket_expr(key_cols[0], n_buckets)
         if valid_col is not None:
@@ -1283,18 +1359,17 @@ class MiniLakeTable:
                     order_col=LSN_COL,
                     payload_cols=payload_cols + [DELETED_COL, SRC_OP_COL, RAW_COL],
                 ).drop("_dlq_key")
-            elif engine == "partial":
-                merged = partial_fold(
-                    clustered,
-                    keys=[BUCKET_COL] + list(key_cols),
-                    payload_cols=payload_cols,
-                )
             else:
-                merged = lww_reduce(
-                    clustered,
-                    keys=[BUCKET_COL] + list(key_cols),
-                    order_col=LSN_COL,
-                    payload_cols=payload_cols + [DELETED_COL],
+                if engine == "agg":
+                    # duplicate delivery dedup (exact (key, lsn) collapse)
+                    # BEFORE the fold — a sum would double-count what the
+                    # other engines absorb idempotently. Same bucket
+                    # clustering, map-side combined: no extra exchange.
+                    clustered = _dedup_exact(
+                        clustered, [BUCKET_COL] + list(key_cols) + [LSN_COL]
+                    )
+                merged = self._fold(
+                    clustered, base, keys=[BUCKET_COL] + list(key_cols)
                 )
             touched = None  # discovered post-write
         else:
@@ -1328,22 +1403,18 @@ class MiniLakeTable:
             # already key-unique fold rows, so both engines' folds apply
             # directly (the partial fold is associative; stored rows are
             # just previous fold results).
+            if engine == "agg":
+                # dedup the BATCH side only — stored state rows must
+                # never collapse with events (see MOR branch note)
+                batch_phys = _dedup_exact(
+                    batch_phys, [BUCKET_COL] + list(key_cols) + [LSN_COL]
+                )
             unioned = current.unionByName(batch_phys).repartition(
                 len(touched), F.col(BUCKET_COL)
             )
-            if engine == "partial":
-                merged = partial_fold(
-                    unioned,
-                    keys=[BUCKET_COL] + list(key_cols),
-                    payload_cols=payload_cols,
-                )
-            else:
-                merged = lww_reduce(
-                    unioned,
-                    keys=[BUCKET_COL] + list(key_cols),
-                    order_col=LSN_COL,
-                    payload_cols=payload_cols + [DELETED_COL],
-                )
+            merged = self._fold(
+                unioned, base, keys=[BUCKET_COL] + list(key_cols)
+            )
 
         # In fused mode dead-letter rows flow through the same frame —
         # the metrics must count only APPLIED rows (dead rows carry a
@@ -1536,6 +1607,11 @@ class MiniLakeTable:
                 "n_buckets": n_buckets,
                 "write_mode": write_mode,
                 "merge_engine": base.get("merge_engine", "lww"),
+                **(
+                    {"agg_spec": base["agg_spec"]}
+                    if "agg_spec" in base
+                    else {}
+                ),
                 "buckets": new_buckets,
                 "file_stats": self._stats_for_manifest(
                     base, new_dirs, new_buckets, key_cols[0]
@@ -1834,6 +1910,11 @@ class MiniLakeTable:
                 "n_buckets": base["n_buckets"],
                 "write_mode": base.get("write_mode", "cow"),
                 "merge_engine": base.get("merge_engine", "lww"),
+                **(
+                    {"agg_spec": base["agg_spec"]}
+                    if "agg_spec" in base
+                    else {}
+                ),
                 "buckets": new_buckets,
                 "file_stats": self._stats_for_manifest(
                     base, new_dirs, new_buckets, base["key_cols"][0]

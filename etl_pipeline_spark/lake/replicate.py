@@ -21,8 +21,17 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.partial_update import RESET_COL, vl_col
-from ..schema import DELETED_COL, LSN_COL
+from ..schema import DELETED_COL, LSN_COL, physical_name
 from .minilake import MiniLakeTable
+
+
+def _agg_spec_by_logical(table: MiniLakeTable, m: dict) -> dict[str, str]:
+    spec = m.get("agg_spec", {})
+    return {
+        f.name: spec.get(physical_name(f), "last")
+        for f in table.schema().fields
+        if f.name not in m["key_cols"]
+    }
 
 
 def _decompose_fold_rows(df, key_cols: list[str], payload: list[str]):
@@ -69,6 +78,69 @@ def _decompose_fold_rows(df, key_cols: list[str], payload: list[str]):
             *[F.lit(None).cast(types[c]).alias(c) for c in payload],
         )
     )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _decompose_agg_rows(
+    df, key_cols: list[str], spec_by_logical: dict[str, str]
+):
+    """Agg-engine export: each fold row re-expands into (a) one base
+    event carrying its sum/min/max PARTIAL AGGREGATES — re-ingesting a
+    partial sum ADDS it, so sums of per-batch partials converge to the
+    primary's totals (likewise max/min) — and (b) one single-column
+    event per `last` column at its true write-LSN, exactly the partial
+    engine's decomposition. Nulls contribute nothing to sum/min/max, so
+    the per-`last` events don't disturb the measures."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    payload = list(spec_by_logical)
+    last_cols = [c for c, fn in spec_by_logical.items() if fn == "last"]
+
+    def _at(lsn_expr):
+        # every `last` column whose write-LSN equals this event's LSN
+        # rides the SAME event: the replica's exact (key, lsn) dedup
+        # then only ever collapses byte-identical events — emitting one
+        # event per column would let the dedup eat a sibling column (or
+        # a base event's sum contribution) that shares the LSN
+        return [
+            (
+                F.when(F.col(vl_col(c)) == lsn_expr, F.col(c))
+                if c in last_cols
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in payload
+        ]
+
+    base = df.select(
+        F.col(LSN_COL).alias("lsn"),
+        F.lit("U").alias("op"),
+        *key_cols,
+        *[
+            (
+                F.when(
+                    F.col(vl_col(c)) == F.col(LSN_COL), F.col(c)
+                ).alias(c)
+                if c in last_cols
+                else F.col(c).alias(c)
+            )
+            for c in payload
+        ],
+    )
+    parts = [base]
+    for c in last_cols:
+        parts.append(
+            df.filter(
+                F.col(vl_col(c)).isNotNull()
+                & (F.col(vl_col(c)) != F.col(LSN_COL))
+            ).select(
+                F.col(vl_col(c)).alias("lsn"),
+                F.lit("U").alias("op"),
+                *key_cols,
+                *_at(F.col(vl_col(c))),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -122,6 +194,13 @@ def export_changes(
         # mis-fence late per-column stragglers on the replica. Decompose
         # back into single-column partial events instead.
         out = _decompose_fold_rows(changes, key_cols, payload)
+    elif m.get("merge_engine", "lww") == "agg":
+        # each delta row is the batch's PARTIAL aggregate per key:
+        # sums/extrema of partials converge to the primary totals on
+        # the replica, `last` columns decompose at their write-LSNs
+        out = _decompose_agg_rows(
+            changes, key_cols, _agg_spec_by_logical(table, m)
+        )
     else:
         out = changes.select(
             F.col(LSN_COL).alias("lsn"),
@@ -166,6 +245,12 @@ def export_snapshot(
         # write-LSNs (plus the delete-reset), so a re-seeded replica
         # fences late stragglers exactly as the primary would
         out = _decompose_fold_rows(phys, key_cols, payload)
+    elif m.get("merge_engine", "lww") == "agg":
+        # the resolved state is ONE total aggregate per key — seeding a
+        # FRESH replica with it is exact (each key contributes once)
+        out = _decompose_agg_rows(
+            phys, key_cols, _agg_spec_by_logical(table, m)
+        )
     else:
         out = phys.select(
             F.col(LSN_COL).alias("lsn"),

@@ -285,17 +285,17 @@ def apply_batch(
     must_reduce = cfg.pre_reduce or getattr(
         table, "requires_unique_source", False
     )
-    if getattr(table, "merge_engine", "lww") == "partial":
+    if getattr(table, "merge_engine", "lww") != "lww":
         # the pipeline's whole-row LWW reduce would collapse a batch's
         # partial updates into ONE row image (dropping columns the last
-        # event didn't carry) — the merge's internal column-coalescing
-        # fold IS the pre-reduce for these tables, and its map-side
-        # partial aggregation is the same hot-key collapse the salted
-        # path provides
+        # event didn't carry) and destroy an agg table's per-event sum
+        # contributions — the merge's internal fold IS the pre-reduce
+        # for these tables, and its map-side partial aggregation is the
+        # same hot-key collapse the salted path provides
         if getattr(table, "requires_unique_source", False):
             raise ValueError(
-                "partial merge engine is unsupported on backends that "
-                "require a unique-key MERGE source"
+                "partial/agg merge engines are unsupported on backends "
+                "that require a unique-key MERGE source"
             )
         salted = False
         must_reduce = False

@@ -4292,6 +4292,91 @@ def q_cdc_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONV_AGG_SQL = f"""
+WITH ce AS ({CE_SQL})
+SELECT conv_id,
+       count(*) AS n_events,
+       arg_max(role, lsn) AS last_role,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_first,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_last
+FROM ce WHERE op <> 'D'
+GROUP BY conv_id
+"""
+
+
+_CONV_AGG_CACHE: dict = {}
+
+
+def q_cdc_conv_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge engine graded end-to-end (minilake
+    merge_engine='agg' + operators/agg_engine.py, the Paimon
+    'aggregation' analog): a per-conversation metrics table — event
+    count (sum), latest role (last by LSN), first/last event time
+    (min/max) — maintained IN-TABLE by multi-batch merges over the
+    derived change stream (deletes filtered: aggregation states cannot
+    retract, documented engine limitation), then compacted. The oracle
+    is the one-shot GROUP BY; the engine must land on it through
+    per-batch partial aggregates folded across deltas — the fold's
+    associativity made observable."""
+    from pyspark.sql import types as T
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _CONV_AGG_CACHE.get(key)
+    if table is None:
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("n_events", T.LongType(), True),
+                T.StructField("last_role", T.StringType(), True),
+                T.StructField("ts_first", T.LongType(), True),
+                T.StructField("ts_last", T.LongType(), True),
+            ]
+        )
+        tmp = tempfile.mkdtemp(prefix="cdc_conv_agg_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        table = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            schema,
+            key_cols=["conv_id"],
+            n_buckets=8,
+            write_mode="mor",
+            merge_engine="agg",
+            agg_spec={
+                "n_events": "sum",
+                "last_role": "last",
+                "ts_first": "min",
+                "ts_last": "max",
+            },
+        )
+        ce = derive_change_events(spark, sf_dir).filter(F.col("op") != "D")
+        measures = ce.select(
+            "lsn",
+            "op",
+            "conv_id",
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("role").alias("last_role"),
+            F.unix_timestamp("ts").alias("ts_first"),
+            F.unix_timestamp("ts").alias("ts_last"),
+        )
+        bw = _batch_width(spark, sf_dir)
+        mx = measures.agg(F.max("lsn")).first()[0] or 0
+        for b in range(int(mx) // bw + 1):
+            table.merge(
+                measures.filter(
+                    (F.col("lsn") >= b * bw) & (F.col("lsn") < (b + 1) * bw)
+                    if b < int(mx) // bw
+                    else (F.col("lsn") >= b * bw)
+                ),
+                batch_id=b,
+            )
+        table.compact(drop_tombstones=False)
+        _CONV_AGG_CACHE[key] = table
+    return table.read().select(
+        "conv_id", "n_events", "last_role", "ts_first", "ts_last"
+    )
+
+
 PARTIAL_UPDATE_SQL = f"""
 WITH ce AS ({CE_SQL}),
 msk AS (
@@ -4534,6 +4619,7 @@ QUERIES = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_net_changes": q_cdc_net_changes,
     "cdc_partial_update_state": q_cdc_partial_update_state,
+    "cdc_conv_agg_state": q_cdc_conv_agg_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4566,8 +4652,10 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "user_event_paths_jvm": q_user_event_paths_jvm,
     "events_last_value_per_user": q_events_last_value_per_user,
-    "customer_cumulative_revenue": q_customer_cumulative_revenue,
     # ---------------- driver window ends here (first 50) ----------------
+    # customer_cumulative_revenue also rotated below for the r5 session-2
+    # insertion of cdc_conv_agg_state (green r04).
+    "customer_cumulative_revenue": q_customer_cumulative_revenue,
     # Rows below were driver-confirmed green in earlier rounds (unchanged
     # since) and remain fully oracle-gated by tests/test_entry.py.
     # hourly_view_vs_purchase, customers_with_orders and
@@ -4651,6 +4739,7 @@ ORACLE_SQL = {
     "cdc_scd2_history": SCD2_HISTORY_SQL,
     "cdc_net_changes": NET_CHANGES_SQL,
     "cdc_partial_update_state": PARTIAL_UPDATE_SQL,
+    "cdc_conv_agg_state": CONV_AGG_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
