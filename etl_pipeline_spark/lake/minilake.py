@@ -70,6 +70,7 @@ from ..schema import (
     BUCKET_COL,
     DELETED_COL,
     LSN_COL,
+    initial_default,
     physical_name,
     schema_from_manifest,
     schema_to_manifest,
@@ -165,6 +166,8 @@ class MiniLakeTable:
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        # per-dir footer schema memo (dirs are immutable once committed)
+        self._footer_cols_memo: dict[str, frozenset[str]] = {}
 
     # ---------------------------------------------------------------- DDL
 
@@ -381,11 +384,31 @@ class MiniLakeTable:
             ]
         return T.StructType(fields)
 
-    def add_columns(self, new_fields: list[T.StructField]) -> int:
+    def add_columns(
+        self,
+        new_fields: list[T.StructField],
+        defaults: dict[str, object] | None = None,
+    ) -> int:
         """Additive schema evolution: append columns to the manifest
         schema in a new snapshot. Existing files read them as null via
         schema projection — no data rewrite (Iceberg add-column
         semantics). Rejects non-additive changes.
+
+        ``defaults`` gives named new columns an ``initial-default``
+        (Iceberg v3 default values): rows written BEFORE the add read
+        the default instead of null; rows written after — including
+        explicit nulls — read exactly what the writer wrote. The
+        distinction is per data FILE, not per value: merge fills
+        source-omitted columns with typed nulls (so every post-add file
+        physically contains the column) and pre-add files simply lack
+        it, which the read path detects from one memoized Parquet
+        footer per directory. No data rewrite here either; compaction
+        materializes defaults into its output files as a side effect of
+        reading through the same choke point. LWW tables only: the
+        partial engine's per-column fold cannot tell "never written,
+        default applies" from "written then folded away" without a
+        third sentinel state, and defaults on aggregation states
+        (sum/min/max) have no coherent meaning.
 
         If a new column's name collides with a PHYSICAL name already in
         use or ever retired (a drop, or a rename freeing the logical
@@ -393,6 +416,28 @@ class MiniLakeTable:
         suffixed physical name — the Iceberg field-id guarantee that a
         re-added column never reads a dropped column's old values."""
         m = self.manifest()
+        defaults = defaults or {}
+        if defaults and m.get("merge_engine", "lww") != "lww":
+            raise ValueError(
+                "initial-default columns require merge_engine='lww' "
+                f"(this table: {m.get('merge_engine')!r}) — the "
+                "partial/agg folds have no per-column 'never written' "
+                "state for a default to bind to"
+            )
+        unknown = set(defaults) - {f.name for f in new_fields}
+        if unknown:
+            raise ValueError(f"defaults for columns not being added: {unknown}")
+        for name, v in defaults.items():
+            if v is None:
+                raise ValueError(
+                    f"{name}: a null initial-default is meaningless — "
+                    "null is what the column reads without one"
+                )
+            if not isinstance(v, (str, int, float, bool)):
+                raise ValueError(
+                    f"{name}: initial-default must be a JSON scalar "
+                    f"(manifest-serializable), got {type(v).__name__}"
+                )
         schema = schema_from_manifest(m["schema"])
         existing = {f.name for f in schema.fields}
         taken = {physical_name(f) for f in schema.fields} | set(
@@ -404,6 +449,10 @@ class MiniLakeTable:
                 raise ValueError(f"column {f.name} already exists")
             if f.name.startswith("_"):
                 raise ValueError(f"reserved column name {f.name}")
+            if f.name in defaults:
+                md = dict(f.metadata or {})
+                md["initial_default"] = defaults[f.name]
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
             if f.name in taken:
                 k = 2
                 while f"{f.name}__r{k}" in taken:
@@ -501,18 +550,53 @@ class MiniLakeTable:
         # Iceberg bucket(N, col) analog: stable hash → non-negative mod.
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
+    def _dir_physical_cols(self, d: str) -> frozenset[str]:
+        """Physical column names present in a data dir's files, from ONE
+        Parquet footer (a dir is written by a single Spark job, so one
+        schema per dir), memoized forever (dirs are immutable once
+        committed). Driver-side metadata, same cost class as the
+        manifest file-stats footer reads."""
+        got = self._footer_cols_memo.get(d)
+        if got is None:
+            import pyarrow.parquet as pq
+
+            cols: set[str] = set()
+            try:
+                for name in os.listdir(d):
+                    if name.endswith(".parquet"):
+                        md = pq.read_metadata(os.path.join(d, name))
+                        cols = {
+                            md.schema.column(i).name
+                            for i in range(md.num_columns)
+                        }
+                        break
+            except OSError:
+                pass
+            got = frozenset(cols)
+            self._footer_cols_memo[d] = got
+        return got
+
     def _read_files(
         self, dirs: list[str], version: int | None = None
     ) -> DataFrame:
         """Scan under PHYSICAL names, surface LOGICAL names — the single
         choke point that makes column renames metadata-only: every
         caller (reads, LWW folds, compaction, CDC-out) sees the logical
-        schema; files are never rewritten."""
+        schema; files are never rewritten.
+
+        Columns added with an ``initial-default`` surface the default
+        for dirs whose files predate the column (the footer lacks the
+        physical name) and the stored value — explicit nulls included —
+        everywhere else. Tables without defaults take the single-scan
+        fast path untouched; tables with them read one union branch per
+        distinct missing-column set (in practice two: pre-add and
+        post-add), each branch still one pruned Parquet scan."""
         schema = self.physical_read_schema(version)
-        if not dirs:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(*dirs)
+        logical = self.schema(version)
+        defaulted = [
+            (physical_name(f), f) for f in logical.fields
+            if initial_default(f) is not None
+        ]
         # ONE-SHOT projection, not sequential withColumnRenamed: a chain
         # of renames can make one field's logical name equal another
         # field's still-physical name mid-sequence (p1→p3 then p2→p1),
@@ -520,14 +604,49 @@ class MiniLakeTable:
         # name and corrupts the frame (property-tested in
         # tests/test_property_evolution.py).
         mapping = {}
-        for f in self.schema(version).fields:
+        for f in logical.fields:
             mapping[physical_name(f)] = f.name
             # partial-engine write-LSN siblings track their column's
             # physical name on disk, logical name in memory
             mapping[vl_col(physical_name(f))] = vl_col(f.name)
-        return df.select(
-            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
-        )
+
+        def _project(df: DataFrame, missing: frozenset[str]) -> DataFrame:
+            exprs = []
+            for c in df.columns:
+                if c in missing:
+                    f = dict(defaulted)[c]
+                    exprs.append(
+                        F.lit(initial_default(f))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    exprs.append(F.col(c).alias(mapping.get(c, c)))
+            return df.select(*exprs)
+
+        if not dirs:
+            return _project(
+                self.spark.createDataFrame([], schema), frozenset()
+            )
+        if not defaulted:
+            return _project(
+                self.spark.read.schema(schema).parquet(*dirs), frozenset()
+            )
+        groups: dict[frozenset[str], list[str]] = {}
+        for d in dirs:
+            present = self._dir_physical_cols(d)
+            missing = frozenset(
+                p for p, _ in defaulted if p not in present
+            )
+            groups.setdefault(missing, []).append(d)
+        parts = [
+            _project(self.spark.read.schema(schema).parquet(*ds), missing)
+            for missing, ds in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _to_physical(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """The write-side twin of :meth:`_read_files`'s aliasing: rename

@@ -3592,6 +3592,125 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- initial-default column values --
+
+# Same mid-stream column birth as the evolution query, but the in-flight
+# ALTER carries an ``initial-default`` (Iceberg v3 default values,
+# minilake.add_columns(defaults=...)): keys whose LWW winner predates
+# the column read 'none' instead of NULL — no data rewrite, the read
+# path splits pre-add from post-add data files on one memoized Parquet
+# footer per dir. Post-birth events always carry a tool value here, so
+# the oracle is a pure CASE on the winner's lsn.
+DEFAULT_VALUES_SQL = f"""
+WITH ce AS ({CE_SQL}),
+w AS (
+  SELECT ce.*,
+         CASE WHEN lsn >= {_EVO_TOOL_LSN}
+              THEN 'fn-' || CAST(lsn % 7 AS VARCHAR)
+              ELSE 'none' END AS tool
+  FROM ce
+),
+r AS (
+  SELECT w.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM w
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+_DEFAULTS_CACHE: dict = {}
+
+
+def _defaults_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
+    """Replay split at the tool column's birth lsn: pre-birth batches
+    (physically lacking the column) apply first, then the table is
+    ALTERed with ``defaults={'tool': 'none'}``, then post-birth batches
+    apply. Pre/post are staged as separate changelog dirs — distinct
+    replay streams, distinct fences — so the mid-replay DDL sits at an
+    exact batch boundary, the way a deployment would run it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DEFAULTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark.sql import types as T
+
+    from .schema import TRANSCRIPT_SCHEMA_V0
+
+    ce = derive_change_events(spark, sf_dir).withColumn(
+        "tool",
+        F.when(
+            F.col("lsn") >= _EVO_TOOL_LSN,
+            F.concat(F.lit("fn-"), (F.col("lsn") % 7).cast("string")),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_defaults_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+
+    def _stage(df: DataFrame, sub: str) -> str | None:
+        if df.isEmpty():
+            return None
+        staging = os.path.join(tmp, f"{sub}_staging")
+        out = os.path.join(tmp, sub)
+        os.makedirs(out)
+        (
+            df.withColumn(
+                "_b", F.floor(F.col("lsn") / _EVO_BATCH_LSNS).cast("int")
+            )
+            .repartition("_b")
+            .sortWithinPartitions("lsn")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        for name in os.listdir(staging):
+            if name.startswith("_b="):
+                b = int(name.split("=", 1)[1])
+                os.rename(
+                    os.path.join(staging, name),
+                    os.path.join(out, f"batch-{b:06d}.parquet"),
+                )
+        return out
+
+    pre = _stage(ce.filter(F.col("lsn") < _EVO_TOOL_LSN).drop("tool"), "pre")
+    post = _stage(ce.filter(F.col("lsn") >= _EVO_TOOL_LSN), "post")
+    table = MiniLakeTable.create(
+        spark,
+        os.path.join(tmp, "table"),
+        TRANSCRIPT_SCHEMA_V0,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=16,
+    )
+    if pre:
+        replay_files(spark, pre, table)
+    table.add_columns(
+        [T.StructField("tool", T.StringType(), True)],
+        defaults={"tool": "none"},
+    )
+    if post:
+        replay_files(spark, post, table)
+    _DEFAULTS_CACHE[key] = table
+    return table
+
+
+def q_cdc_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-default graded end to end: 'none' for every key whose
+    winner predates the ALTER, the written value for every later winner
+    — and the files the pre-birth batches wrote are never rewritten
+    (the default lives in the manifest schema + the read path)."""
+    state = _defaults_table(spark, sf_dir).read()
+    return state.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 # ------------------------------------------------- dedup clustering (CC) --
 
 DUP_CLUSTERS_SQL = f"""
@@ -4620,6 +4739,8 @@ QUERIES = {
     "cdc_net_changes": q_cdc_net_changes,
     "cdc_partial_update_state": q_cdc_partial_update_state,
     "cdc_conv_agg_state": q_cdc_conv_agg_state,
+    # -- r5 session-3 addition, born inside the window per the rule --
+    "cdc_default_values": q_cdc_default_values,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4651,8 +4772,10 @@ QUERIES = {
     # -- never driver-graded: events/TPC-H analytics + skew operators --
     "user_event_paths": q_user_event_paths,
     "user_event_paths_jvm": q_user_event_paths_jvm,
-    "events_last_value_per_user": q_events_last_value_per_user,
     # ---------------- driver window ends here (first 50) ----------------
+    # events_last_value_per_user (green r04) rotated below for the r5
+    # session-3 insertion of cdc_default_values.
+    "events_last_value_per_user": q_events_last_value_per_user,
     # customer_cumulative_revenue also rotated below for the r5 session-2
     # insertion of cdc_conv_agg_state (green r04).
     "customer_cumulative_revenue": q_customer_cumulative_revenue,
@@ -4740,6 +4863,7 @@ ORACLE_SQL = {
     "cdc_net_changes": NET_CHANGES_SQL,
     "cdc_partial_update_state": PARTIAL_UPDATE_SQL,
     "cdc_conv_agg_state": CONV_AGG_SQL,
+    "cdc_default_values": DEFAULT_VALUES_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

@@ -85,6 +85,17 @@ def schema_from_manifest(obj: dict) -> T.StructType:
     return T.StructType.fromJson(obj)
 
 
+def initial_default(field: T.StructField):
+    """The column's ``initial-default`` (Iceberg v3 default-value
+    semantics): the value rows written BEFORE the column was added read
+    as, instead of null. Stored in StructField metadata so it rides the
+    manifest schema JSON and survives renames (the metadata follows the
+    field). Returns None when the field has no default — a null default
+    is not representable, matching Iceberg (null IS the absence of a
+    default)."""
+    return (field.metadata or {}).get("initial_default")
+
+
 def physical_name(field: T.StructField) -> str:
     """The column's on-disk (Parquet) name — the Iceberg field-id analog
     kept in StructField metadata. Equal to the logical name unless the
