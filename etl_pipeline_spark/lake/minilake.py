@@ -544,6 +544,63 @@ class MiniLakeTable:
         self._write_manifest(m2)
         return m2["version"]
 
+    # Safe type promotions (Iceberg/Delta type-widening set, limited to
+    # what Spark's Parquet readers natively upcast — SPARK-40876): a
+    # file written at the narrow type is read back at the wide one with
+    # no rewrite and no per-file branching.
+    _SAFE_WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("tinyint", "double"),
+        ("smallint", "int"), ("smallint", "bigint"), ("smallint", "double"),
+        ("int", "bigint"), ("int", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column_type(self, name: str, new_type: T.DataType) -> int:
+        """Metadata-only type widening (Iceberg ALTER COLUMN ... TYPE):
+        the field's declared type grows in a new snapshot; data files
+        are never rewritten — Spark's Parquet readers upcast the narrow
+        on-disk values natively, and every later write lands at the
+        wide type. Only loss-free promotions are allowed (int→bigint,
+        float→double, …; never bigint→double, whose >2^53 values round).
+        Key columns are rejected: the bucket layout hashes key VALUES
+        type-sensitively (xxhash64 of int 5 ≠ long 5), so widening a key
+        would silently re-home every row. Time travel to a pre-widen
+        snapshot reads the narrow type, like every other DDL here. The
+        agg engine's canonical use: a sum state outgrowing int."""
+        m = self.manifest()
+        schema = schema_from_manifest(m["schema"])
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no column {name!r}")
+        if name in m["key_cols"]:
+            raise ValueError(
+                f"cannot widen key column {name!r}: bucket hashes are "
+                "type-sensitive — widening would re-home every row"
+            )
+        pair = (field.dataType.simpleString(), new_type.simpleString())
+        if pair == (pair[0], pair[0]):
+            raise ValueError(f"{name} is already {pair[0]}")
+        if pair not in self._SAFE_WIDENINGS:
+            raise ValueError(
+                f"unsafe type change {pair[0]} → {pair[1]} for {name!r}: "
+                f"allowed promotions are {sorted(self._SAFE_WIDENINGS)}"
+            )
+        fields = [
+            T.StructField(f.name, new_type, f.nullable, f.metadata)
+            if f.name == name
+            else f
+            for f in schema.fields
+        ]
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["schema"] = schema_to_manifest(T.StructType(fields))
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
     # -------------------------------------------------------------- reads
 
     def _bucket_expr(self, key_col: str, n_buckets: int):

@@ -3711,6 +3711,125 @@ def q_cdc_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- type widening (DDL) --
+
+# Mid-replay ALTER COLUMN TYPE (minilake.widen_column_type): a `rev`
+# revision counter rides the change stream as int32 until the birth
+# lsn, the table is widened to bigint at the batch boundary, and every
+# later event carries a value int32 cannot hold. Pre-widen files are
+# never rewritten — Spark's Parquet readers upcast them natively
+# (SPARK-40876) — so the final state is the LWW winner's rev at bigint
+# whichever side of the DDL the winner landed on.
+_WIDEN_MULT = 1 << 22  # post-widen rev = lsn * 2^22 > int32 range
+
+WIDENED_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+w AS (
+  SELECT ce.*,
+         CASE WHEN lsn >= {_EVO_TOOL_LSN}
+              THEN CAST(lsn * {_WIDEN_MULT} AS BIGINT)
+              ELSE CAST(lsn % 1000 AS BIGINT) END AS rev
+  FROM ce
+),
+r AS (
+  SELECT w.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM w
+)
+SELECT conv_id, turn_idx, role, text, rev,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+_WIDEN_CACHE: dict = {}
+
+
+def _widened_table(spark: SparkSession, sf_dir: str) -> MiniLakeTable:
+    """Replay split at the widen lsn: pre batches merge int32 ``rev``
+    values into an int-typed column, the table is ALTERed to bigint at
+    the boundary, post batches merge values beyond int32. Same staged
+    two-stream layout as the defaults/evolution fixtures."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WIDEN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark.sql import types as T
+
+    from .schema import TRANSCRIPT_SCHEMA_V0
+
+    ce = derive_change_events(spark, sf_dir)
+    pre_ce = ce.filter(F.col("lsn") < _EVO_TOOL_LSN).withColumn(
+        "rev", (F.col("lsn") % 1000).cast("int")
+    )
+    post_ce = ce.filter(F.col("lsn") >= _EVO_TOOL_LSN).withColumn(
+        "rev", (F.col("lsn") * _WIDEN_MULT).cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_widen_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+
+    def _stage(df: DataFrame, sub: str) -> str | None:
+        if df.isEmpty():
+            return None
+        staging = os.path.join(tmp, f"{sub}_staging")
+        out = os.path.join(tmp, sub)
+        os.makedirs(out)
+        (
+            df.withColumn(
+                "_b", F.floor(F.col("lsn") / _EVO_BATCH_LSNS).cast("int")
+            )
+            .repartition("_b")
+            .sortWithinPartitions("lsn")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        for name in os.listdir(staging):
+            if name.startswith("_b="):
+                b = int(name.split("=", 1)[1])
+                os.rename(
+                    os.path.join(staging, name),
+                    os.path.join(out, f"batch-{b:06d}.parquet"),
+                )
+        return out
+
+    pre = _stage(pre_ce, "pre")
+    post = _stage(post_ce, "post")
+    schema = T.StructType(
+        list(TRANSCRIPT_SCHEMA_V0.fields)
+        + [T.StructField("rev", T.IntegerType(), True)]
+    )
+    table = MiniLakeTable.create(
+        spark,
+        os.path.join(tmp, "table"),
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=16,
+    )
+    if pre:
+        replay_files(spark, pre, table)
+    table.widen_column_type("rev", T.LongType())
+    if post:
+        replay_files(spark, post, table)
+    _WIDEN_CACHE[key] = table
+    return table
+
+
+def q_cdc_widened_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening graded end to end: pre-widen int32 files upcast in
+    place, post-widen events exceed int32, and the LWW state lands at
+    bigint with no file rewritten by the DDL."""
+    state = _widened_table(spark, sf_dir).read()
+    return state.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "rev",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 # ------------------------------------------------- dedup clustering (CC) --
 
 DUP_CLUSTERS_SQL = f"""
@@ -4739,8 +4858,9 @@ QUERIES = {
     "cdc_net_changes": q_cdc_net_changes,
     "cdc_partial_update_state": q_cdc_partial_update_state,
     "cdc_conv_agg_state": q_cdc_conv_agg_state,
-    # -- r5 session-3 addition, born inside the window per the rule --
+    # -- r5 session-3 additions, born inside the window per the rule --
     "cdc_default_values": q_cdc_default_values,
+    "cdc_widened_state": q_cdc_widened_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4771,10 +4891,11 @@ QUERIES = {
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     # -- never driver-graded: events/TPC-H analytics + skew operators --
     "user_event_paths": q_user_event_paths,
-    "user_event_paths_jvm": q_user_event_paths_jvm,
     # ---------------- driver window ends here (first 50) ----------------
-    # events_last_value_per_user (green r04) rotated below for the r5
-    # session-3 insertion of cdc_default_values.
+    # user_event_paths_jvm and events_last_value_per_user (both green
+    # r04) rotated below for the r5 session-3 insertions of
+    # cdc_default_values and cdc_widened_state.
+    "user_event_paths_jvm": q_user_event_paths_jvm,
     "events_last_value_per_user": q_events_last_value_per_user,
     # customer_cumulative_revenue also rotated below for the r5 session-2
     # insertion of cdc_conv_agg_state (green r04).
@@ -4864,6 +4985,7 @@ ORACLE_SQL = {
     "cdc_partial_update_state": PARTIAL_UPDATE_SQL,
     "cdc_conv_agg_state": CONV_AGG_SQL,
     "cdc_default_values": DEFAULT_VALUES_SQL,
+    "cdc_widened_state": WIDENED_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
