@@ -2541,13 +2541,29 @@ class MiniLakeTable:
         return self.compact(drop_tombstones=False, buckets=hot)
 
     def compact(
-        self, drop_tombstones: bool = True, buckets: list[int] | None = None
+        self,
+        drop_tombstones: bool = True,
+        buckets: list[int] | None = None,
+        target_rows_per_file: int = 8_000_000,
     ) -> int:
         """Rewrite buckets into fresh files (all buckets, or only the
         given subset — partial compaction); optionally hard-delete
         tombstones (safe once no straggler events below max LSN remain).
         Untouched buckets keep their existing files byte-identical —
-        readers of the new snapshot see the union."""
+        readers of the new snapshot see the union.
+
+        Write parallelism is decoupled from bucket count: the output is
+        RANGE-partitioned over (bucket, key) into
+        max(#buckets, total_rows / target_rows_per_file) tasks, so a
+        bucket holding more than ``target_rows_per_file`` rows folds to
+        several key-disjoint files instead of one task grinding out one
+        giant file — at 100 TB a 100 GB bucket must not serialize
+        through a single writer. Range (not hash) splitting keeps each
+        file a contiguous key span: the per-file sort, row-group
+        min/max pruning and the key bloom filters all survive, and the
+        per-bucket manifest stats still cover the whole dir. Row totals
+        come from the manifest's file_stats (dirs without stats just
+        undercount — fewer splits, never a correctness issue)."""
         base = self.manifest()
         version = base["version"]
         n_buckets = base["n_buckets"]
@@ -2574,9 +2590,32 @@ class MiniLakeTable:
         # files carry PHYSICAL names (stable across renames) — the sort
         # key and bloom-filter option must name the on-disk column
         pkey0 = {f.name: physical_name(f) for f in schema.fields}[key0]
+        stats = base.get("file_stats", {})
+        folded_rows = sum(
+            stats[d]["rows"]
+            for b in target
+            for d in base["buckets"].get(str(b), [])
+            if d in stats
+        )
+        n_out = max(
+            len(target),
+            1,
+            -(-folded_rows // max(target_rows_per_file, 1)),  # ceil div
+        )
+        if n_out > max(len(target), 1):
+            # range partitioning costs one sampling pass over the folded
+            # frame to place boundaries — pay it only when a bucket
+            # actually outgrew the target file size
+            clustered = df.repartitionByRange(
+                n_out, F.col(BUCKET_COL), F.col(key0)
+            )
+        else:
+            clustered = df.repartition(
+                max(len(target), 1), F.col(BUCKET_COL)
+            )
         (
             self._to_physical(
-                df.repartition(max(len(target), 1), F.col(BUCKET_COL)),
+                clustered,
                 schema,
             )
             # Key-clustered row groups: compaction is the long-lived

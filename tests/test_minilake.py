@@ -349,3 +349,72 @@ def test_metadata_tables_describe_the_data(spark, tmp_path):
                              "touched_buckets_only")
         for s in snaps
     )
+
+
+def test_compact_splits_oversized_buckets_into_key_disjoint_files(
+    spark, tmp_path
+):
+    """Write parallelism decoupled from bucket count: a bucket holding
+    more rows than target_rows_per_file folds into SEVERAL key-disjoint
+    files (range split), state is unchanged, per-bucket manifest stats
+    still cover the whole dir, and point lookups still prune."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = _table(spark, tmp_path, n_buckets=2)
+    rows = [
+        (f"c{i:04d}", 0, "user", f"m{i}", None, i + 1, "I")
+        for i in range(400)
+    ]
+    t.merge(_src(spark, rows), batch_id=0)
+    before = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    t.compact(target_rows_per_file=50)
+    m = t.manifest()
+    per_bucket_files = {
+        b: [
+            f
+            for d in ds
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        for b, ds in m["buckets"].items()
+    }
+    # ~200 rows/bucket at 50 rows/file → every bucket splits
+    assert all(len(fs) > 1 for fs in per_bucket_files.values())
+    # files within a bucket dir are KEY-DISJOINT (range, not hash split)
+    for b, ds in m["buckets"].items():
+        spans = []
+        for d in ds:
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(d, f))
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                ki = names.index("conv_id")
+                mins = min(
+                    md.row_group(g).column(ki).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                maxs = max(
+                    md.row_group(g).column(ki).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                spans.append((mins, maxs))
+        spans.sort()
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi <= lo
+    # state unchanged; stats cover the dirs; point lookup still works
+    after = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert after == before
+    assert sum(
+        s["rows"] for s in m["file_stats"].values()
+    ) == len(rows)
+    got = t.read_for_keys(["c0123"]).collect()
+    assert len(got) == 1 and got[0]["text"] == "m123"
