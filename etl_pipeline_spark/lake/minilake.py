@@ -82,6 +82,9 @@ MAX_LSN_PROP = "engine.max-lsn"
 # physical column names retired by drop_column — add_columns must never
 # reuse them (Iceberg field-id semantics: re-added columns read fresh)
 RETIRED_PROP = "engine.retired-physical"
+# table-level CHECK constraints (Delta ADD CONSTRAINT analog):
+# {name: {"expr": sql_bool_expr, "mode": "fail" | "dead_letter"}}
+CONSTRAINTS_PROP = "engine.constraints"
 # dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
 # dead rows ride the delta write in this pseudo-bucket, then the dir is
 # relocated to the dead-letter sink before the manifest registers buckets
@@ -96,6 +99,12 @@ VALID_COL = "_valid"
 
 class CommitConflict(RuntimeError):
     """Another writer committed the manifest version we raced for."""
+
+
+class ConstraintViolation(ValueError):
+    """A merge batch contained rows failing a table CHECK constraint
+    whose mode is 'fail' (or 'dead_letter' without a dead-letter sink
+    to route to)."""
 
 
 def _dedup_exact(df: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -504,6 +513,14 @@ class MiniLakeTable:
         m2["schema"] = schema_to_manifest(T.StructType(fields))
         if old in m["key_cols"]:
             m2["key_cols"] = [new if k == old else k for k in m["key_cols"]]
+        # a rename must not orphan a CHECK constraint that names the old
+        # column — re-resolve all of them against the renamed schema and
+        # fail the DDL (drop/re-add the constraint first) instead of
+        # leaving merges to blow up later
+        for cname, c in m["properties"].get(CONSTRAINTS_PROP, {}).items():
+            self._resolve_constraint(
+                c["expr"], T.StructType(fields), cname
+            )
         m2["committed_at"] = time.time()
         self._write_manifest(m2)
         return m2["version"]
@@ -530,6 +547,13 @@ class MiniLakeTable:
         m2["schema"] = schema_to_manifest(
             T.StructType([f for f in schema.fields if f.name != name])
         )
+        # same guard as rename: a drop must not orphan a constraint
+        for cname, c in m["properties"].get(CONSTRAINTS_PROP, {}).items():
+            self._resolve_constraint(
+                c["expr"],
+                T.StructType([f for f in schema.fields if f.name != name]),
+                cname,
+            )
         # retired set lives in properties: every manifest rebuild site
         # spread-carries properties, so a later merge/publish/compact
         # can never silently un-retire a physical name
@@ -600,6 +624,88 @@ class MiniLakeTable:
         m2["committed_at"] = time.time()
         self._write_manifest(m2)
         return m2["version"]
+
+    # -------------------------------------------------------- constraints
+
+    def _resolve_constraint(
+        self, expr: str, schema: T.StructType, name: str
+    ) -> None:
+        """Parse + resolve a constraint expression against a schema —
+        an empty-frame select, no job. Raises ValueError with the
+        constraint name when a column it references doesn't exist or
+        the expression isn't boolean."""
+        probe = self.spark.createDataFrame(
+            [], T.StructType(list(schema.fields))
+        ).withColumn(DELETED_COL, F.lit(False))
+        try:
+            dt = probe.select(F.expr(expr).alias("_ok")).schema[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"constraint {name!r} does not resolve against the "
+                f"table schema: {expr!r} ({e})"
+            ) from None
+        if not isinstance(dt, T.BooleanType):
+            raise ValueError(
+                f"constraint {name!r} must be a boolean expression, "
+                f"{expr!r} is {dt.simpleString()}"
+            )
+
+    def add_constraint(
+        self, name: str, expr: str, mode: str = "fail"
+    ) -> int:
+        """Table-level CHECK constraint (Delta ``ALTER TABLE ... ADD
+        CONSTRAINT`` analog), enforced on every merge batch AFTER the
+        sink-boundary cast (constraints judge table-typed values, not
+        whatever junk the source carried). Tombstone events (op='D')
+        are exempt — deletes carry null payloads by design.
+
+        ``mode='fail'``: any violating row aborts the merge with
+        :class:`ConstraintViolation` before a file is written (one
+        ``limit(1)`` probe per batch, the ``assert_unique_keys``
+        pattern). ``mode='dead_letter'``: violating rows divert to the
+        dead-letter queue INSIDE the fused delta-write job — same
+        single scan + exchange — and the batch commits without them;
+        requires the merge to run with a dead-letter sink (the pipeline
+        path on MOR+lww), otherwise violations fail the batch as a
+        sink-less fallback."""
+        if mode not in ("fail", "dead_letter"):
+            raise ValueError(f"mode must be fail|dead_letter, got {mode!r}")
+        m = self.manifest()
+        cons = dict(m["properties"].get(CONSTRAINTS_PROP, {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._resolve_constraint(
+            expr, schema_from_manifest(m["schema"]), name
+        )
+        cons[name] = {"expr": expr, "mode": mode}
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["properties"] = {**m["properties"], CONSTRAINTS_PROP: cons}
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
+    def drop_constraint(self, name: str) -> int:
+        m = self.manifest()
+        cons = dict(m["properties"].get(CONSTRAINTS_PROP, {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["properties"] = {**m["properties"], CONSTRAINTS_PROP: cons}
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
+    def constraints(self) -> dict:
+        return dict(
+            self.manifest()["properties"].get(CONSTRAINTS_PROP, {})
+        )
 
     # -------------------------------------------------------------- reads
 
@@ -1446,6 +1552,88 @@ class MiniLakeTable:
             deleted_expr.alias(DELETED_COL),
             *fuse_extras,
         )
+
+        cons = base["properties"].get(CONSTRAINTS_PROP, {})
+        if cons:
+            # CHECK constraints judge the CAST values (post sink-boundary
+            # cast, like Delta); tombstones are exempt — deletes carry
+            # null payloads by design. ANSI CHECK semantics: a NULL
+            # verdict PASSES (write an explicit IS NOT NULL to reject
+            # nulls), only a definite FALSE violates.
+            ok_of = {
+                n: F.col(DELETED_COL)
+                | F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(True))
+                for n, c in cons.items()
+            }
+            dl_names = [
+                n for n, c in cons.items() if c["mode"] == "dead_letter"
+            ]
+            fail_names = [n for n, c in cons.items() if c["mode"] == "fail"]
+            if valid_col is None:
+                # no dead-letter sink on this merge: routing is
+                # impossible, and silently dropping rows is worse than
+                # failing — dead_letter constraints harden to fail
+                fail_names, dl_names = fail_names + dl_names, []
+
+            def _and_all(exprs):
+                out = exprs[0]
+                for e in exprs[1:]:
+                    out = out & e
+                return out
+
+            if fail_names:
+                # one limit(1) probe per batch (assert_unique_keys
+                # pattern): which constraints failed, named in the error
+                bad = (
+                    batch_phys.filter(~_and_all([ok_of[n] for n in fail_names]))
+                    .select(*[ok_of[n].alias(n) for n in fail_names])
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    failed = sorted(n for n in fail_names if not bad[0][n])
+                    raise ConstraintViolation(
+                        f"batch {batch_id} violates CHECK constraint(s) "
+                        f"{failed} "
+                        f"({', '.join(repr(cons[n]['expr']) for n in failed)})"
+                        " — no file was written; fix the source or use "
+                        "mode='dead_letter' to divert violations"
+                    )
+            if dl_names:
+                # violations divert to the DLQ inside the SAME fused
+                # delta-write job: flip VALID, tag _src_op with the
+                # failed constraint names, and carry the table-typed row
+                # as the forensic payload (source-invalid rows keep
+                # their original-row JSON from the select above)
+                ok = _and_all([ok_of[n] for n in dl_names])
+                tag = F.concat_ws(
+                    ",",
+                    *[
+                        F.when(~ok_of[n], F.lit(f"constraint:{n}"))
+                        for n in dl_names
+                    ],
+                )
+                cast_raw = F.to_json(
+                    F.struct(
+                        *[F.col(c) for c in key_cols + payload_cols],
+                        F.col(LSN_COL),
+                    )
+                )
+                keep = [
+                    c
+                    for c in batch_phys.columns
+                    if c not in (VALID_COL, SRC_OP_COL, RAW_COL)
+                ]
+                batch_phys = batch_phys.select(
+                    *keep,
+                    (F.col(VALID_COL) & ok).alias(VALID_COL),
+                    F.coalesce(
+                        F.col(SRC_OP_COL), F.when(~ok, tag)
+                    ).alias(SRC_OP_COL),
+                    F.coalesce(
+                        F.col(RAW_COL), F.when(~ok, cast_raw)
+                    ).alias(RAW_COL),
+                )
 
         engine = base.get("merge_engine", "lww")
         if engine == "partial":

@@ -299,6 +299,25 @@ def apply_batch(
             )
         salted = False
         must_reduce = False
+    if (
+        hasattr(table, "constraints")
+        and not getattr(table, "requires_unique_source", False)
+        and any(
+            c.get("mode") == "dead_letter"
+            for c in table.constraints().values()
+        )
+    ):
+        # dead_letter CHECK constraints are per-EVENT semantics
+        # (filter-then-LWW): a pipeline pre-collapse would let a newer
+        # VIOLATING event erase an older valid one before the merge's
+        # constraint check ever sees it — the key would end up absent
+        # instead of keeping its last valid value — and the un-fused
+        # merge has no sink to divert to (violations would abort the
+        # batch). Force the fused path; the merge's internal clustered
+        # reduce still does map-side hot-key collapse, the same
+        # fallback the partial/agg engines ride (see above).
+        salted = False
+        must_reduce = False
     # Dead-letter fusion (MOR minilake, un-salted, un-pre-reduced — the
     # hot replay path): dead rows ride the merge's one delta-write job in
     # a relocatable pseudo-bucket instead of a second O(batch) source

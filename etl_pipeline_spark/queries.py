@@ -3830,6 +3830,84 @@ def q_cdc_widened_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ CHECK constraints (DLQ) --
+
+# Table-level CHECK constraint in dead_letter mode
+# (minilake.add_constraint + the fused DLQ diversion in merge): events
+# whose post-cast row fails the constraint divert to the dead-letter
+# queue inside the same delta-write job and never reach table state;
+# tombstones are exempt (ANSI CHECK + delete-carries-null-payload). The
+# oracle applies the same predicate to the change stream before the LWW
+# reduction — a diverted update leaves the key at its previous value,
+# which is exactly what filter-then-LWW computes.
+CONSTRAINED_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+kept AS (
+  SELECT * FROM ce WHERE op = 'D' OR role <> 'purchase'
+),
+r AS (
+  SELECT kept.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM kept
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+_CONSTRAINED_CACHE: dict = {}
+
+
+def q_cdc_constrained_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraint graded end to end: multi-batch pipeline replay
+    into a table declaring ``role <> 'purchase'`` as a dead_letter
+    constraint; violating events ride the fused delta write into the
+    DLQ, every surviving event LWW-applies as usual."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _CONSTRAINED_CACHE.get(key)
+    if table is None:
+        from .pipeline import ApplyConfig, apply_batch
+        from .schema import TRANSCRIPT_SCHEMA_V0
+
+        tmp = tempfile.mkdtemp(prefix="cdc_constrained_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        table = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            TRANSCRIPT_SCHEMA_V0,
+            key_cols=["conv_id", "turn_idx"],
+            n_buckets=16,
+            write_mode="mor",
+        )
+        table.add_constraint(
+            "no_purchase_role", "role <> 'purchase'", mode="dead_letter"
+        )
+        ce = derive_change_events(spark, sf_dir)
+        bw = _batch_width(spark, sf_dir)
+        mx = ce.agg(F.max("lsn")).first()[0] or 0
+        cfg = ApplyConfig()
+        for b in range(int(mx) // bw + 1):
+            apply_batch(
+                table,
+                ce.filter(
+                    (F.col("lsn") >= b * bw) & (F.col("lsn") < (b + 1) * bw)
+                    if b < int(mx) // bw
+                    else (F.col("lsn") >= b * bw)
+                ),
+                batch_id=b,
+                cfg=cfg,
+            )
+        _CONSTRAINED_CACHE[key] = table
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 # ------------------------------------------------- dedup clustering (CC) --
 
 DUP_CLUSTERS_SQL = f"""
@@ -4861,6 +4939,7 @@ QUERIES = {
     # -- r5 session-3 additions, born inside the window per the rule --
     "cdc_default_values": q_cdc_default_values,
     "cdc_widened_state": q_cdc_widened_state,
+    "cdc_constrained_state": q_cdc_constrained_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4889,12 +4968,12 @@ QUERIES = {
     "mm_frame_sample": q_mm_frame_sample,
     "emb_label_stats": q_emb_label_stats,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
-    # -- never driver-graded: events/TPC-H analytics + skew operators --
-    "user_event_paths": q_user_event_paths,
     # ---------------- driver window ends here (first 50) ----------------
-    # user_event_paths_jvm and events_last_value_per_user (both green
-    # r04) rotated below for the r5 session-3 insertions of
-    # cdc_default_values and cdc_widened_state.
+    # user_event_paths, user_event_paths_jvm and
+    # events_last_value_per_user (all green r04) rotated below for the
+    # r5 session-3 insertions of cdc_default_values, cdc_widened_state
+    # and cdc_constrained_state.
+    "user_event_paths": q_user_event_paths,
     "user_event_paths_jvm": q_user_event_paths_jvm,
     "events_last_value_per_user": q_events_last_value_per_user,
     # customer_cumulative_revenue also rotated below for the r5 session-2
@@ -4986,6 +5065,7 @@ ORACLE_SQL = {
     "cdc_conv_agg_state": CONV_AGG_SQL,
     "cdc_default_values": DEFAULT_VALUES_SQL,
     "cdc_widened_state": WIDENED_STATE_SQL,
+    "cdc_constrained_state": CONSTRAINED_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
