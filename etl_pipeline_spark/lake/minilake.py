@@ -74,6 +74,7 @@ from ..schema import (
     physical_name,
     schema_from_manifest,
     schema_to_manifest,
+    write_default,
 )
 
 FENCES_PROP = "engine.fences"  # {stream_id: batch-id high-water}
@@ -397,6 +398,7 @@ class MiniLakeTable:
         self,
         new_fields: list[T.StructField],
         defaults: dict[str, object] | None = None,
+        write_defaults: dict[str, object] | None = None,
     ) -> int:
         """Additive schema evolution: append columns to the manifest
         schema in a new snapshot. Existing files read them as null via
@@ -419,6 +421,14 @@ class MiniLakeTable:
         third sentinel state, and defaults on aggregation states
         (sum/min/max) have no coherent meaning.
 
+        ``write_defaults`` is the other half of Iceberg v3 defaults:
+        the value a merge fills in when a WRITER's source omits the
+        column entirely (an explicit null is still a null — only
+        absence defaults). Honored by both merge entry points (raw
+        ``merge`` and the pipeline's ``apply_batch``). A schema passed
+        to :meth:`create` may declare ``write_default`` in StructField
+        metadata directly for day-one columns.
+
         If a new column's name collides with a PHYSICAL name already in
         use or ever retired (a drop, or a rename freeing the logical
         name while the file column lives on), the column gets a fresh
@@ -426,27 +436,38 @@ class MiniLakeTable:
         re-added column never reads a dropped column's old values."""
         m = self.manifest()
         defaults = defaults or {}
-        if defaults and m.get("merge_engine", "lww") != "lww":
+        write_defaults = write_defaults or {}
+        if (defaults or write_defaults) and m.get(
+            "merge_engine", "lww"
+        ) != "lww":
             raise ValueError(
-                "initial-default columns require merge_engine='lww' "
-                f"(this table: {m.get('merge_engine')!r}) — the "
-                "partial/agg folds have no per-column 'never written' "
-                "state for a default to bind to"
+                "default-valued columns require merge_engine='lww' "
+                f"(this table: {m.get('merge_engine')!r}) — the partial "
+                "engine treats a writer-omitted column as 'no change' "
+                "(filling it would overwrite), the agg fold would sum a "
+                "write-default into the state, and neither fold has a "
+                "per-column 'never written' state for an initial-default"
             )
-        unknown = set(defaults) - {f.name for f in new_fields}
-        if unknown:
-            raise ValueError(f"defaults for columns not being added: {unknown}")
-        for name, v in defaults.items():
-            if v is None:
+        for label, d in (
+            ("initial-default", defaults),
+            ("write-default", write_defaults),
+        ):
+            unknown = set(d) - {f.name for f in new_fields}
+            if unknown:
                 raise ValueError(
-                    f"{name}: a null initial-default is meaningless — "
-                    "null is what the column reads without one"
+                    f"{label}s for columns not being added: {unknown}"
                 )
-            if not isinstance(v, (str, int, float, bool)):
-                raise ValueError(
-                    f"{name}: initial-default must be a JSON scalar "
-                    f"(manifest-serializable), got {type(v).__name__}"
-                )
+            for name, v in d.items():
+                if v is None:
+                    raise ValueError(
+                        f"{name}: a null {label} is meaningless — "
+                        "null is what the column reads without one"
+                    )
+                if not isinstance(v, (str, int, float, bool)):
+                    raise ValueError(
+                        f"{name}: {label} must be a JSON scalar "
+                        f"(manifest-serializable), got {type(v).__name__}"
+                    )
         schema = schema_from_manifest(m["schema"])
         existing = {f.name for f in schema.fields}
         taken = {physical_name(f) for f in schema.fields} | set(
@@ -458,9 +479,12 @@ class MiniLakeTable:
                 raise ValueError(f"column {f.name} already exists")
             if f.name.startswith("_"):
                 raise ValueError(f"reserved column name {f.name}")
-            if f.name in defaults:
+            if f.name in defaults or f.name in write_defaults:
                 md = dict(f.metadata or {})
-                md["initial_default"] = defaults[f.name]
+                if f.name in defaults:
+                    md["initial_default"] = defaults[f.name]
+                if f.name in write_defaults:
+                    md["write_default"] = write_defaults[f.name]
                 f = T.StructField(f.name, f.dataType, f.nullable, md)
             if f.name in taken:
                 k = 2
@@ -1507,9 +1531,16 @@ class MiniLakeTable:
             if f.name not in source.columns and f.name not in key_cols
         ]
         src = source
+        fields_by_name = dict(zip(table_schema.names, table_schema.fields))
         for c in missing:  # columns the batch predates (schema evolution)
+            # writer-omitted column: the write-default if declared
+            # (Iceberg v3), else a typed null. An explicit null in the
+            # source is untouched either way — only ABSENCE defaults.
             src = src.withColumn(
-                c, F.lit(None).cast(dict(zip(table_schema.names, table_schema.fields))[c].dataType)
+                c,
+                F.lit(write_default(fields_by_name[c])).cast(
+                    fields_by_name[c].dataType
+                ),
             )
 
         if assert_unique_keys:

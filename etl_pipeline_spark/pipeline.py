@@ -42,7 +42,7 @@ from .lake.minilake import (
 )
 from .operators.lww import detect_hot_keys, lww_reduce, lww_reduce_salted
 from .operators.validate import split_valid, valid_predicate
-from .schema import KEY_COLS
+from .schema import KEY_COLS, write_default
 
 
 @dataclass
@@ -389,13 +389,19 @@ def apply_batch(
     tschema = table.schema()
     types_by_name = {f.name: f.dataType for f in tschema.fields}
     payload_cols = [f.name for f in tschema.fields if f.name not in cfg.key_cols]
+    fields_by_name = {f.name: f for f in tschema.fields}
     src = valid.select(
         *cfg.key_cols,
         *[
             (
                 F.col(c)
                 if c in valid.columns
-                else F.lit(None).cast(types_by_name[c])
+                # writer-omitted column: write-default if declared
+                # (Iceberg v3), else typed null — mirrors the merge's
+                # own fill so both entry points agree
+                else F.lit(write_default(fields_by_name[c])).cast(
+                    types_by_name[c]
+                )
             ).alias(c)
             for c in payload_cols
         ],

@@ -96,6 +96,15 @@ def initial_default(field: T.StructField):
     return (field.metadata or {}).get("initial_default")
 
 
+def write_default(field: T.StructField):
+    """The column's ``write-default`` (Iceberg v3): the value a merge
+    fills in when the WRITER's source omits the column entirely — an
+    explicit null is still a null (the writer said so); only a missing
+    column takes the default. Same metadata transport as
+    :func:`initial_default`."""
+    return (field.metadata or {}).get("write_default")
+
+
 def physical_name(field: T.StructField) -> str:
     """The column's on-disk (Parquet) name — the Iceberg field-id analog
     kept in StructField metadata. Equal to the logical name unless the

@@ -169,3 +169,62 @@ def test_default_validation(spark, tmp_path):
             [T.StructField("tool", T.StringType(), True)],
             defaults={"tool": "none"},
         )
+
+
+def test_write_default_fills_only_writer_omitted_columns(spark, tmp_path):
+    """Iceberg v3 write-defaults: a source that OMITS the column gets
+    the write-default; an explicit null stays null; pre-add rows read
+    the initial-default — the two defaults are independent values."""
+    t = _seeded(spark, tmp_path, name="wd")
+    t.add_columns(
+        [T.StructField("tool", T.StringType(), True)],
+        defaults={"tool": "pre-add"},
+        write_defaults={"tool": "omitted"},
+    )
+    # writer omits the column entirely → write-default
+    t.merge(
+        _src(spark, [("c", 0, "user", "yo", None, 10, "I")]),
+        batch_id=1,
+    )
+    # writer sends an explicit null → null
+    t.merge(
+        _src(spark, [
+            ("d", 0, "user", "hey", None, None, 11, "I"),
+        ], "text string, tool string"),
+        batch_id=2,
+    )
+    got = {r["conv_id"]: r["tool"] for r in t.read().collect()}
+    assert got == {
+        "a": "pre-add",   # pre-add file → initial-default
+        "b": "pre-add",
+        "c": "omitted",   # writer omitted → write-default
+        "d": None,        # explicit null → null
+    }
+
+
+def test_write_default_through_pipeline_apply_batch(spark, tmp_path):
+    from etl_pipeline_spark.pipeline import ApplyConfig, apply_batch
+
+    t = _seeded(spark, tmp_path, name="wdp")
+    t.add_columns(
+        [T.StructField("tool", T.StringType(), True)],
+        write_defaults={"tool": "omitted"},
+    )
+    apply_batch(
+        t,
+        _src(spark, [("c", 0, "user", "yo", None, 10, "I")]),
+        batch_id=1,
+        cfg=ApplyConfig(),
+    )
+    got = {r["conv_id"]: r["tool"] for r in t.read().collect()}
+    assert got["c"] == "omitted"
+    assert got["a"] is None and got["b"] is None  # no initial-default here
+
+
+def test_write_default_rejected_on_partial_engine(spark, tmp_path):
+    p = _seeded(spark, tmp_path, name="wdpart", engine="partial")
+    with pytest.raises(ValueError, match="merge_engine='lww'"):
+        p.add_columns(
+            [T.StructField("tool", T.StringType(), True)],
+            write_defaults={"tool": "omitted"},
+        )
