@@ -215,3 +215,51 @@ def test_sliding_windows_single_aggregation(spark):
     # explode-to-two-windows + partial/final hash agg, no window sort
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_default_values_read_plan_shapes(spark, tmp_path):
+    """The initial-default read split must cost exactly what it claims:
+    a table WITHOUT defaults plans ONE parquet scan (the untouched fast
+    path); a table WITH a default plans one scan per pre/post-add file
+    group unioned WITHOUT any extra Exchange — the default is a literal
+    projection, never a shuffle."""
+    from pyspark.sql import types as T
+
+    from etl_pipeline_spark.lake.minilake import MiniLakeTable
+    from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA_V0
+
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0,
+        key_cols=["conv_id", "turn_idx"], n_buckets=2, write_mode="mor",
+    )
+    src = spark.createDataFrame(
+        [("a", 0, "user", "hello", None, 1, "I")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(src, batch_id=0)
+    plan = explain_str(t.read(), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+    t.add_columns(
+        [T.StructField("tool", T.StringType(), True)],
+        defaults={"tool": "none"},
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("b", 0, "user", "hi", "fn", None, 2, "I")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, lsn long, op string",
+        ),
+        batch_id=1,
+    )
+    df = t.read()
+    plan = explain_str(df, "simple")
+    pre_exchanges = explain_str(t.read(version=2), "simple").count("Exchange")
+    # two file groups (pre-add, post-add) → two scans, one union; the
+    # LWW resolve's exchanges are the SAME count as the no-default read
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Union" in plan, plan
+    assert plan.count("Exchange") <= pre_exchanges + 1, plan
+    got = {r["conv_id"]: r["tool"] for r in df.collect()}
+    assert got == {"a": "none", "b": "fn"}
