@@ -731,6 +731,84 @@ class MiniLakeTable:
             self.manifest()["properties"].get(CONSTRAINTS_PROP, {})
         )
 
+    # ----------------------------------------------------------------- DML
+
+    def _dml_source(self, predicate: str) -> tuple[DataFrame, int, int]:
+        """Shared DELETE/UPDATE front half: the current live rows
+        matching ``predicate`` plus the LSN the synthetic events write
+        at (current max + 1 — they beat every event already applied;
+        an event a concurrent tail delivers LATER with a higher LSN
+        wins over the DML, which is exactly CDC semantics: the stream
+        stays the source of truth). batch_id is the current version —
+        strictly monotonic per DML stream because every commit bumps
+        it."""
+        m = self.manifest()
+        rows = self.read().filter(F.expr(predicate))
+        next_lsn = int(m["properties"].get(MAX_LSN_PROP, -1)) + 1
+        return rows, next_lsn, m["version"]
+
+    def delete_where(self, predicate: str) -> "MergeResult":
+        """``DELETE FROM t WHERE predicate`` (Spark/Delta/Iceberg
+        row-level DELETE): matching live keys get tombstone events one
+        LSN above the table's high-water, applied through the normal
+        MERGE — fenced, snapshot-committed, CDC-visible downstream
+        (read_changes_since serves the tombstones; replication and MV
+        refresh consume them like any delete). O(scan) + O(matches),
+        no file rewritten in MOR mode. The retention/GDPR primitive:
+        pair with compact(drop_tombstones=True) to physically erase."""
+        rows, lsn, ver = self._dml_source(predicate)
+        key_cols = self.manifest()["key_cols"]
+        src = rows.select(
+            *key_cols,
+            F.lit(lsn).alias("lsn"),
+            F.lit("D").alias("op"),
+        )
+        return self.merge(src, batch_id=ver, stream_id="dml")
+
+    def update_where(
+        self, predicate: str, assignments: dict[str, str]
+    ) -> "MergeResult":
+        """``UPDATE t SET col = expr, ... WHERE predicate``: matching
+        live rows re-merge as full-row update events with the
+        assignment expressions applied (evaluated against the row, so
+        ``{"text": "upper(text)"}`` works), one LSN above the
+        high-water. Goes through the normal MERGE — CHECK constraints
+        judge the updated rows, fences and CDC-out apply. Key columns
+        cannot be assigned (that's a delete + insert, not an update)."""
+        key_cols = self.manifest()["key_cols"]
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        for c in assignments:
+            if c in key_cols:
+                raise ValueError(
+                    f"cannot assign key column {c!r} — delete and "
+                    "re-insert instead"
+                )
+            if c not in names:
+                raise ValueError(f"no column {c!r}")
+        rows, lsn, ver = self._dml_source(predicate)
+        payload = [f.name for f in schema.fields if f.name not in key_cols]
+        src = rows.select(
+            *key_cols,
+            *[
+                (
+                    F.expr(assignments[c]).cast(
+                        next(
+                            f.dataType
+                            for f in schema.fields
+                            if f.name == c
+                        )
+                    )
+                    if c in assignments
+                    else F.col(c)
+                ).alias(c)
+                for c in payload
+            ],
+            F.lit(lsn).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        return self.merge(src, batch_id=ver, stream_id="dml")
+
     # -------------------------------------------------------------- reads
 
     def _bucket_expr(self, key_col: str, n_buckets: int):

@@ -3908,6 +3908,70 @@ def q_cdc_constrained_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- row-level DML --
+
+# UPDATE ... SET / DELETE FROM as table operations
+# (minilake.update_where / delete_where): synthetic full-row events one
+# LSN above the high-water, applied through the normal fenced MERGE —
+# snapshot-committed, CDC-visible, constraint-checked. The oracle is
+# the flagship LWW state with the same UPDATE and DELETE applied on
+# top (the DML outranks every already-applied event by construction,
+# so set-level CASE/filter is exactly what the LSN ordering computes).
+DML_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+s AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN role = 'error'
+            THEN 'quarantined:' || COALESCE(text, '')
+            ELSE text END AS text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM s WHERE role <> 'click'
+"""
+
+_DML_CACHE: dict = {}
+
+
+def q_cdc_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML graded end to end: on a copy of the replayed
+    primary, ``UPDATE ... SET text = 'quarantined:'||text WHERE role =
+    'error'`` then ``DELETE FROM ... WHERE role = 'click'`` — two
+    fenced MERGE batches over synthetic high-water events, never a file
+    rewrite."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _DML_CACHE.get(key)
+    if table is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_dml_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # copy the committed lake tree — DML must not mutate the cached
+        # primary other queries read
+        shutil.copytree(primary.root, root)
+        table = MiniLakeTable(spark, root)
+        table.update_where(
+            "role = 'error'",
+            {"text": "concat('quarantined:', coalesce(text, ''))"},
+        )
+        table.delete_where("role = 'click'")
+        _DML_CACHE[key] = table
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 # ------------------------------------------------- dedup clustering (CC) --
 
 DUP_CLUSTERS_SQL = f"""
@@ -4940,6 +5004,7 @@ QUERIES = {
     "cdc_default_values": q_cdc_default_values,
     "cdc_widened_state": q_cdc_widened_state,
     "cdc_constrained_state": q_cdc_constrained_state,
+    "cdc_dml_state": q_cdc_dml_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -4967,12 +5032,12 @@ QUERIES = {
     # -- never driver-graded: multimodal + embeddings --
     "mm_frame_sample": q_mm_frame_sample,
     "emb_label_stats": q_emb_label_stats,
-    "emb_near_dup_pairs": q_emb_near_dup_pairs,
     # ---------------- driver window ends here (first 50) ----------------
-    # user_event_paths, user_event_paths_jvm and
+    # emb_near_dup_pairs, user_event_paths, user_event_paths_jvm and
     # events_last_value_per_user (all green r04) rotated below for the
-    # r5 session-3 insertions of cdc_default_values, cdc_widened_state
-    # and cdc_constrained_state.
+    # r5 session-3 insertions of cdc_default_values, cdc_widened_state,
+    # cdc_constrained_state and cdc_dml_state.
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "user_event_paths": q_user_event_paths,
     "user_event_paths_jvm": q_user_event_paths_jvm,
     "events_last_value_per_user": q_events_last_value_per_user,
@@ -5066,6 +5131,7 @@ ORACLE_SQL = {
     "cdc_default_values": DEFAULT_VALUES_SQL,
     "cdc_widened_state": WIDENED_STATE_SQL,
     "cdc_constrained_state": CONSTRAINED_STATE_SQL,
+    "cdc_dml_state": DML_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
