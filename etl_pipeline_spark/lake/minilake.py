@@ -1022,12 +1022,26 @@ class MiniLakeTable:
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
         cols = [f.name for f in schema.fields]
-        phys = (
-            self._read_files(_dirs, version=m["version"])
-            if _dirs is not None
-            else self.read_physical(version)
-        )
-        if m.get("write_mode", "cow") == "mor":
+        if _dirs is None:
+            _dirs = [d for ds in m["buckets"].values() for d in ds]
+        phys = self._read_files(_dirs, version=m["version"])
+        if m.get("write_mode", "cow") == "mor" and not (
+            # fold-skip: a snapshot whose every dir is a compaction or
+            # rescale output is already key-unique per bucket (both
+            # rewrite the RESOLVED state), so the LWW reduce would be an
+            # identity shuffle — the whole-table Exchange dashboards pay
+            # on every read of a freshly-maintained table, for nothing.
+            # lww only: the partial/agg folds also project the on-disk
+            # fold layout back to payload columns and can never skip.
+            m.get("merge_engine", "lww") == "lww"
+            and _dirs
+            and all(
+                os.path.basename(os.path.dirname(d)).startswith(
+                    ("compact-", "rescale-")
+                )
+                for d in _dirs
+            )
+        ):
             phys = self._fold(phys, m)
         return phys.filter(~F.col(DELETED_COL)).select(*cols)
 

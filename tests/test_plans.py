@@ -263,3 +263,52 @@ def test_default_values_read_plan_shapes(spark, tmp_path):
     assert plan.count("Exchange") <= pre_exchanges + 1, plan
     got = {r["conv_id"]: r["tool"] for r in df.collect()}
     assert got == {"a": "none", "b": "fn"}
+
+
+def test_fully_compacted_read_skips_the_fold_shuffle(spark, tmp_path):
+    """After a full compaction every dir is key-unique resolved state,
+    so read() must plan NO aggregate/exchange (the fold would be an
+    identity shuffle) — and still return exactly the pre-compaction
+    state. Deltas put the fold back; partial/agg engines never skip
+    (their fold also projects the on-disk layout)."""
+    from etl_pipeline_spark.lake.minilake import MiniLakeTable
+    from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA_V0
+
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA_V0,
+        key_cols=["conv_id", "turn_idx"], n_buckets=2, write_mode="mor",
+    )
+    src = spark.createDataFrame(
+        [
+            ("a", 0, "user", "v1", None, 1, "I"),
+            ("a", 0, "user", "v2", None, 2, "U"),
+            ("b", 0, "user", "gone", None, 3, "I"),
+            ("b", 0, None, None, None, 4, "D"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(src, batch_id=0)
+    before = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in t.read().collect()}
+    plan_delta = explain_str(t.read(), "simple")
+    assert "Aggregate" in plan_delta or "Exchange" in plan_delta
+    t.compact(drop_tombstones=False)  # tombstones KEPT — filter still works
+    plan_folded = explain_str(t.read(), "simple")
+    assert "Exchange" not in plan_folded, plan_folded
+    assert "Aggregate" not in plan_folded, plan_folded
+    after = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in t.read().collect()}
+    assert after == before == {("a", 0): "v2"}
+    # a new delta re-arms the fold
+    t.merge(
+        spark.createDataFrame(
+            [("a", 0, "user", "v3", None, 9, "U")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "ts timestamp, lsn long, op string",
+        ),
+        batch_id=1,
+    )
+    plan_mixed = explain_str(t.read(), "simple")
+    assert "Exchange" in plan_mixed or "Aggregate" in plan_mixed
+    assert {r["text"] for r in t.read().collect()} == {"v3"}
