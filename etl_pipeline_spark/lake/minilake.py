@@ -86,6 +86,10 @@ RETIRED_PROP = "engine.retired-physical"
 # table-level CHECK constraints (Delta ADD CONSTRAINT analog):
 # {name: {"expr": sql_bool_expr, "mode": "fail" | "dead_letter"}}
 CONSTRAINTS_PROP = "engine.constraints"
+# secondary columns whose per-FILE min/max bounds are recorded in the
+# manifest (Iceberg manifest-entry column stats analog) so range scans
+# can plan from metadata instead of opening every file — see read_range
+STATS_COLS_PROP = "engine.stats-columns"
 # dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
 # dead rows ride the delta write in this pseudo-bucket, then the dir is
 # relocated to the dead-letter sink before the manifest registers buckets
@@ -545,6 +549,17 @@ class MiniLakeTable:
             self._resolve_constraint(
                 c["expr"], T.StructType(fields), cname
             )
+        # stats-column declarations follow the logical name (their
+        # bounds are keyed on the PHYSICAL name, which never changes —
+        # recorded bounds stay valid across the rename)
+        scols = m["properties"].get(STATS_COLS_PROP)
+        if scols and old in scols:
+            m2["properties"] = {
+                **m["properties"],
+                STATS_COLS_PROP: sorted(
+                    new if c == old else c for c in scols
+                ),
+            }
         m2["committed_at"] = time.time()
         self._write_manifest(m2)
         return m2["version"]
@@ -580,12 +595,20 @@ class MiniLakeTable:
             )
         # retired set lives in properties: every manifest rebuild site
         # spread-carries properties, so a later merge/publish/compact
-        # can never silently un-retire a physical name
+        # can never silently un-retire a physical name. A dropped stats
+        # column leaves the declaration too (its recorded bounds go
+        # stale-but-unused; re-adding the name maps to a FRESH physical
+        # column, so old bounds can never prune the new one).
         m2["properties"] = {
             **m["properties"],
             RETIRED_PROP: sorted(
                 set(m["properties"].get(RETIRED_PROP, []))
                 | {physical_name(field)}
+            ),
+            STATS_COLS_PROP: sorted(
+                c
+                for c in m["properties"].get(STATS_COLS_PROP, [])
+                if c != name
             ),
         }
         m2["committed_at"] = time.time()
@@ -731,6 +754,55 @@ class MiniLakeTable:
             self.manifest()["properties"].get(CONSTRAINTS_PROP, {})
         )
 
+    # -------------------------------------------------------- stats columns
+
+    _STATS_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType,
+        T.TimestampType, T.DateType,
+    )
+
+    def set_stats_columns(self, cols: list[str]) -> int:
+        """Declare secondary columns whose per-FILE min/max bounds are
+        recorded in every subsequent commit's manifest (the Iceberg
+        manifest-entry ``lower_bounds``/``upper_bounds`` analog, beyond
+        the always-on key/lsn dir bounds). :meth:`read_range` plans
+        range scans from these — at 10^10 rows the point is skipping
+        whole files from DRIVER-SIDE metadata, before any task launches
+        or footer is opened on the scan path.
+
+        Metadata-only commit. Files written BEFORE the declaration carry
+        no bounds and are conservatively kept by every range scan until
+        a :meth:`compact` rewrites them (which re-collects stats) —
+        pruning is an optimization, never a correctness dependency."""
+        m = self.manifest()
+        schema = schema_from_manifest(m["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"no column {c!r} in the table schema")
+            if not isinstance(by_name[c].dataType, self._STATS_TYPES):
+                raise ValueError(
+                    f"stats column {c!r} must be a numeric, string, "
+                    f"timestamp or date column, got "
+                    f"{by_name[c].dataType.simpleString()}"
+                )
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent_snapshot_id"] = m["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["properties"] = {
+            **m["properties"], STATS_COLS_PROP: sorted(set(cols))
+        }
+        m2["committed_at"] = time.time()
+        self._write_manifest(m2)
+        return m2["version"]
+
+    def stats_columns(self) -> list[str]:
+        return list(
+            self.manifest()["properties"].get(STATS_COLS_PROP, [])
+        )
+
     # ----------------------------------------------------------------- DML
 
     def _dml_source(self, predicate: str) -> tuple[DataFrame, int, int]:
@@ -842,7 +914,10 @@ class MiniLakeTable:
         return got
 
     def _read_files(
-        self, dirs: list[str], version: int | None = None
+        self,
+        dirs: list[str],
+        version: int | None = None,
+        file_filter: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Scan under PHYSICAL names, surface LOGICAL names — the single
         choke point that makes column renames metadata-only: every
@@ -889,13 +964,25 @@ class MiniLakeTable:
                     exprs.append(F.col(c).alias(mapping.get(c, c)))
             return df.select(*exprs)
 
+        # file_filter (read_range's per-file pruning) narrows a dir to a
+        # subset of its files; schema decisions still key on the DIR —
+        # a dir is written by one Spark job, so its files share a footer
+        # schema and the dir-level physical-cols memo stays valid.
+        def _paths(d: str) -> list[str]:
+            if file_filter is None:
+                return [d]
+            return file_filter.get(d, [d])
+
         if not dirs:
             return _project(
                 self.spark.createDataFrame([], schema), frozenset()
             )
         if not defaulted:
             return _project(
-                self.spark.read.schema(schema).parquet(*dirs), frozenset()
+                self.spark.read.schema(schema).parquet(
+                    *[p for d in dirs for p in _paths(d)]
+                ),
+                frozenset(),
             )
         groups: dict[frozenset[str], list[str]] = {}
         for d in dirs:
@@ -903,7 +990,7 @@ class MiniLakeTable:
             missing = frozenset(
                 p for p, _ in defaulted if p not in present
             )
-            groups.setdefault(missing, []).append(d)
+            groups.setdefault(missing, []).extend(_paths(d))
         parts = [
             _project(self.spark.read.schema(schema).parquet(*ds), missing)
             for missing, ds in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
@@ -992,6 +1079,7 @@ class MiniLakeTable:
         tag: str | None = None,
         branch: str | None = None,
         _dirs: list[str] | None = None,
+        _file_filter: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """The logical read view: live rows only, bookkeeping hidden.
         ``version`` / ``as_of_ts`` / ``tag`` select a historical snapshot
@@ -1024,7 +1112,9 @@ class MiniLakeTable:
         cols = [f.name for f in schema.fields]
         if _dirs is None:
             _dirs = [d for ds in m["buckets"].values() for d in ds]
-        phys = self._read_files(_dirs, version=m["version"])
+        phys = self._read_files(
+            _dirs, version=m["version"], file_filter=_file_filter
+        )
         if m.get("write_mode", "cow") == "mor" and not (
             # fold-skip: a snapshot whose every dir is a compaction or
             # rescale output is already key-unique per bucket (both
@@ -1111,6 +1201,232 @@ class MiniLakeTable:
         return self.read(version, _dirs=dirs).filter(
             F.col(key0).isin(list(values))
         )
+
+    # --------------------------------------------------------- range scans
+
+    @staticmethod
+    def _norm_bound(field: T.StructField, value):
+        """Normalize a user range bound for ``field``: returns
+        ``(filter_value, encoded_value)`` — the first for the exact
+        Column filter, the second in the same order-preserving encoding
+        :meth:`_encode_stat_bound` used for the manifest bounds."""
+        import datetime
+
+        dt = field.dataType
+        if isinstance(dt, T.TimestampType):
+            import pandas as pd
+
+            ts = pd.Timestamp(value)
+            return ts.to_pydatetime(), int(ts.value // 1000)
+        if isinstance(dt, T.DateType):
+            d = (
+                datetime.date.fromisoformat(value)
+                if isinstance(value, str)
+                else value
+            )
+            if isinstance(d, datetime.datetime):
+                d = d.date()
+            if not isinstance(d, datetime.date):
+                raise ValueError(
+                    f"bound {value!r} is not a date for {field.name}"
+                )
+            return d, d.toordinal()
+        if isinstance(dt, T.StringType):
+            if not isinstance(value, str):
+                raise ValueError(
+                    f"bound {value!r} is not a string for {field.name}"
+                )
+            return value, value
+        if not isinstance(value, (int, float)) or isinstance(value, bool):
+            raise ValueError(
+                f"bound {value!r} is not numeric for {field.name}"
+            )
+        return value, value
+
+    @staticmethod
+    def _bounds_intersect(b, lo, hi) -> bool:
+        """May a file with recorded bounds ``b`` hold a value in
+        [lo, hi]? ``b`` absent/None = unknown → True; ``"empty"`` =
+        all-null → False (null never satisfies a range predicate)."""
+        if b is None:
+            return True
+        if b == "empty":
+            return False
+        try:
+            mn, mx = b
+            if hi is not None and not (mn <= hi):
+                return False
+            if lo is not None and not (mx >= lo):
+                return False
+            return True
+        except TypeError:  # incomparable encodings → keep
+            return True
+        except ValueError:
+            return True
+
+    def plan_range_scan(
+        self,
+        col: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> dict:
+        """Driver-side scan planning for :meth:`read_range` — exposed so
+        tests (and operators) can assert WHAT would be scanned without
+        running a job. Returns ``{"mode", "dirs", "file_filter",
+        "files_planned", "files_total"}``; mode is ``"file"`` (per-file
+        pruning), ``"bucket"`` (whole-bucket pruning), or ``"none"``."""
+        m = self.manifest(version)
+        schema = schema_from_manifest(m["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        if col not in by_name:
+            raise ValueError(f"no column {col!r} in the table schema")
+        field = by_name[col]
+        pcol = physical_name(field)
+        all_dirs = [d for ds in m["buckets"].values() for d in ds]
+        stats = m.get("file_stats", {})
+        files_total = sum(
+            len(stats.get(d, {}).get("files", {})) or 1 for d in all_dirs
+        )
+        no_prune = {
+            "mode": "none",
+            "dirs": all_dirs,
+            "file_filter": None,
+            "files_planned": files_total,
+            "files_total": files_total,
+        }
+        if (lower is None and upper is None) or col not in m[
+            "properties"
+        ].get(STATS_COLS_PROP, []):
+            return no_prune
+        if m.get("merge_engine", "lww") == "agg":
+            # a sum-fold can land IN range though every physical part is
+            # outside it — no granularity of stats pruning is sound
+            return no_prune
+        lo = hi = None
+        if lower is not None:
+            _, lo = self._norm_bound(field, lower)
+        if upper is not None:
+            _, hi = self._norm_bound(field, upper)
+
+        def _file_hits(d: str) -> list[str] | None:
+            """Kept files of dir d, or None = no usable stats (keep all)."""
+            fs = stats.get(d, {}).get("files")
+            if fs is None:
+                return None
+            return [
+                os.path.join(d, name)
+                for name, bounds in fs.items()
+                if self._bounds_intersect(bounds.get(pcol), lo, hi)
+            ]
+
+        maintained = m.get("write_mode", "cow") == "cow" or (
+            all_dirs
+            and all(
+                os.path.basename(os.path.dirname(d)).startswith(
+                    ("compact-", "rescale-")
+                )
+                for d in all_dirs
+            )
+        )
+        if maintained:
+            # key-unique resolved state (COW always; MOR once every dir
+            # is a compaction/rescale rewrite): dropping a file drops
+            # only rows the exact filter would drop — per-FILE pruning
+            dirs: list[str] = []
+            file_filter: dict[str, list[str]] = {}
+            planned = 0
+            for d in all_dirs:
+                hits = _file_hits(d)
+                if hits is None:
+                    dirs.append(d)
+                    planned += len(stats.get(d, {}).get("files", {})) or 1
+                elif hits:
+                    dirs.append(d)
+                    file_filter[d] = hits
+                    planned += len(hits)
+            return {
+                "mode": "file",
+                "dirs": dirs,
+                "file_filter": file_filter or None,
+                "files_planned": planned,
+                "files_total": files_total,
+            }
+        # MOR with unresolved deltas: per-file pruning is UNSOUND — a
+        # pruned file can hold a key's LWW winner (out of range) while a
+        # kept delta still holds a stale in-range loser, which the fold
+        # would then resurrect. All versions of a key live in ONE bucket,
+        # so prune at bucket granularity: a bucket none of whose files
+        # can hold an in-range value yields only fold winners the exact
+        # filter drops anyway (LWW whole-row and partial-coalesce winner
+        # values are physical row values).
+        dirs = []
+        planned = 0
+        for b, ds in m["buckets"].items():
+            keep = False
+            for d in ds:
+                hits = _file_hits(d)
+                if hits is None or hits:
+                    keep = True
+                    break
+            if keep:
+                dirs.extend(ds)
+                planned += sum(
+                    len(stats.get(d, {}).get("files", {})) or 1 for d in ds
+                )
+        return {
+            "mode": "bucket",
+            "dirs": dirs,
+            "file_filter": None,
+            "files_planned": planned,
+            "files_total": files_total,
+        }
+
+    def read_range(
+        self,
+        col: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range scan with manifest-stats pruning (the Iceberg
+        scan-planning analog over :meth:`set_stats_columns` bounds).
+        Equivalent BY CONSTRUCTION to ``read(version).filter(lower <=
+        col <= upper)`` (bounds inclusive, either side open) — pruning
+        only ever drops files/buckets that cannot contribute a row the
+        exact filter keeps, at the granularity the snapshot state makes
+        sound:
+
+        - fully-maintained snapshot or COW table → per-FILE pruning;
+          after ``compact(cluster_cols=[col])`` the files are contiguous
+          spans of ``col`` and a narrow range plans O(matching files).
+        - MOR with unresolved deltas → per-BUCKET pruning (per-file
+          would resurrect stale LWW losers; see :meth:`plan_range_scan`).
+        - ``'agg'`` merge engine → exact filter only, no pruning.
+
+        At 10^10 rows this is the difference between launching tasks
+        over every file of every bucket and a driver-side metadata
+        decision — same class as Iceberg's min/max manifest pruning."""
+        m = self.manifest(version)
+        schema = schema_from_manifest(m["schema"])
+        field = {f.name: f for f in schema.fields}[col] if col in {
+            f.name for f in schema.fields
+        } else None
+        if field is None:
+            raise ValueError(f"no column {col!r} in the table schema")
+        plan = self.plan_range_scan(col, lower, upper, version)
+        df = self.read(
+            version if version is not None else m["version"],
+            _dirs=plan["dirs"],
+            _file_filter=plan["file_filter"],
+        )
+        if lower is not None:
+            fv, _ = self._norm_bound(field, lower)
+            df = df.filter(F.col(col) >= F.lit(fv))
+        if upper is not None:
+            fv, _ = self._norm_bound(field, upper)
+            df = df.filter(F.col(col) <= F.lit(fv))
+        return df
 
     def read_changes_since(
         self,
@@ -1327,18 +1643,52 @@ class MiniLakeTable:
     # --------------------------------------------------------- file stats
 
     @staticmethod
-    def _collect_dir_stats(bucket_dir: str, key0: str) -> dict | None:
+    def _encode_stat_bound(value):
+        """JSON-serializable, order-preserving encoding of a footer
+        min/max value: numerics and strings pass through, timestamps
+        become epoch MICROS, dates become ordinal days. None = this
+        value cannot be encoded (readers then keep the file)."""
+        import datetime
+
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, (int, float, str)):
+            return value
+        if isinstance(value, datetime.datetime):
+            import pandas as pd
+
+            try:
+                return int(pd.Timestamp(value).value // 1000)
+            except Exception:
+                return None
+        if isinstance(value, datetime.date):
+            return value.toordinal()
+        return None
+
+    @staticmethod
+    def _collect_dir_stats(
+        bucket_dir: str, key0: str, stats_pcols: tuple[str, ...] = ()
+    ) -> dict | None:
         """Iceberg-manifest-style per-file column bounds for a freshly
         written bucket dir: min/max of the primary key and ``_lsn`` plus
         the row count, read from the Parquet FOOTERS (driver-side, no
         Spark job — O(part files) metadata fetches per commit). Returns
         None when any footer lacks usable min/max (readers then simply
         keep the dir — pruning is an optimization, never a correctness
-        dependency)."""
+        dependency).
+
+        For each declared stats column (:meth:`set_stats_columns`,
+        passed here under its PHYSICAL name) a per-FILE ``"files"`` map
+        records ``[min, max]`` bounds (``"empty"`` = the column is
+        all-null in that file, so no value can fall in any range; a
+        missing entry = unknown, readers keep the file — the
+        initial-default read path can materialize values for files that
+        physically lack a column, so absence must never prune)."""
         import pyarrow.parquet as pq
 
         key_min = key_max = lsn_min = lsn_max = None
         rows = 0
+        files: dict[str, dict] = {}
         try:
             names = [
                 n for n in os.listdir(bucket_dir) if n.endswith(".parquet")
@@ -1368,15 +1718,67 @@ class MiniLakeTable:
                     key_max = ks.max if key_max is None else max(key_max, ks.max)
                     lsn_min = ls.min if lsn_min is None else min(lsn_min, ls.min)
                     lsn_max = ls.max if lsn_max is None else max(lsn_max, ls.max)
+                if stats_pcols:
+                    files[name] = MiniLakeTable._file_col_bounds(
+                        md, schema_names, stats_pcols
+                    )
         except Exception:
             return None
         if key_min is None:
             return None
-        return {
+        out = {
             "key_min": key_min, "key_max": key_max,
             "lsn_min": int(lsn_min), "lsn_max": int(lsn_max),
             "rows": int(rows),
         }
+        if stats_pcols:
+            out["files"] = files
+        return out
+
+    @staticmethod
+    def _file_col_bounds(
+        md, schema_names: list[str], stats_pcols: tuple[str, ...]
+    ) -> dict:
+        """One file's ``{pcol: [min, max] | "empty"}`` bounds map. A
+        column the footer lacks, or whose statistics are unusable for
+        ANY row group, is simply absent (= unknown, never pruned)."""
+        enc = MiniLakeTable._encode_stat_bound
+        out: dict = {}
+        for pcol in stats_pcols:
+            if pcol not in schema_names:
+                continue
+            ci = schema_names.index(pcol)
+            mn = mx = None
+            usable = True
+            n_vals = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None:
+                    usable = False
+                    break
+                n_vals += (st.num_values or 0) if st.num_values is not None else 0
+                if not st.has_min_max:
+                    # no bounds in this row group: fine ONLY if it holds
+                    # no values at all (all-null) — otherwise unknown
+                    if st.num_values:
+                        usable = False
+                        break
+                    continue
+                emn, emx = enc(st.min), enc(st.max)
+                if emn is None or emx is None:
+                    usable = False
+                    break
+                mn = emn if mn is None else min(mn, emn)
+                mx = emx if mx is None else max(mx, emx)
+            if not usable:
+                continue
+            if mn is None:
+                out[pcol] = "empty" if n_vals == 0 else None
+                if out[pcol] is None:
+                    del out[pcol]
+            else:
+                out[pcol] = [mn, mx]
+        return out
 
     def _stats_for_manifest(
         self, base: dict, new_dirs: list[str], new_buckets: dict, key0: str
@@ -1387,15 +1789,24 @@ class MiniLakeTable:
         live file set."""
         stats = dict(base.get("file_stats", {}))
         # footers store the PHYSICAL column name (rescale passes a
-        # synthetic schema-less base — its caller resolves names itself)
+        # synthetic schema-less base — its caller resolves names itself,
+        # and its output carries no secondary-column bounds until the
+        # next compaction re-collects them)
         pkey0 = key0
+        stats_pcols: tuple[str, ...] = ()
         if "schema" in base:
-            pkey0 = {
+            to_phys = {
                 f.name: physical_name(f)
                 for f in schema_from_manifest(base["schema"]).fields
-            }.get(key0, key0)
+            }
+            pkey0 = to_phys.get(key0, key0)
+            stats_pcols = tuple(
+                to_phys[c]
+                for c in base.get("properties", {}).get(STATS_COLS_PROP, [])
+                if c in to_phys
+            )
         for d in new_dirs:
-            s = self._collect_dir_stats(d, pkey0)
+            s = self._collect_dir_stats(d, pkey0, stats_pcols)
             if s is not None:
                 stats[d] = s
         live = {d for ds in new_buckets.values() for d in ds}
@@ -2856,6 +3267,7 @@ class MiniLakeTable:
         drop_tombstones: bool = True,
         buckets: list[int] | None = None,
         target_rows_per_file: int = 8_000_000,
+        cluster_cols: list[str] | None = None,
     ) -> int:
         """Rewrite buckets into fresh files (all buckets, or only the
         given subset — partial compaction); optionally hard-delete
@@ -2874,7 +3286,18 @@ class MiniLakeTable:
         min/max pruning and the key bloom filters all survive, and the
         per-bucket manifest stats still cover the whole dir. Row totals
         come from the manifest's file_stats (dirs without stats just
-        undercount — fewer splits, never a correctness issue)."""
+        undercount — fewer splits, never a correctness issue).
+
+        ``cluster_cols`` re-targets the long-lived layout at RANGE scans
+        instead of point lookups: the range split and the within-file
+        sort run over the given columns (e.g. ``["ts"]``), so each
+        output file covers a tight span of them and
+        :meth:`read_range` + the declared :meth:`set_stats_columns`
+        bounds prune to O(matching files) from the manifest alone
+        (Iceberg ``rewrite_data_files`` with a sort strategy). The trade
+        is explicit: files are no longer key-sorted, so point lookups
+        lose row-group key min/max pruning — the key BLOOM filters
+        still cover them."""
         base = self.manifest()
         version = base["version"]
         n_buckets = base["n_buckets"]
@@ -2900,7 +3323,18 @@ class MiniLakeTable:
         )
         # files carry PHYSICAL names (stable across renames) — the sort
         # key and bloom-filter option must name the on-disk column
-        pkey0 = {f.name: physical_name(f) for f in schema.fields}[key0]
+        to_phys = {f.name: physical_name(f) for f in schema.fields}
+        pkey0 = to_phys[key0]
+        if cluster_cols:
+            missing = [c for c in cluster_cols if c not in to_phys]
+            if missing:
+                raise ValueError(
+                    f"cluster_cols not in the table schema: {missing}"
+                )
+        split_cols = list(cluster_cols) if cluster_cols else [key0]
+        sort_pcols = (
+            [to_phys[c] for c in cluster_cols] if cluster_cols else [pkey0]
+        )
         stats = base.get("file_stats", {})
         folded_rows = sum(
             stats[d]["rows"]
@@ -2918,7 +3352,7 @@ class MiniLakeTable:
             # frame to place boundaries — pay it only when a bucket
             # actually outgrew the target file size
             clustered = df.repartitionByRange(
-                n_out, F.col(BUCKET_COL), F.col(key0)
+                n_out, F.col(BUCKET_COL), *[F.col(c) for c in split_cols]
             )
         else:
             clustered = df.repartition(
@@ -2929,12 +3363,13 @@ class MiniLakeTable:
                 clustered,
                 schema,
             )
-            # Key-clustered row groups: compaction is the long-lived
-            # layout, so pay one local sort here and every later point
-            # lookup prunes row groups on tight key min/max (plus better
-            # dictionary/RLE compression). Deltas stay unsorted — they
-            # are short-lived by design.
-            .sortWithinPartitions(pkey0)
+            # Clustered row groups: compaction is the long-lived layout,
+            # so pay one local sort here — by key (default: point
+            # lookups prune row groups on tight key min/max) or by the
+            # caller's cluster_cols (range scans prune files on tight
+            # secondary bounds). Deltas stay unsorted — they are
+            # short-lived by design.
+            .sortWithinPartitions(*sort_pcols)
             .write.partitionBy(BUCKET_COL)
             # parquet bloom filter on the key: equality pushdown skips
             # row groups the min/max bounds can't exclude

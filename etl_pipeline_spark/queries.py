@@ -115,6 +115,36 @@ SELECT conv_id, turn_idx, role, text,
 FROM r WHERE rn = 1 AND op <> 'D'
 """
 
+# The flagship LWW state restricted to a closed ts range whose integer-
+# second bounds derive from the stream itself ([min + span/4,
+# min + span/2]) — the oracle for q_cdc_ts_range_scan's manifest-stats
+# pruned read_range. floor-of-min == min-of-floors (floor is monotone),
+# so DuckDB's floor(epoch(min(ts))) matches Spark's
+# min(unix_timestamp(ts)) exactly.
+TS_RANGE_SCAN_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+),
+b AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM state, b
+WHERE epoch(ts) >= mn + CAST(floor((mx - mn) / 4.0) AS BIGINT)
+  AND epoch(ts) <= mn + CAST(floor((mx - mn) / 2.0) AS BIGINT)
+"""
+
 
 def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final LWW table state of the derived change stream — the engine's
@@ -364,6 +394,66 @@ def q_cdc_rescaled_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert res.skipped and res.reason == "fenced"
         _RESCALE_CACHE[key] = rescaled
     return _state_projection(rescaled.read())
+
+
+_RANGE_SCAN_CACHE: dict = {}
+
+
+def q_cdc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats range scan graded end-to-end: a copy of the
+    replayed primary declares ``ts`` a stats column
+    (lake/minilake.set_stats_columns — the Iceberg manifest-entry
+    lower/upper-bounds analog), is compacted CLUSTERED on ts
+    (``compact(cluster_cols=["ts"])``, Iceberg rewrite_data_files sort
+    strategy), and then serves ``read_range("ts", lo, hi)`` — a scan
+    planned per-FILE from driver-side manifest bounds, no footer opened
+    on the read path. The result must equal the flagship LWW state
+    filtered to the same closed ts range (bounds = the stream's
+    [min + span/4, min + span/2], integer-second arithmetic mirrored by
+    the oracle). At 10^10 rows this plan touches O(matching files), not
+    O(table)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _RANGE_SCAN_CACHE.get(key)
+    if got is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_range_scan_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        # work on a copy — DDL + compaction must not mutate the cached
+        # primary other queries read
+        shutil.copytree(primary.root, root)
+        table = MiniLakeTable(spark, root)
+        table.set_stats_columns(["ts"])
+        # file-size target scaled off the cached stream width so the
+        # clustered rewrite yields multiple ts-spans per bucket at the
+        # driver's sf without exploding task counts at larger ones
+        target = max(128, 4 * _batch_width(spark, sf_dir) // 288)
+        table.compact(
+            drop_tombstones=True,
+            cluster_cols=["ts"],
+            target_rows_per_file=target,
+        )
+        mn, mx = (
+            derive_change_events(spark, sf_dir)
+            .agg(
+                F.min(F.unix_timestamp("ts")).alias("mn"),
+                F.max(F.unix_timestamp("ts")).alias("mx"),
+            )
+            .first()
+        )
+        span = int(mx) - int(mn)
+        lo_s, hi_s = int(mn) + span // 4, int(mn) + span // 2
+        _RANGE_SCAN_CACHE[key] = (table, lo_s, hi_s)
+    else:
+        table, lo_s, hi_s = got
+    import datetime
+
+    lo = datetime.datetime.utcfromtimestamp(lo_s)
+    hi = datetime.datetime.utcfromtimestamp(hi_s)
+    plan = table.plan_range_scan("ts", lo, hi)
+    # the graded claim includes the PLAN: per-file pruning mode
+    assert plan["mode"] == "file", plan
+    return _state_projection(table.read_range("ts", lo, hi))
 
 
 _WAP_CACHE: dict = {}
@@ -5005,6 +5095,8 @@ QUERIES = {
     "cdc_widened_state": q_cdc_widened_state,
     "cdc_constrained_state": q_cdc_constrained_state,
     "cdc_dml_state": q_cdc_dml_state,
+    # -- r5 session-4 addition, born inside the window per the rule --
+    "cdc_ts_range_scan": q_cdc_ts_range_scan,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5132,6 +5224,7 @@ ORACLE_SQL = {
     "cdc_widened_state": WIDENED_STATE_SQL,
     "cdc_constrained_state": CONSTRAINED_STATE_SQL,
     "cdc_dml_state": DML_STATE_SQL,
+    "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
