@@ -803,6 +803,60 @@ class MiniLakeTable:
             self.manifest()["properties"].get(STATS_COLS_PROP, [])
         )
 
+    # ------------------------------------------------------------- z-order
+
+    _ZORDER_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType,
+        T.TimestampType, T.DateType,
+    )
+
+    @staticmethod
+    def _zorder_double(col, dtype):
+        """Order-preserving double view of a z-order column (timestamps
+        as epoch micros, dates as epoch days — ANSI mode forbids the
+        direct timestamp→double cast)."""
+        if isinstance(dtype, T.TimestampType):
+            return F.unix_micros(col).cast("double")
+        if isinstance(dtype, T.DateType):
+            return F.unix_date(col).cast("double")
+        return col.cast("double")
+
+    @staticmethod
+    def _zorder_expr(cols, mins, maxs):
+        """Bit-interleaved z-value over double Columns with fixed
+        normalization bounds — pure Column bit arithmetic, whole-stage
+        codegen'd, no Python on the data path. Each column maps to a
+        ``bits``-bit rank (clamped to the bounds; null and NaN rank at
+        the top so they cluster in one corner), and rank bits interleave
+        round-robin so no dimension dominates the file layout."""
+        k = len(cols)
+        bits = min(16, 63 // k)
+        mask = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for j, (c, mn, mx) in enumerate(zip(cols, mins, maxs)):
+            mn, mx = float(mn), float(mx)
+            span = (mx - mn) or 1.0
+            # null → +inf → clamps to the top rank; NaN compares above
+            # any double in Spark's total order, so least() also yields
+            # the top rank — no ANSI cast traps either way
+            x = F.coalesce(
+                (c - F.lit(mn)) / F.lit(span) * F.lit(float(mask)),
+                F.lit(float("inf")),
+            )
+            x = F.least(
+                F.lit(float(mask)), F.greatest(F.lit(0.0), x)
+            )
+            rank = F.floor(x)  # long in [0, mask]
+            for i in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(rank, i).bitwiseAND(F.lit(1)),
+                        i * k + j,
+                    )
+                )
+        return z
+
     # ----------------------------------------------------------------- DML
 
     def _dml_source(self, predicate: str) -> tuple[DataFrame, int, int]:
@@ -3268,6 +3322,7 @@ class MiniLakeTable:
         buckets: list[int] | None = None,
         target_rows_per_file: int = 8_000_000,
         cluster_cols: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite buckets into fresh files (all buckets, or only the
         given subset — partial compaction); optionally hard-delete
@@ -3297,7 +3352,23 @@ class MiniLakeTable:
         (Iceberg ``rewrite_data_files`` with a sort strategy). The trade
         is explicit: files are no longer key-sorted, so point lookups
         lose row-group key min/max pruning — the key BLOOM filters
-        still cover them."""
+        still cover them.
+
+        ``zorder=True`` (with ≥2 ``cluster_cols``) interleaves the bits
+        of the columns' 16-bit min/max-normalized ranks and range-splits
+        + sorts on that z-value instead (Delta ``OPTIMIZE ZORDER BY`` /
+        Iceberg rewrite_data_files z-order strategy analog): each file
+        covers a tight HYPER-RECTANGLE of the clustered dimensions, so
+        :meth:`read_range` prunes files on EVERY clustered dimension —
+        linear multi-column clustering gives non-leading dimensions
+        near-full-range file bounds and no pruning. The z-value is pure
+        Column bit arithmetic inside whole-stage codegen; the extra cost
+        is one min/max agg pass to fix the normalization bounds (the
+        range partitioner's sampling pass already scans the frame).
+        Nulls rank at the top of each dimension, so all-null rows
+        cluster in one corner (a range predicate never matches null —
+        those files prune away). Z-order columns must be numeric,
+        timestamp or date."""
         base = self.manifest()
         version = base["version"]
         n_buckets = base["n_buckets"]
@@ -3335,6 +3406,65 @@ class MiniLakeTable:
         sort_pcols = (
             [to_phys[c] for c in cluster_cols] if cluster_cols else [pkey0]
         )
+        z_logical = z_physical = None
+        if zorder:
+            if not cluster_cols:
+                raise ValueError("zorder requires cluster_cols")
+            if len(cluster_cols) < 2:
+                raise ValueError(
+                    "zorder needs at least two cluster_cols — plain "
+                    "cluster_cols already sorts one dimension"
+                )
+            by_name = {f.name: f for f in schema.fields}
+            bad = [
+                c
+                for c in cluster_cols
+                if not isinstance(by_name[c].dataType, self._ZORDER_TYPES)
+            ]
+            if bad:
+                raise ValueError(
+                    f"zorder cluster_cols must be numeric, timestamp or "
+                    f"date columns: {bad}"
+                )
+            # exact normalization bounds: one extra agg job over the
+            # folded frame (O(1) driver row). Out-of-range values only
+            # clamp, so conservative bounds would also be CORRECT —
+            # exact ones keep the rank resolution.
+            dtypes = [by_name[c].dataType for c in cluster_cols]
+            row = df.agg(
+                *(
+                    F.min(self._zorder_double(F.col(c), dt)).alias(f"n{i}")
+                    for i, (c, dt) in enumerate(zip(cluster_cols, dtypes))
+                ),
+                *(
+                    F.max(self._zorder_double(F.col(c), dt)).alias(f"x{i}")
+                    for i, (c, dt) in enumerate(zip(cluster_cols, dtypes))
+                ),
+            ).first()
+            mins = [
+                row[f"n{i}"] if row[f"n{i}"] is not None else 0.0
+                for i in range(len(cluster_cols))
+            ]
+            maxs = [
+                row[f"x{i}"] if row[f"x{i}"] is not None else 1.0
+                for i in range(len(cluster_cols))
+            ]
+            z_logical = self._zorder_expr(
+                [
+                    self._zorder_double(F.col(c), dt)
+                    for c, dt in zip(cluster_cols, dtypes)
+                ],
+                mins,
+                maxs,
+            )
+            z_physical = self._zorder_expr(
+                [
+                    self._zorder_double(F.col(to_phys[c]), dt)
+                    for c, dt in zip(cluster_cols, dtypes)
+                ],
+                mins,
+                maxs,
+            )
         stats = base.get("file_stats", {})
         folded_rows = sum(
             stats[d]["rows"]
@@ -3352,7 +3482,13 @@ class MiniLakeTable:
             # frame to place boundaries — pay it only when a bucket
             # actually outgrew the target file size
             clustered = df.repartitionByRange(
-                n_out, F.col(BUCKET_COL), *[F.col(c) for c in split_cols]
+                n_out,
+                F.col(BUCKET_COL),
+                *(
+                    [z_logical]
+                    if z_logical is not None
+                    else [F.col(c) for c in split_cols]
+                ),
             )
         else:
             clustered = df.repartition(
@@ -3369,7 +3505,9 @@ class MiniLakeTable:
             # caller's cluster_cols (range scans prune files on tight
             # secondary bounds). Deltas stay unsorted — they are
             # short-lived by design.
-            .sortWithinPartitions(*sort_pcols)
+            .sortWithinPartitions(
+                *([z_physical] if z_physical is not None else sort_pcols)
+            )
             .write.partitionBy(BUCKET_COL)
             # parquet bloom filter on the key: equality pushdown skips
             # row groups the min/max bounds can't exclude

@@ -145,6 +145,30 @@ WHERE epoch(ts) >= mn + CAST(floor((mx - mn) / 4.0) AS BIGINT)
   AND epoch(ts) <= mn + CAST(floor((mx - mn) / 2.0) AS BIGINT)
 """
 
+# The flagship LWW state restricted to a closed turn_idx band
+# [mx/4, mx/2] (mx = the stream's max turn_idx, integer division) —
+# the oracle for q_cdc_zorder_scan's read_range over the SECOND
+# z-order dimension.
+ZORDER_SCAN_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+),
+b AS (SELECT max(turn_idx) AS mx FROM ce)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM state, b
+WHERE turn_idx >= CAST(floor(mx / 4.0) AS INT)
+  AND turn_idx <= CAST(floor(mx / 2.0) AS INT)
+"""
+
 
 def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final LWW table state of the derived change stream — the engine's
@@ -454,6 +478,55 @@ def q_cdc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the graded claim includes the PLAN: per-file pruning mode
     assert plan["mode"] == "file", plan
     return _state_projection(table.read_range("ts", lo, hi))
+
+
+_ZORDER_CACHE: dict = {}
+
+
+def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered range scan graded end-to-end: a copy of the
+    replayed primary declares BOTH ``ts`` and ``turn_idx`` stats
+    columns, compacts with ``compact(cluster_cols=["ts", "turn_idx"],
+    zorder=True)`` (lake/minilake — the Delta OPTIMIZE ZORDER BY /
+    Iceberg z-order rewrite analog: files cover tight hyper-rectangles
+    of both dimensions), then serves ``read_range("turn_idx", lo, hi)``
+    — a manifest-planned scan on the SECOND clustered dimension, the
+    one linear clustering cannot prune. The result must equal the
+    flagship LWW state filtered to turn_idx in [mx/4, mx/2] (mx = the
+    stream's max turn_idx; integer arithmetic mirrored by the oracle).
+    At 10^10 rows a dashboard slicing on either clustered dimension
+    plans O(matching files) from driver-side metadata."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _ZORDER_CACHE.get(key)
+    if got is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_zorder_scan_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        shutil.copytree(primary.root, root)
+        table = MiniLakeTable(spark, root)
+        table.set_stats_columns(["ts", "turn_idx"])
+        target = max(128, 4 * _batch_width(spark, sf_dir) // 288)
+        table.compact(
+            drop_tombstones=True,
+            cluster_cols=["ts", "turn_idx"],
+            zorder=True,
+            target_rows_per_file=target,
+        )
+        mx = (
+            derive_change_events(spark, sf_dir)
+            .agg(F.max("turn_idx").alias("mx"))
+            .first()["mx"]
+        )
+        lo, hi = int(mx) // 4, int(mx) // 2
+        _ZORDER_CACHE[key] = (table, lo, hi)
+    else:
+        table, lo, hi = got
+    plan = table.plan_range_scan("turn_idx", lo, hi)
+    # the graded claim includes the PLAN: per-file pruning mode on the
+    # second z-order dimension
+    assert plan["mode"] == "file", plan
+    return _state_projection(table.read_range("turn_idx", lo, hi))
 
 
 _WAP_CACHE: dict = {}
@@ -5095,8 +5168,9 @@ QUERIES = {
     "cdc_widened_state": q_cdc_widened_state,
     "cdc_constrained_state": q_cdc_constrained_state,
     "cdc_dml_state": q_cdc_dml_state,
-    # -- r5 session-4 addition, born inside the window per the rule --
+    # -- r5 session-4/5 additions, born inside the window per the rule --
     "cdc_ts_range_scan": q_cdc_ts_range_scan,
+    "cdc_zorder_scan": q_cdc_zorder_scan,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5225,6 +5299,7 @@ ORACLE_SQL = {
     "cdc_constrained_state": CONSTRAINED_STATE_SQL,
     "cdc_dml_state": DML_STATE_SQL,
     "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
+    "cdc_zorder_scan": ZORDER_SCAN_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

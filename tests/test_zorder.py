@@ -1,0 +1,155 @@
+"""Z-order clustered compaction (Delta ``OPTIMIZE ZORDER BY`` /
+Iceberg rewrite_data_files z-order strategy analog).
+
+``compact(cluster_cols=[a, b], zorder=True)`` interleaves the bits of
+the 16-bit min/max-normalized ranks of the cluster columns and range
+splits + sorts the output on that z-value, so each file covers a tight
+HYPER-RECTANGLE of the clustered dimensions instead of a tight span of
+only the leading one. The payoff is that :meth:`read_range` prunes
+files on EVERY clustered dimension — linear multi-column clustering
+gives the non-leading dimensions near-full-range file bounds and no
+pruning. Everything is pure Column arithmetic (shiftleft/shiftright/
+bitwiseOR inside whole-stage codegen); the only driver work is one
+min/max agg row per compaction.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.lake.minilake import MiniLakeTable
+from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA_V0
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _ts(h: float) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+
+
+def _grid(spark, n_ts=16, n_turn=16):
+    """An (n_ts x n_turn) grid: every (ts-hour, turn_idx) cell occupied,
+    so file bounds on either dimension directly expose the layout."""
+    rows = [
+        (f"c{i}", j, "user", f"t-{i}-{j}", _ts(i), i * n_turn + j + 1, "I")
+        for i in range(n_ts)
+        for j in range(n_turn)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+
+
+def _table(spark, tmp_path, name):
+    t = MiniLakeTable.create(
+        spark,
+        str(tmp_path / name),
+        TRANSCRIPT_SCHEMA_V0,
+        key_cols=KEYS,
+        n_buckets=2,
+        write_mode="mor",
+    )
+    t.set_stats_columns(["ts", "turn_idx"])
+    t.merge(_grid(spark), batch_id=0)
+    return t
+
+
+def _assert_equiv(t, col, lo, hi):
+    exact = (
+        t.read()
+        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        .collect()
+    )
+    got = t.read_range(col, lo, hi).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+    return len(got)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    t = _table(spark, tmp_path, "z")
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    for col, lo, hi, want in [
+        ("ts", _ts(0), _ts(3), 4 * 16),
+        ("turn_idx", 0, 3, 4 * 16),
+    ]:
+        plan = t.plan_range_scan(col, lo, hi)
+        assert plan["mode"] == "file"
+        assert plan["files_planned"] < plan["files_total"], (col, plan)
+        assert _assert_equiv(t, col, lo, hi) == want
+
+
+def test_zorder_beats_linear_on_second_dimension(spark, tmp_path):
+    zt = _table(spark, tmp_path, "zo")
+    zt.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    lin = _table(spark, tmp_path, "lin")
+    lin.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        target_rows_per_file=16,
+    )
+    zp = zt.plan_range_scan("turn_idx", 0, 3)
+    lp = lin.plan_range_scan("turn_idx", 0, 3)
+    # linear clustering leads on ts: every file spans (nearly) the whole
+    # turn_idx range, so the second dimension prunes (almost) nothing;
+    # the z-layout's rectangles prune strictly more
+    assert zp["files_planned"] < lp["files_planned"], (zp, lp)
+    _assert_equiv(zt, "turn_idx", 0, 3)
+    _assert_equiv(lin, "turn_idx", 0, 3)
+
+
+def test_zorder_null_values_cluster_and_never_match(spark, tmp_path):
+    t = _table(spark, tmp_path, "n")
+    nulls = spark.createDataFrame(
+        [(f"n{i}", 0, "user", "x", None, 10_000 + i, "I") for i in range(8)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(nulls, batch_id=1)
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    _assert_equiv(t, "ts", _ts(0), _ts(3))
+    ids = {r["conv_id"] for r in t.read_range("ts", _ts(0), _ts(200)).collect()}
+    assert not any(i.startswith("n") for i in ids)
+
+
+def test_zorder_validates(spark, tmp_path):
+    t = _table(spark, tmp_path, "v")
+    with pytest.raises(ValueError, match="at least two"):
+        t.compact(cluster_cols=["ts"], zorder=True)
+    with pytest.raises(ValueError, match="numeric, timestamp or date"):
+        t.compact(cluster_cols=["ts", "role"], zorder=True)
+    with pytest.raises(ValueError, match="zorder"):
+        t.compact(zorder=True)
+
+
+def test_zorder_survives_single_output_file(spark, tmp_path):
+    """n_out == n_buckets path (no range split): the z sort still runs
+    within partitions; results stay exact."""
+    t = _table(spark, tmp_path, "one")
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        zorder=True,
+        target_rows_per_file=1_000_000,
+    )
+    _assert_equiv(t, "turn_idx", 2, 9)
+    _assert_equiv(t, "ts", _ts(1), _ts(5))
