@@ -480,6 +480,57 @@ def q_cdc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(table.read_range("ts", lo, hi))
 
 
+_STREAM_FEED_CACHE: dict = {}
+
+
+def q_cdc_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING table read graded end-to-end: the replayed primary's
+    full change feed served through the `minilake_changes` Python data
+    source (streaming/table_source.py — the Delta/Iceberg readStream-
+    on-a-table analog; version offsets, Arrow-batch partition reads,
+    availableNow drain into a parquet sink) must equal the same feed
+    recomputed per-batch from the raw stream by the oracle. This is the
+    stream-OUT half of the CDC loop — the reference has no streaming
+    surface at all (main.py:228-264 is a one-shot sequential pipeline).
+    At 10^10 events each micro-batch is O(changes in the version span),
+    planned driver-side from manifests, never O(table)."""
+    from .streaming.table_source import register
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _STREAM_FEED_CACHE.get(key)
+    if out is None:
+        table = _replayed_table(spark, sf_dir)
+        register(spark)
+        tmp = tempfile.mkdtemp(prefix="cdc_stream_feed_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        out = os.path.join(tmp, "feed")
+        q = (
+            spark.readStream.format("minilake_changes")
+            .option("path", table.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        _STREAM_FEED_CACHE[key] = out
+    feed = spark.read.parquet(out)
+    return feed.select(
+        F.floor(F.col("_lsn") / _batch_width(spark, sf_dir))
+        .cast("long")
+        .alias("batch"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.col("_lsn").alias("lsn"),
+        F.col("_deleted").alias("deleted"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 _ZORDER_CACHE: dict = {}
 
 
@@ -1101,6 +1152,31 @@ w AS ({BATCH_W_SQL}),
 b AS (
   SELECT ce.*, CAST(floor(lsn / (SELECT bw FROM w)) AS BIGINT) AS batch
   FROM ce WHERE lsn >= (SELECT bw FROM w)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY batch, conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM b
+)
+SELECT batch, conv_id, turn_idx, role,
+       CASE WHEN lower(trim(text)) IN ('[unavailable]', 'not rated', 'n/a', '')
+            THEN NULL ELSE trim(text) END AS text,
+       lsn, (op = 'D') AS deleted,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r WHERE rn = 1
+"""
+
+# The FULL change feed (every batch's LWW winners incl. tombstones) —
+# the oracle for q_cdc_stream_changes, which serves the same rows
+# through the `minilake_changes` STREAMING source instead of the batch
+# read_changes_since API. Identical to INCREMENTAL_SQL minus the
+# skip-first-batch bound.
+STREAM_CHANGES_SQL = f"""
+WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
+b AS (
+  SELECT ce.*, CAST(floor(lsn / (SELECT bw FROM w)) AS BIGINT) AS batch
+  FROM ce
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY batch, conv_id, turn_idx
@@ -5171,6 +5247,7 @@ QUERIES = {
     # -- r5 session-4/5 additions, born inside the window per the rule --
     "cdc_ts_range_scan": q_cdc_ts_range_scan,
     "cdc_zorder_scan": q_cdc_zorder_scan,
+    "cdc_stream_changes": q_cdc_stream_changes,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5300,6 +5377,7 @@ ORACLE_SQL = {
     "cdc_dml_state": DML_STATE_SQL,
     "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
     "cdc_zorder_scan": ZORDER_SCAN_SQL,
+    "cdc_stream_changes": STREAM_CHANGES_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,
