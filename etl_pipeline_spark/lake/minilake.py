@@ -1170,13 +1170,18 @@ class MiniLakeTable:
             _dirs, version=m["version"], file_filter=_file_filter
         )
         if m.get("write_mode", "cow") == "mor" and not (
-            # fold-skip: a snapshot whose every dir is a compaction or
-            # rescale output is already key-unique per bucket (both
-            # rewrite the RESOLVED state), so the LWW reduce would be an
-            # identity shuffle — the whole-table Exchange dashboards pay
-            # on every read of a freshly-maintained table, for nothing.
-            # lww only: the partial/agg folds also project the on-disk
-            # fold layout back to payload columns and can never skip.
+            # fold-skip: a snapshot where every bucket is exactly ONE
+            # compaction/rescale output dir is already key-unique per
+            # bucket (both rewrite the RESOLVED state), so the LWW
+            # reduce would be an identity shuffle — the whole-table
+            # Exchange dashboards pay on every read of a
+            # freshly-maintained table, for nothing. The one-dir-per-
+            # bucket requirement is belt-and-braces against overlapping
+            # rewrites ever co-registering (compact()'s conflict retry
+            # now drops redundant folds, but a skipped fold must never
+            # be able to double rows). lww only: the partial/agg folds
+            # also project the on-disk fold layout back to payload
+            # columns and can never skip.
             m.get("merge_engine", "lww") == "lww"
             and _dirs
             and all(
@@ -1185,6 +1190,7 @@ class MiniLakeTable:
                 )
                 for d in _dirs
             )
+            and all(len(ds) == 1 for ds in m["buckets"].values())
         ):
             phys = self._fold(phys, m)
         return phys.filter(~F.col(DELETED_COL)).select(*cols)
@@ -1382,6 +1388,9 @@ class MiniLakeTable:
                 )
                 for d in all_dirs
             )
+            # one dir per bucket, same as read()'s fold-skip: per-file
+            # pruning assumes key-unique state on disk
+            and all(len(ds) == 1 for ds in m["buckets"].values())
         )
         if maintained:
             # key-unique resolved state (COW always; MOR once every dir
@@ -3524,12 +3533,25 @@ class MiniLakeTable:
         while True:
             new_buckets = dict(base["buckets"])
             new_dirs: list[str] = []
+            skipped_dirs: list[str] = []
             for b in target:
                 bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+                base_dirs = new_buckets.get(str(b), [])
+                if folded_set[b] - set(base_dirs):
+                    # A fold may only REPLACE its exact inputs. Some of
+                    # this bucket's inputs are gone from the (possibly
+                    # conflict-reloaded) base — a RACING COMPACTION
+                    # already folded them away. Registering our output
+                    # next to the racer's would store every key twice
+                    # (and the maintained-snapshot fold-skip read would
+                    # SERVE the duplicates); keep the racer's result for
+                    # this bucket and discard ours — the contents are
+                    # equivalent folds of the same inputs.
+                    if os.path.exists(bucket_dir):
+                        skipped_dirs.append(bucket_dir)
+                    continue
                 survivors = [
-                    d
-                    for d in new_buckets.get(str(b), [])
-                    if d not in folded_set[b]
+                    d for d in base_dirs if d not in folded_set[b]
                 ]
                 folded = (
                     [bucket_dir] if os.path.exists(bucket_dir) else []
@@ -3551,6 +3573,8 @@ class MiniLakeTable:
             m2["committed_at"] = time.time()
             try:
                 self._write_manifest(m2)
+                for d in skipped_dirs:  # redundant folds, never registered
+                    shutil.rmtree(d, ignore_errors=True)
                 return m2["version"]
             except CommitConflict:
                 if base.get("write_mode", "cow") != "mor":

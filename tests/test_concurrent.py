@@ -194,3 +194,58 @@ def test_two_stream_fan_in_lww_across_streams(spark, tmp_path):
 
     fences = table.snapshot_props()[FENCES_PROP]
     assert len(fences) == 2 and all(v == 2 for v in fences.values())
+
+
+def test_racing_compactions_never_double_rows(spark, tmp_path):
+    """Deterministic replay of the two-compactions race: a racer runs a
+    FULL compaction between this compaction's file write and its
+    manifest CAS. The loser's conflict retry must recognize that its
+    fold's inputs were already folded away and DISCARD its output —
+    registering it next to the racer's would store every key twice, and
+    a maintained-snapshot read (fold-skip) would serve the duplicates
+    (this is exactly how the concurrent MV refresh test flaked: view
+    counts doubled)."""
+    import datetime
+
+    table = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, key_cols=KEYS,
+        n_buckets=4, write_mode="mor",
+    )
+    rows = [
+        (f"c{i}", 0, "user", f"t-{i}", datetime.datetime(2024, 1, 1),
+         i + 1, "I")
+        for i in range(40)
+    ]
+    table.merge(
+        spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "ts timestamp, lsn long, op string",
+        ),
+        batch_id=0,
+    )
+    racer = MiniLakeTable(spark, table.root)
+    orig = table._write_manifest
+    fired = {"n": 0}
+
+    def hooked(m):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            racer.compact(drop_tombstones=True)  # racer wins the CAS
+        return orig(m)
+
+    table._write_manifest = hooked
+    try:
+        table.compact(drop_tombstones=True)
+    finally:
+        table._write_manifest = orig
+
+    got = table.read()
+    dups = (
+        got.groupBy(*KEYS).count().filter("count > 1").count()
+    )
+    assert dups == 0
+    assert got.count() == 40
+    # every bucket holds exactly ONE rewrite output (the racer's)
+    m = table.manifest()
+    assert all(len(ds) == 1 for ds in m["buckets"].values()), m["buckets"]
