@@ -1331,18 +1331,30 @@ class MiniLakeTable:
         upper=None,
         version: int | None = None,
     ) -> dict:
-        """Driver-side scan planning for :meth:`read_range` — exposed so
-        tests (and operators) can assert WHAT would be scanned without
-        running a job. Returns ``{"mode", "dirs", "file_filter",
-        "files_planned", "files_total"}``; mode is ``"file"`` (per-file
-        pruning), ``"bucket"`` (whole-bucket pruning), or ``"none"``."""
+        """Single-column :meth:`plan_box_scan`."""
+        return self.plan_box_scan({col: (lower, upper)}, version=version)
+
+    def plan_box_scan(
+        self,
+        bounds: dict[str, tuple],
+        version: int | None = None,
+    ) -> dict:
+        """Driver-side scan planning for :meth:`read_box` /
+        :meth:`read_range` — exposed so tests (and operators) can assert
+        WHAT would be scanned without running a job. ``bounds`` is a
+        CONJUNCTION ``{col: (lower, upper)}`` of closed ranges (either
+        side None = open); a file prunes as soon as ANY bounded declared
+        dimension's recorded bounds miss its range, so a z-order layout
+        multiplies the dimensions' selectivities. Returns ``{"mode",
+        "dirs", "file_filter", "files_planned", "files_total"}``; mode
+        is ``"file"`` (per-file pruning), ``"bucket"`` (whole-bucket
+        pruning), or ``"none"``."""
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
         by_name = {f.name: f for f in schema.fields}
-        if col not in by_name:
-            raise ValueError(f"no column {col!r} in the table schema")
-        field = by_name[col]
-        pcol = physical_name(field)
+        for col in bounds:
+            if col not in by_name:
+                raise ValueError(f"no column {col!r} in the table schema")
         all_dirs = [d for ds in m["buckets"].values() for d in ds]
         stats = m.get("file_stats", {})
         files_total = sum(
@@ -1355,19 +1367,23 @@ class MiniLakeTable:
             "files_planned": files_total,
             "files_total": files_total,
         }
-        if (lower is None and upper is None) or col not in m[
-            "properties"
-        ].get(STATS_COLS_PROP, []):
+        declared = set(m["properties"].get(STATS_COLS_PROP, []))
+        # pruning dimensions: bounded AND declared (undeclared bounded
+        # columns still filter exactly, they just can't prune)
+        dims: list[tuple[str, object, object]] = []
+        for col, (lower, upper) in bounds.items():
+            if (lower is None and upper is None) or col not in declared:
+                continue
+            f = by_name[col]
+            lo = self._norm_bound(f, lower)[1] if lower is not None else None
+            hi = self._norm_bound(f, upper)[1] if upper is not None else None
+            dims.append((physical_name(f), lo, hi))
+        if not dims:
             return no_prune
         if m.get("merge_engine", "lww") == "agg":
             # a sum-fold can land IN range though every physical part is
             # outside it — no granularity of stats pruning is sound
             return no_prune
-        lo = hi = None
-        if lower is not None:
-            _, lo = self._norm_bound(field, lower)
-        if upper is not None:
-            _, hi = self._norm_bound(field, upper)
 
         def _file_hits(d: str) -> list[str] | None:
             """Kept files of dir d, or None = no usable stats (keep all)."""
@@ -1376,8 +1392,11 @@ class MiniLakeTable:
                 return None
             return [
                 os.path.join(d, name)
-                for name, bounds in fs.items()
-                if self._bounds_intersect(bounds.get(pcol), lo, hi)
+                for name, fb in fs.items()
+                if all(
+                    self._bounds_intersect(fb.get(pcol), lo, hi)
+                    for pcol, lo, hi in dims
+                )
             ]
 
         maintained = m.get("write_mode", "cow") == "cow" or (
@@ -1452,43 +1471,53 @@ class MiniLakeTable:
         upper=None,
         version: int | None = None,
     ) -> DataFrame:
-        """Range scan with manifest-stats pruning (the Iceberg
-        scan-planning analog over :meth:`set_stats_columns` bounds).
-        Equivalent BY CONSTRUCTION to ``read(version).filter(lower <=
-        col <= upper)`` (bounds inclusive, either side open) — pruning
-        only ever drops files/buckets that cannot contribute a row the
-        exact filter keeps, at the granularity the snapshot state makes
-        sound:
+        """Single-column :meth:`read_box`."""
+        return self.read_box({col: (lower, upper)}, version=version)
 
-        - fully-maintained snapshot or COW table → per-FILE pruning;
-          after ``compact(cluster_cols=[col])`` the files are contiguous
-          spans of ``col`` and a narrow range plans O(matching files).
+    def read_box(
+        self,
+        bounds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Box scan (conjunction of ranges) with manifest-stats pruning
+        (the Iceberg scan-planning analog over :meth:`set_stats_columns`
+        bounds). Equivalent BY CONSTRUCTION to ``read(version)`` with
+        every ``lower <= col <= upper`` filter applied (bounds
+        inclusive, either side open) — pruning only ever drops
+        files/buckets that cannot contribute a row the exact filters
+        keep, at the granularity the snapshot state makes sound:
+
+        - fully-maintained snapshot or COW table → per-FILE pruning; a
+          file prunes when ANY bounded declared dimension excludes it,
+          so after ``compact(cluster_cols=[a, b], zorder=True)`` a box
+          over (a, b) plans roughly the PRODUCT of the two dimensions'
+          file selectivities — the z-order payoff.
         - MOR with unresolved deltas → per-BUCKET pruning (per-file
-          would resurrect stale LWW losers; see :meth:`plan_range_scan`).
-        - ``'agg'`` merge engine → exact filter only, no pruning.
+          would resurrect stale LWW losers; see :meth:`plan_box_scan`).
+        - ``'agg'`` merge engine → exact filters only, no pruning.
 
         At 10^10 rows this is the difference between launching tasks
         over every file of every bucket and a driver-side metadata
         decision — same class as Iceberg's min/max manifest pruning."""
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
-        field = {f.name: f for f in schema.fields}[col] if col in {
-            f.name for f in schema.fields
-        } else None
-        if field is None:
-            raise ValueError(f"no column {col!r} in the table schema")
-        plan = self.plan_range_scan(col, lower, upper, version)
+        by_name = {f.name: f for f in schema.fields}
+        for col in bounds:
+            if col not in by_name:
+                raise ValueError(f"no column {col!r} in the table schema")
+        plan = self.plan_box_scan(bounds, version=version)
         df = self.read(
             version if version is not None else m["version"],
             _dirs=plan["dirs"],
             _file_filter=plan["file_filter"],
         )
-        if lower is not None:
-            fv, _ = self._norm_bound(field, lower)
-            df = df.filter(F.col(col) >= F.lit(fv))
-        if upper is not None:
-            fv, _ = self._norm_bound(field, upper)
-            df = df.filter(F.col(col) <= F.lit(fv))
+        for col, (lower, upper) in bounds.items():
+            if lower is not None:
+                fv, _ = self._norm_bound(by_name[col], lower)
+                df = df.filter(F.col(col) >= F.lit(fv))
+            if upper is not None:
+                fv, _ = self._norm_bound(by_name[col], upper)
+                df = df.filter(F.col(col) <= F.lit(fv))
         return df
 
     def read_changes_since(

@@ -153,3 +153,60 @@ def test_zorder_survives_single_output_file(spark, tmp_path):
     )
     _assert_equiv(t, "turn_idx", 2, 9)
     _assert_equiv(t, "ts", _ts(1), _ts(5))
+
+
+def test_box_scan_prunes_multiplicatively_on_zorder(spark, tmp_path):
+    t = _table(spark, tmp_path, "box")
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    p_ts = t.plan_range_scan("ts", _ts(0), _ts(3))
+    p_ti = t.plan_range_scan("turn_idx", 0, 3)
+    box = t.plan_box_scan({"ts": (_ts(0), _ts(3)), "turn_idx": (0, 3)})
+    assert box["mode"] == "file"
+    # the conjunction can never plan MORE than either dimension alone,
+    # and on a z-layout the 4x16 + 16x4 bands overlap in ~a 4x4 corner
+    assert box["files_planned"] <= min(
+        p_ts["files_planned"], p_ti["files_planned"]
+    )
+    exact = (
+        t.read()
+        .filter(
+            (F.col("ts") >= F.lit(_ts(0))) & (F.col("ts") <= F.lit(_ts(3)))
+            & (F.col("turn_idx") >= 0) & (F.col("turn_idx") <= 3)
+        )
+        .collect()
+    )
+    got = t.read_box(
+        {"ts": (_ts(0), _ts(3)), "turn_idx": (0, 3)}
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+    assert len(got) == 16  # the 4x4 corner of the grid
+
+
+def test_box_scan_undeclared_column_filters_but_still_prunes_on_others(
+    spark, tmp_path
+):
+    t = _table(spark, tmp_path, "mix")  # stats cols: ts, turn_idx
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "turn_idx"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    # 'text' is not a declared stats column: it cannot prune, but the
+    # declared ts bound still must
+    box = t.plan_box_scan({"ts": (_ts(0), _ts(3)), "text": ("t-0", "t-9")})
+    assert box["mode"] == "file"
+    assert box["files_planned"] < box["files_total"]
+    got = t.read_box({"ts": (_ts(0), _ts(3)), "text": ("t-0", "t-9")})
+    exact = t.read().filter(
+        (F.col("ts") >= F.lit(_ts(0))) & (F.col("ts") <= F.lit(_ts(3)))
+        & (F.col("text") >= "t-0") & (F.col("text") <= "t-9")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
