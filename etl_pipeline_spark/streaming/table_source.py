@@ -39,6 +39,12 @@ Contracts and limits (each enforced with a clear error):
 - A consumer that falls behind the retention-GC horizon fails with the
   same remedy as ``read_changes_since``: re-seed via
   ``replicate.export_snapshot``.
+- No per-trigger rate cap (Delta's ``maxFilesPerTrigger`` analog): the
+  Python DS API's ``latestOffset()`` takes no start offset, so a cap
+  tracked reader-side could regress below a restarted query's committed
+  offset and break exactly-once. Until the API grows ReadLimit support,
+  bound a large catch-up explicitly: repeated ``availableNow`` drains,
+  or ``startingVersion`` stepping.
 
 Reference parity note: the reference repo has no streaming surface at
 all (single-process pandas ETL, ``main.py:228-264``); this closes the
