@@ -3532,7 +3532,7 @@ class MiniLakeTable:
             clustered = df.repartition(
                 max(len(target), 1), F.col(BUCKET_COL)
             )
-        (
+        writer = (
             self._to_physical(
                 clustered,
                 schema,
@@ -3550,9 +3550,17 @@ class MiniLakeTable:
             # parquet bloom filter on the key: equality pushdown skips
             # row groups the min/max bounds can't exclude
             .option(f"parquet.bloom.filter.enabled#{pkey0}", "true")
-            .mode("overwrite")
-            .parquet(out_dir)
         )
+        # declared stats columns get blooms too: an equality predicate
+        # on a secondary column then skips row groups INSIDE the files
+        # the manifest bounds kept (manifest prunes files, bloom prunes
+        # row groups — the two tiers compose)
+        for c in base.get("properties", {}).get(STATS_COLS_PROP, []):
+            if c in to_phys and to_phys[c] != pkey0:
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{to_phys[c]}", "true"
+                )
+        writer.mode("overwrite").parquet(out_dir)
         # the exact dir-set each folded file REPLACES — a conflicted
         # commit rebuilds on a fresh base by swapping precisely these
         # out and keeping any deltas a racing merge appended since
