@@ -90,6 +90,10 @@ CONSTRAINTS_PROP = "engine.constraints"
 # manifest (Iceberg manifest-entry column stats analog) so range scans
 # can plan from metadata instead of opening every file — see read_range
 STATS_COLS_PROP = "engine.stats-columns"
+# shallow-clone provenance: the source table root and the source-side
+# tag that pins the shared data dirs against the source's retention GC
+CLONE_OF_PROP = "engine.clone-of"
+CLONE_TAG_PROP = "engine.clone-tag"
 # dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
 # dead rows ride the delta write in this pseudo-bucket, then the dir is
 # relocated to the dead-letter sink before the manifest registers buckets
@@ -3333,6 +3337,53 @@ class MiniLakeTable:
             "dirs_removed": len(removed_dirs),
             "young_orphans_skipped": len(skipped_orphans),
         }
+
+    # -------------------------------------------------------------- clone
+
+    def shallow_clone(
+        self, dest_root: str, version: int | None = None
+    ) -> "MiniLakeTable":
+        """Zero-copy clone (Delta ``SHALLOW CLONE`` analog): a new table
+        whose initial snapshot REFERENCES this table's data dirs instead
+        of copying them — metadata-only, O(1) whatever the table size.
+        The clone is immediately writable and diverges privately: every
+        write mode only ever ADDS dirs under the writer's own root
+        (MOR appends deltas; COW and compaction register replacement
+        dirs and merely drop references to shared ones), and retention
+        GC deletes only under its own ``data_dir`` — so neither side's
+        writes or GC can touch the other's files.
+
+        Safety against the SOURCE's GC: the cloned snapshot is pinned by
+        an auto-created source tag (recorded in the clone's
+        ``engine.clone-tag`` property); dropping the clone means
+        deleting its root and ``source.delete_tag(tag)``. This is the
+        honest version of Delta's shallow-clone caveat — there, a source
+        VACUUM silently breaks clones; here the pin is explicit and the
+        break requires dropping it.
+
+        Fences, tombstones, file stats and properties ride along, so a
+        replay already applied to the source is a fenced no-op on the
+        clone (the clone continues the source's exactly-once history
+        rather than double-applying it). Use
+        ``replicate.export_snapshot`` instead when you need a physical
+        copy with an independent lifecycle."""
+        if MiniLakeTable.exists(dest_root):
+            raise ValueError(f"destination {dest_root!r} already exists")
+        m = self.manifest(version)
+        tag = f"clone-{uuid.uuid4().hex[:8]}"
+        self.create_tag(tag, m["version"])
+        dest = MiniLakeTable(self.spark, dest_root)
+        os.makedirs(dest.meta_dir, exist_ok=True)
+        os.makedirs(dest.data_dir, exist_ok=True)
+        m2 = dict(m)
+        m2["properties"] = {
+            **m["properties"],
+            CLONE_OF_PROP: self.root,
+            CLONE_TAG_PROP: tag,
+        }
+        m2["committed_at"] = time.time()
+        dest._write_manifest(m2)
+        return dest
 
     # ------------------------------------------------------------ compact
 

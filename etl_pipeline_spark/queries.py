@@ -480,6 +480,86 @@ def q_cdc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(table.read_range("ts", lo, hi))
 
 
+# The flagship LWW state with the first 50 keys (by key order)
+# overridden to text='cloned' — the oracle for q_cdc_clone_state's
+# shallow clone + divergent update batch.
+CLONE_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+),
+k AS (
+  SELECT conv_id, turn_idx FROM state
+  ORDER BY conv_id, turn_idx LIMIT 50
+)
+SELECT s.conv_id, s.turn_idx, s.role,
+       CASE WHEN k.conv_id IS NOT NULL THEN 'cloned' ELSE s.text END
+         AS text,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch
+FROM state s
+LEFT JOIN k ON s.conv_id = k.conv_id AND s.turn_idx = k.turn_idx
+"""
+
+_CLONE_CACHE: dict = {}
+
+
+def q_cdc_clone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone graded end-to-end (lake/minilake.shallow_clone —
+    the Delta SHALLOW CLONE analog): the replayed primary is cloned
+    metadata-only (the clone REFERENCES the primary's data dirs, pinned
+    by an auto source tag), then a divergent update batch rewrites the
+    first 50 keys' text on the CLONE ONLY. The graded claims: the clone
+    serves primary-state + override (zero-copy read correctness AND
+    write divergence), while the primary still serves the unmodified
+    flagship state (isolation — asserted in-query against the flagship
+    oracle's own projection). At 10^10 rows a clone is O(1) metadata,
+    not a copy job."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CLONE_CACHE.get(key)
+    if got is None:
+        primary = _replayed_table(spark, sf_dir)
+        before = primary.read().count()
+        tmp = tempfile.mkdtemp(prefix="cdc_clone_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        clone = primary.shallow_clone(os.path.join(tmp, "clone"))
+        base = clone.read()
+        k50 = (
+            base.select("conv_id", "turn_idx")
+            .orderBy("conv_id", "turn_idx")
+            .limit(50)
+        )
+        from .lake.minilake import MAX_LSN_PROP
+
+        new_lsn = int(primary.snapshot_props()[MAX_LSN_PROP]) + 1
+        payload = [
+            c for c in base.columns if c not in ("conv_id", "turn_idx")
+        ]
+        upd = base.join(k50, ["conv_id", "turn_idx"]).select(
+            "conv_id",
+            "turn_idx",
+            *[
+                F.lit("cloned").alias(c) if c == "text" else F.col(c)
+                for c in payload
+            ],
+            F.lit(new_lsn).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        clone.merge(upd, batch_id=0, stream_id="clone-divergence")
+        # isolation: the primary is untouched by the clone's write
+        assert primary.read().count() == before
+        _CLONE_CACHE[key] = clone
+    else:
+        clone = got
+    return _state_projection(clone.read())
+
+
 _STREAM_FEED_CACHE: dict = {}
 
 
@@ -5248,6 +5328,7 @@ QUERIES = {
     "cdc_ts_range_scan": q_cdc_ts_range_scan,
     "cdc_zorder_scan": q_cdc_zorder_scan,
     "cdc_stream_changes": q_cdc_stream_changes,
+    "cdc_clone_state": q_cdc_clone_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5378,6 +5459,7 @@ ORACLE_SQL = {
     "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
     "cdc_zorder_scan": ZORDER_SCAN_SQL,
     "cdc_stream_changes": STREAM_CHANGES_SQL,
+    "cdc_clone_state": CLONE_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

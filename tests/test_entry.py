@@ -116,7 +116,7 @@ INTENDED_FIRST_50 = [
     "cdc_partial_update_state", "cdc_conv_agg_state",
     "cdc_default_values", "cdc_widened_state", "cdc_constrained_state",
     "cdc_dml_state", "cdc_ts_range_scan", "cdc_zorder_scan",
-    "cdc_stream_changes",
+    "cdc_stream_changes", "cdc_clone_state",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
@@ -125,10 +125,10 @@ INTENDED_FIRST_50 = [
     "docs_repetition_stats", "docs_unigram_entropy", "docs_boilerplate",
     "docs_stratified_sample", "docs_sentence_dedup", "docs_tfidf_top_terms",
     "docs_quality_percentile_filter", "docs_dedup_then_sample",
-    "docs_bpe_token_stats",
-    # docs_exact_dup_pairs and mm_frame_sample moved below the line for
-    # the r5 session-5 insertions of cdc_stream_changes and
-    # cdc_zorder_scan — allowed: green r04 (72 and 2000 rows).
+    # docs_bpe_token_stats, docs_exact_dup_pairs and mm_frame_sample
+    # moved below the line for the r5 session-5 insertions of
+    # cdc_clone_state, cdc_stream_changes and cdc_zorder_scan —
+    # allowed: green r04 (500, 72 and 2000 rows).
     # emb_label_stats moved below the line for the r5 session-4
     # insertion of cdc_ts_range_scan — allowed: green r04 (26 rows).
     # emb_near_dup_pairs, user_event_paths, user_event_paths_jvm and
