@@ -3370,6 +3370,26 @@ class MiniLakeTable:
         if MiniLakeTable.exists(dest_root):
             raise ValueError(f"destination {dest_root!r} already exists")
         m = self.manifest(version)
+        if m["properties"].get(CLONE_OF_PROP):
+            foreign = [
+                d
+                for ds in m["buckets"].values()
+                for d in ds
+                if not d.startswith(self.root + os.sep)
+            ]
+            if foreign:
+                # a second-hop clone would depend on the FIRST clone's
+                # pin on the original source: dropping the intermediate
+                # clone (delete root + delete_tag) would silently break
+                # this one. Refuse until the data is localized — one
+                # compact() rewrites every referenced dir under this
+                # clone's own root, making it a self-contained source.
+                raise ValueError(
+                    "cannot shallow-clone a clone that still references "
+                    f"{m['properties'][CLONE_OF_PROP]!r} "
+                    f"({len(foreign)} shared dirs): run compact() first "
+                    "to localize the data, then clone"
+                )
         tag = f"clone-{uuid.uuid4().hex[:8]}"
         self.create_tag(tag, m["version"])
         dest = MiniLakeTable(self.spark, dest_root)

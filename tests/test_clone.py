@@ -130,3 +130,24 @@ def test_clone_of_pinned_old_version(spark, tmp_path):
     clone = src.shallow_clone(str(tmp_path / "clone"), version=v1)
     texts = {r["text"] for r in clone.read().collect()}
     assert texts == {f"a-{i}" for i in range(5)}
+
+
+def test_clone_of_unlocalized_clone_is_refused_until_compacted(
+    spark, tmp_path
+):
+    """Second-hop clones would ride the FIRST clone's source pin —
+    dropping the intermediate clone would silently break them. The
+    engine refuses until compact() localizes the data, after which the
+    clone is a self-contained source and cloning it is the ordinary
+    single-hop case."""
+    src = _table(spark, tmp_path)
+    src.merge(_rows(spark, "a", 6), batch_id=0)
+    c1 = src.shallow_clone(str(tmp_path / "c1"))
+    with pytest.raises(ValueError, match="localize"):
+        c1.shallow_clone(str(tmp_path / "c2"))
+    c1.compact(drop_tombstones=True)  # every dir now under c1's root
+    c2 = c1.shallow_clone(str(tmp_path / "c2"))
+    assert _snap(c2) == _snap(src)
+    # c2's pin lives on c1, whose data no longer depends on src
+    assert c2.snapshot_props()[CLONE_OF_PROP] == c1.root
+    assert c2.snapshot_props()[CLONE_TAG_PROP] in c1.tags()
