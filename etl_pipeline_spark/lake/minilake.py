@@ -3403,6 +3403,27 @@ class MiniLakeTable:
         }
         m2["committed_at"] = time.time()
         dest._write_manifest(m2)
+        # TOCTOU guard: a CONCURRENT source expire_snapshots may have
+        # read the tag registry BEFORE our pin landed and still deleted
+        # the snapshot's manifest or dirs. Verify liveness AFTER the pin
+        # is durable; on a lost race, undo everything and surface a
+        # retryable conflict (the retry re-reads a fresh manifest whose
+        # dirs the now-visible tag protects).
+        missing = [
+            d
+            for ds in m2["buckets"].values()
+            for d in ds
+            if not os.path.isdir(d)
+        ]
+        if missing or not os.path.exists(
+            self._manifest_path(m["version"])
+        ):
+            shutil.rmtree(dest_root, ignore_errors=True)
+            self.delete_tag(tag)
+            raise CommitConflict(
+                f"shallow_clone raced retention GC on {self.root!r} "
+                f"(version {m['version']} partially expired); retry"
+            )
         return dest
 
     # ------------------------------------------------------------ compact

@@ -151,3 +151,45 @@ def test_clone_of_unlocalized_clone_is_refused_until_compacted(
     # c2's pin lives on c1, whose data no longer depends on src
     assert c2.snapshot_props()[CLONE_OF_PROP] == c1.root
     assert c2.snapshot_props()[CLONE_TAG_PROP] in c1.tags()
+
+
+def test_clone_racing_gc_fails_clean_and_retries(spark, tmp_path):
+    """Adversarial interleaving: a source expire_snapshots that read the
+    tag registry BEFORE the clone's pin landed deletes the shared dirs.
+    The clone must detect the lost race after pinning, undo (no dest,
+    no dangling tag) and raise a retryable CommitConflict; the retry —
+    now visibly pinned — succeeds."""
+    import shutil as _shutil
+
+    from etl_pipeline_spark.lake.minilake import CommitConflict
+
+    src = _table(spark, tmp_path)
+    src.merge(_rows(spark, "a", 6), batch_id=0)
+    src.merge(_rows(spark, "b", 4, base_lsn=100), batch_id=1)
+    doomed_version = src.current_version()
+    orig = src.create_tag
+    fired = {"n": 0}
+
+    def hooked(name, version=None):
+        got = orig(name, version)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # emulate the GC that had already enumerated tags (without
+            # our pin): wipe the snapshot's dirs and manifests behind
+            # the clone's back
+            for d in os.listdir(src.data_dir):
+                _shutil.rmtree(os.path.join(src.data_dir, d))
+            for v in range(1, doomed_version + 1):
+                p = src._manifest_path(v)
+                if os.path.exists(p):
+                    os.remove(p)
+        return got
+
+    src.create_tag = hooked
+    try:
+        with pytest.raises(CommitConflict, match="raced retention GC"):
+            src.shallow_clone(str(tmp_path / "clone"))
+    finally:
+        src.create_tag = orig
+    assert not MiniLakeTable.exists(str(tmp_path / "clone"))
+    assert not any(t.startswith("clone-") for t in src.tags())
