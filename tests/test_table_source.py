@@ -171,3 +171,31 @@ def test_expired_horizon_fails_with_reseed_error(spark, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     with pytest.raises(Exception, match="retention GC|re-seed"):
         _drain(spark, t.root, out, ckpt, starting="1")
+
+
+def test_mid_stream_additive_evolution_keeps_pinned_schema(spark, tmp_path):
+    """Columns added AFTER a stream's checkpoint was created must not
+    disturb it: the pinned schema keeps serving the old columns (new
+    physical columns in new dirs are simply not selected), and a
+    RESTARTED query (fresh load()) picks the widened schema — the same
+    restart-on-widen contract as the evolving-stream ingest driver."""
+    t = _table(spark, tmp_path)
+    t.merge(_rows(spark, "a", 4), batch_id=0)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, t.root, out, ckpt)
+    t.add_columns([T.StructField("tool", T.StringType(), True)])
+    src = _rows(spark, "b", 3).withColumn("tool", F.lit("search"))
+    t.merge(src, batch_id=1)
+    # same checkpoint -> same pinned pre-add schema; the new column is
+    # invisible, the new ROWS are not
+    _drain(spark, t.root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert "tool" not in got.columns
+    assert got.count() == 7
+    # a fresh query (new checkpoint) resolves the evolved schema
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _drain(spark, t.root, out2, ckpt2)
+    got2 = spark.read.parquet(out2)
+    assert "tool" in got2.columns
+    tools = {r["text"]: r["tool"] for r in got2.collect()}
+    assert tools["b-0"] == "search" and tools["a-0"] is None
