@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import shutil
 import time
@@ -1810,6 +1811,14 @@ class MiniLakeTable:
                         return None
                     if not isinstance(ks.min, (str, int, float)):
                         return None  # keep manifests JSON-serializable
+                    if any(
+                        isinstance(v, float) and math.isnan(v)
+                        for v in (ks.min, ks.max)
+                    ):
+                        # NaN key bounds (double key column with NaN
+                        # values): same poison as the secondary-column
+                        # bounds below — no stats beats wrong pruning
+                        return None
                     key_min = ks.min if key_min is None else min(key_min, ks.min)
                     key_max = ks.max if key_max is None else max(key_max, ks.max)
                     lsn_min = ls.min if lsn_min is None else min(lsn_min, ls.min)
@@ -1862,6 +1871,20 @@ class MiniLakeTable:
                     continue
                 emn, emx = enc(st.min), enc(st.max)
                 if emn is None or emx is None:
+                    usable = False
+                    break
+                if any(
+                    isinstance(v, float) and math.isnan(v)
+                    for v in (emn, emx)
+                ):
+                    # parquet-mr computes double bounds with Java's total
+                    # order, where NaN sorts above everything — a chunk
+                    # holding any NaN reports max=NaN (sometimes min=NaN
+                    # too). NaN poisons every pruning comparison (both
+                    # `mn <= hi` and `mx >= lo` go False, so the file
+                    # would WRONGLY prune even though its finite values
+                    # match). Bounds containing NaN are unusable: leave
+                    # the column absent = unknown = never pruned.
                     usable = False
                     break
                 mn = emn if mn is None else min(mn, emn)
