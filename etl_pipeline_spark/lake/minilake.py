@@ -60,7 +60,7 @@ from ..operators.agg_engine import (
     agg_fold,
     validate_agg_spec,
 )
-from ..operators.lww import lww_reduce
+from ..operators.lww import lww_reduce, lww_reduce_with_lineage
 from ..operators.partial_update import (
     RESET_COL,
     partial_event_frame,
@@ -68,9 +68,11 @@ from ..operators.partial_update import (
     vl_col,
 )
 from ..schema import (
+    BIRTH_COL,
     BUCKET_COL,
     DELETED_COL,
     LSN_COL,
+    TOMB_COL,
     initial_default,
     physical_name,
     schema_from_manifest,
@@ -95,6 +97,7 @@ STATS_COLS_PROP = "engine.stats-columns"
 # tag that pins the shared data dirs against the source's retention GC
 CLONE_OF_PROP = "engine.clone-of"
 CLONE_TAG_PROP = "engine.clone-tag"
+ROW_LINEAGE_PROP = "engine.row-lineage"  # bool: carry _birth_lsn/_tomb_lsn
 # dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
 # dead rows ride the delta write in this pseudo-bucket, then the dir is
 # relocated to the dead-letter sink before the manifest registers buckets
@@ -167,6 +170,17 @@ class MiniLakeTable:
         return self.manifest().get("merge_engine", "lww")
 
     @property
+    def row_lineage(self) -> bool:
+        """Whether this table carries per-row lineage summaries
+        (``_birth_lsn``/``_tomb_lsn``). pipeline.apply_batch reads this
+        to skip its whole-row pre-reduce: lineage is per-EVENT semantics
+        — a pipeline pre-collapse would erase within-batch births before
+        the merge's lineage-aware fold ever sees them."""
+        return bool(
+            self.manifest().get("properties", {}).get(ROW_LINEAGE_PROP)
+        )
+
+    @property
     def supports_dead_letter_fusion(self) -> bool:
         """MOR tables can write dead-letter rows inside the merge's one
         delta-write job (merge(valid_col=..., dead_sink=...)) instead of
@@ -202,12 +216,21 @@ class MiniLakeTable:
         write_mode: str = "cow",
         merge_engine: str = "lww",
         agg_spec: dict | None = None,
+        row_lineage: bool = False,
     ) -> "MiniLakeTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         if merge_engine not in ("lww", "partial", "agg"):
             raise ValueError(
                 f"merge_engine must be lww|partial|agg, got {merge_engine!r}"
+            )
+        if row_lineage and (write_mode != "mor" or merge_engine != "lww"):
+            # lineage summaries ride the MOR delta pre-reduce and the
+            # compaction fold; the COW rewrite and the partial/agg folds
+            # have no whole-row winner to attach a birth to
+            raise ValueError(
+                "row_lineage requires write_mode='mor' and "
+                "merge_engine='lww'"
             )
         if merge_engine == "agg":
             # spec keyed by PHYSICAL column name — stable across renames
@@ -236,6 +259,7 @@ class MiniLakeTable:
             **({"agg_spec": agg_spec} if agg_spec is not None else {}),
             "buckets": {},
             "properties": {FENCES_PROP: {}, MAX_LSN_PROP: -1,
+                           **({ROW_LINEAGE_PROP: True} if row_lineage else {}),
                            **(properties or {})},
             "stats": {"live_rows": 0, "tombstones": 0},
             "committed_at": time.time(),
@@ -381,6 +405,15 @@ class MiniLakeTable:
             T.StructField(LSN_COL, T.LongType(), False),
             T.StructField(DELETED_COL, T.BooleanType(), False),
         ]
+        if m.get("properties", {}).get(ROW_LINEAGE_PROP):
+            # lineage summary columns (folded/compacted files carry
+            # them; files written before enablement read as null — a
+            # null summary means "this row is its own singleton
+            # summary", which the lineage fold resolves via coalesce)
+            fields += [
+                T.StructField(BIRTH_COL, T.LongType(), True),
+                T.StructField(TOMB_COL, T.LongType(), True),
+            ]
         engine = m.get("merge_engine", "lww")
         if engine == "partial":
             # fold layout (operators/partial_update.py): each payload
@@ -1099,14 +1132,27 @@ class MiniLakeTable:
         return best
 
     def _fold(
-        self, df: DataFrame, m: dict, keys: list[str] | None = None
+        self,
+        df: DataFrame,
+        m: dict,
+        keys: list[str] | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Per-key state resolution under the table's merge engine: the
         LWW whole-row reduce by default, the column-coalescing partial
         fold for ``merge_engine='partial'`` tables. Both are ONE hash
         aggregation over the same clustering; every resolve site (read,
         merge pre-reduce, compaction, rescale, net diff) dispatches here
-        so the engines stay interchangeable."""
+        so the engines stay interchangeable.
+
+        ``lineage=True`` (delta pre-reduce / compaction / rescale on a
+        ``row_lineage`` table) additionally maintains the per-key
+        ``_birth_lsn``/``_tomb_lsn`` summaries — the sites that DISCARD
+        loser events must fold lineage into the survivors or it is lost
+        forever. Plain reads never pass it: the state view doesn't need
+        birth, and the lineage fold trades the pure hash aggregation for
+        a window + aggregation (one sort more) inside the same single
+        Exchange."""
         keys = keys if keys is not None else list(m["key_cols"])
         schema = schema_from_manifest(m["schema"])
         payload_fields = [
@@ -1125,6 +1171,13 @@ class MiniLakeTable:
                     f.name: spec.get(physical_name(f), "last")
                     for f in payload_fields
                 },
+            )
+        if lineage and m.get("properties", {}).get(ROW_LINEAGE_PROP):
+            return lww_reduce_with_lineage(
+                df, keys=keys, order_col=LSN_COL,
+                payload_cols=payload + [DELETED_COL],
+                deleted_col=DELETED_COL,
+                birth_col=BIRTH_COL, tomb_col=TOMB_COL,
             )
         return lww_reduce(
             df, keys=keys, order_col=LSN_COL,
@@ -1215,6 +1268,139 @@ class MiniLakeTable:
         return phys.filter(F.col(DELETED_COL)).select(
             *m["key_cols"], LSN_COL
         )
+
+    def enable_row_lineage(self) -> int:
+        """Turn on row-lineage tracking for an existing table
+        (metadata-only commit; the Iceberg-v3 ``enable row lineage``
+        analog). Requires the MOR + LWW combination like
+        ``create(row_lineage=True)``.
+
+        Precision caveat, stated once and honestly: events folded away
+        BEFORE enablement are gone, so a key whose live segment began
+        before this commit reads its birth as the earliest event that
+        still physically exists for it (its folded winner's own LSN).
+        Keys whose segments begin after this commit are exact. Tables
+        created with ``row_lineage=True`` are exact from birth."""
+        while True:
+            base = self.manifest()
+            if base.get("merge_engine", "lww") != "lww" or (
+                base.get("write_mode", "cow") != "mor"
+            ):
+                raise ValueError(
+                    "row lineage requires write_mode='mor' and "
+                    "merge_engine='lww'"
+                )
+            if base.get("properties", {}).get(ROW_LINEAGE_PROP):
+                return base["version"]
+            m2 = dict(base)
+            m2["version"] = base["version"] + 1
+            m2["parent_snapshot_id"] = base["snapshot_id"]
+            m2["snapshot_id"] = str(uuid.uuid4())
+            m2["properties"] = {
+                **base["properties"], ROW_LINEAGE_PROP: True
+            }
+            m2["committed_at"] = time.time()
+            try:
+                self._write_manifest(m2)
+                return m2["version"]
+            except CommitConflict:
+                continue  # racer committed; re-check on its base
+
+    def read_lineage(
+        self,
+        version: int | None = None,
+        include_tombstones: bool = False,
+        with_commit: bool = False,
+    ) -> DataFrame:
+        """Per-row lineage view — the Iceberg v3 row-lineage analog
+        (``_row_id`` / ``_last_updated_sequence_number``) re-expressed
+        in LSN space so it is verifiable against the change stream:
+
+        - ``birth_lsn``: LSN of the event that created the key's
+          current live incarnation (stable across updates; a delete +
+          re-insert makes a NEW row and a new birth, per Iceberg).
+        - ``last_lsn``: LSN of the last event applied to the row (the
+          LWW winner).
+        - ``last_commit_version`` (``with_commit=True``): the snapshot
+          that committed the winning event, derived from each commit's
+          recorded max-LSN watermark — rows older than the retention
+          horizon attribute to the oldest surviving merge commit.
+
+        One key-clustered window + aggregation over the snapshot's
+        files; compacted files carry materialized summaries, so the
+        input is O(live keys + un-compacted delta rows), never the
+        event history. Exact for tables created with
+        ``row_lineage=True`` under LSN-ordered cross-batch delivery
+        (the WAL contract); see :meth:`enable_row_lineage` for the
+        mid-life-enablement precision caveat, and the tests for the
+        pinned commit-ordered resolution of cross-batch stragglers."""
+        m = self.manifest(version)
+        if m.get("merge_engine", "lww") != "lww" or (
+            m.get("write_mode", "cow") != "mor"
+        ):
+            raise ValueError(
+                "row lineage requires write_mode='mor' and "
+                "merge_engine='lww'"
+            )
+        schema = schema_from_manifest(m["schema"])
+        payload = [
+            f.name for f in schema.fields if f.name not in m["key_cols"]
+        ]
+        dirs = [d for ds in m["buckets"].values() for d in ds]
+        phys = self._read_files(dirs, version=m["version"])
+        folded = lww_reduce_with_lineage(
+            phys,
+            keys=list(m["key_cols"]),
+            order_col=LSN_COL,
+            payload_cols=payload + [DELETED_COL],
+            deleted_col=DELETED_COL,
+            birth_col=BIRTH_COL,
+            tomb_col=TOMB_COL,
+        )
+        out = folded.select(
+            *m["key_cols"],
+            F.col(BIRTH_COL).alias("birth_lsn"),
+            F.col(LSN_COL).alias("last_lsn"),
+            F.col(DELETED_COL),
+        )
+        if not include_tombstones:
+            out = out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if with_commit:
+            # commit attribution from each surviving snapshot's max-LSN
+            # watermark: O(versions) driver-side manifest reads building
+            # a tiny broadcast range dimension — the same accepted
+            # control-plane pattern as the point-lookup planner
+            bounds: list[tuple[int, int, int]] = []
+            prev = -1
+            for v in sorted(
+                int(os.path.basename(p)[1:-5])
+                for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+            ):
+                try:
+                    mv = self.manifest(v)
+                except Exception:
+                    continue
+                mx = mv.get("properties", {}).get(MAX_LSN_PROP, -1)
+                if mx is not None and mx > prev:
+                    bounds.append((v, prev, mx))
+                    prev = mx
+            vdf = self.spark.createDataFrame(
+                bounds,
+                T.StructType([
+                    T.StructField(
+                        "last_commit_version", T.IntegerType(), False
+                    ),
+                    T.StructField("_lsn_lo", T.LongType(), False),
+                    T.StructField("_lsn_hi", T.LongType(), False),
+                ]),
+            )
+            out = out.join(
+                F.broadcast(vdf),
+                (F.col("last_lsn") > F.col("_lsn_lo"))
+                & (F.col("last_lsn") <= F.col("_lsn_hi")),
+                "left",
+            ).drop("_lsn_lo", "_lsn_hi")
+        return out
 
     def read_for_keys(
         self, values: list, version: int | None = None
@@ -2370,12 +2556,41 @@ class MiniLakeTable:
                 clustered = clustered.withColumn("_dlq_key", dlq_key).drop(
                     VALID_COL
                 )
-                merged = lww_reduce(
-                    clustered,
-                    keys=[BUCKET_COL] + list(key_cols) + ["_dlq_key"],
-                    order_col=LSN_COL,
-                    payload_cols=payload_cols + [DELETED_COL, SRC_OP_COL, RAW_COL],
-                ).drop("_dlq_key")
+                fused_keys = [BUCKET_COL] + list(key_cols) + ["_dlq_key"]
+                fused_payload = payload_cols + [
+                    DELETED_COL, SRC_OP_COL, RAW_COL,
+                ]
+                if base.get("properties", {}).get(ROW_LINEAGE_PROP):
+                    # lineage rides the same fused reduce; dead rows get
+                    # their junk summaries nulled below so the DLQ files
+                    # stay forensics-only
+                    merged = lww_reduce_with_lineage(
+                        clustered,
+                        keys=fused_keys,
+                        order_col=LSN_COL,
+                        payload_cols=fused_payload,
+                        deleted_col=DELETED_COL,
+                        birth_col=BIRTH_COL,
+                        tomb_col=TOMB_COL,
+                    ).drop("_dlq_key")
+                    merged = merged.withColumn(
+                        BIRTH_COL,
+                        F.when(
+                            F.col(SRC_OP_COL).isNull(), F.col(BIRTH_COL)
+                        ),
+                    ).withColumn(
+                        TOMB_COL,
+                        F.when(
+                            F.col(SRC_OP_COL).isNull(), F.col(TOMB_COL)
+                        ),
+                    )
+                else:
+                    merged = lww_reduce(
+                        clustered,
+                        keys=fused_keys,
+                        order_col=LSN_COL,
+                        payload_cols=fused_payload,
+                    ).drop("_dlq_key")
             else:
                 if engine == "agg":
                     # duplicate delivery dedup (exact (key, lsn) collapse)
@@ -2386,7 +2601,8 @@ class MiniLakeTable:
                         clustered, [BUCKET_COL] + list(key_cols) + [LSN_COL]
                     )
                 merged = self._fold(
-                    clustered, base, keys=[BUCKET_COL] + list(key_cols)
+                    clustered, base, keys=[BUCKET_COL] + list(key_cols),
+                    lineage=True,
                 )
             touched = None  # discovered post-write
         else:
@@ -3535,7 +3751,7 @@ class MiniLakeTable:
             dirs = [d for b in target for d in base["buckets"].get(str(b), [])]
             df = self._read_files(dirs, version=version)
         if base.get("write_mode", "cow") == "mor":
-            df = self._fold(df, base)
+            df = self._fold(df, base, lineage=True)
         if drop_tombstones:
             # NOTE: only safe once no straggler event below MAX_LSN can
             # still arrive — a dropped tombstone cannot out-LWW a later
@@ -3819,7 +4035,7 @@ class MiniLakeTable:
         schema = schema_from_manifest(base["schema"])
         df = self.read_physical()
         if base.get("write_mode", "cow") == "mor":
-            df = self._fold(df, base)
+            df = self._fold(df, base, lineage=True)
         df = df.withColumn(
             BUCKET_COL, self._bucket_expr(key0, n_buckets_new)
         )

@@ -65,6 +65,108 @@ def lww_reduce(
     )
 
 
+def lww_reduce_with_lineage(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "_lsn",
+    payload_cols: list[str] | None = None,
+    deleted_col: str = "_deleted",
+    birth_col: str = "_birth_lsn",
+    tomb_col: str = "_tomb_lsn",
+) -> DataFrame:
+    """LWW reduce that also maintains per-key ROW LINEAGE summaries —
+    the Iceberg v3 row-lineage analog (``_row_id`` /
+    ``_last_updated_sequence_number``, re-expressed in LSN space so it
+    is oracle-checkable against the change stream itself):
+
+    - ``birth_col``: the LSN of the event that created the key's
+      CURRENT live incarnation — min live LSN strictly above the last
+      tombstone. Updates preserve it; a delete followed by a re-insert
+      resets it (a re-inserted key is a NEW row, per Iceberg). NULL
+      when the key's winner is a tombstone.
+    - ``tomb_col``: the highest delete LSN folded into this summary,
+      carried in the output so summaries stay ASSOCIATIVE: folding
+      folded rows with later raw events (delta pre-reduce → compaction
+      → read) keeps lineage exact without retaining loser events.
+
+    Input rows are either raw change events (no ``birth_col`` /
+    ``tomb_col``, or NULL — each event is its own singleton summary:
+    birth = own LSN if live, tomb = own LSN if delete) or previously
+    folded summaries (columns present). Exact under the WAL contract
+    that cross-fold delivery is LSN-ordered (each fold sees every
+    event of the segments it summarizes); a late event arriving BELOW
+    an already-folded segment's tombstone is resolved commit-ordered,
+    exactly like Iceberg's lineage (pinned in tests).
+
+    Physical strategy: one key-partitioned window (max tombstone per
+    key) + the same hash aggregation as :func:`lww_reduce`, both inside
+    ONE Exchange on the grouping keys — the window adds a sort within
+    partitions but no extra shuffle. Losing events never cross a fold
+    boundary, so the summary is O(live keys) like the LWW state itself.
+
+    Output: ``keys + payload_cols + [order_col, birth_col, tomb_col]``.
+    """
+    from pyspark.sql.window import Window
+
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in df.columns
+            if c not in keys and c not in (order_col, birth_col, tomb_col)
+        ]
+    bc = (
+        F.col(birth_col)
+        if birth_col in df.columns
+        else F.lit(None).cast("long")
+    )
+    tc = (
+        F.col(tomb_col)
+        if tomb_col in df.columns
+        else F.lit(None).cast("long")
+    )
+    src = df.withColumn("_bc", F.coalesce(bc, F.col(order_col))).withColumn(
+        # greatest() skips nulls: a raw delete contributes its own LSN,
+        # a folded summary its carried tombstone, a raw live event null
+        "_tc",
+        F.greatest(
+            F.when(F.col(deleted_col), F.col(order_col)), tc
+        ),
+    )
+    w = Window.partitionBy(*keys)
+    src = src.withColumn("_tm", F.max("_tc").over(w))
+    live = (~F.col(deleted_col)) & (
+        F.col("_tm").isNull() | (F.col(order_col) > F.col("_tm"))
+    )
+    # a live row's birth candidate: its carried birth if that birth is
+    # itself above the key's tombstone, else the row's own LSN (the
+    # carried birth belongs to a killed earlier incarnation)
+    birth_cand = F.when(
+        live,
+        F.when(
+            F.col("_tm").isNull() | (F.col("_bc") > F.col("_tm")),
+            F.col("_bc"),
+        ).otherwise(F.col(order_col)),
+    )
+    winner = F.max(
+        F.struct(
+            F.col(order_col).alias("_ord"),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+    agg = src.groupBy(*keys).agg(
+        winner.alias("_w"),
+        F.min(birth_cand).alias(birth_col),
+        F.max("_tc").alias(tomb_col),
+    )
+    return agg.select(
+        *keys,
+        *[F.col("_w")[c].alias(c) for c in payload_cols],
+        F.col("_w._ord").alias(order_col),
+        F.col(birth_col),
+        F.col(tomb_col),
+    )
+
+
 def lww_reduce_salted(
     df: DataFrame,
     keys: list[str],

@@ -318,6 +318,18 @@ def apply_batch(
         # fallback the partial/agg engines ride (see above).
         salted = False
         must_reduce = False
+    if getattr(table, "row_lineage", False):
+        # Row-lineage tables are per-EVENT semantics too: the merge's
+        # lineage-aware fold must see every event of the batch to record
+        # within-batch births (a whole-row pre-collapse leaves only
+        # winners, silently reading birth == last for keys updated twice
+        # in one batch), and the salted two-phase split can straddle a
+        # tombstone arbitrarily, which breaks the summary's
+        # associativity. The merge's internal clustered fold still
+        # collapses hot keys — one window task per key worst-case is the
+        # documented lineage trade.
+        salted = False
+        must_reduce = False
     # Dead-letter fusion (MOR minilake, un-salted, un-pre-reduced — the
     # hot replay path): dead rows ride the merge's one delta-write job in
     # a relocatable pseudo-bucket instead of a second O(batch) source

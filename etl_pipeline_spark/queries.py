@@ -221,6 +221,7 @@ def _replay_to_table(
     ce: DataFrame,
     prefix: str,
     merge_engine: str = "lww",
+    row_lineage: bool = False,
 ) -> MiniLakeTable:
     """Write ``ce`` as an ordered changelog and replay it into a fresh
     MOR MiniLake table — the shared engine drive behind the flagship and
@@ -270,6 +271,7 @@ def _replay_to_table(
         n_buckets=16,
         write_mode="mor",
         merge_engine=merge_engine,
+        row_lineage=row_lineage,
     )
     replay_files(spark, changelog, table)
     return table
@@ -558,6 +560,64 @@ def q_cdc_clone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         clone = got
     return _state_projection(clone.read())
+
+
+# Row-lineage oracle: LWW segment semantics over the raw stream — for
+# each live key, birth = min live LSN strictly above the key's last
+# tombstone (delete + re-insert makes a NEW row, updates preserve the
+# birth), last = the winning LSN. Keys whose overall winner is the
+# tombstone have no live event above it and drop out of `live`.
+ROW_LINEAGE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+tomb AS (
+  SELECT conv_id, turn_idx, max(lsn) AS dl
+  FROM ce WHERE op = 'D' GROUP BY conv_id, turn_idx
+),
+live AS (
+  SELECT ce.conv_id, ce.turn_idx, ce.lsn
+  FROM ce LEFT JOIN tomb
+    ON ce.conv_id = tomb.conv_id AND ce.turn_idx = tomb.turn_idx
+  WHERE ce.op <> 'D' AND (tomb.dl IS NULL OR ce.lsn > tomb.dl)
+)
+SELECT conv_id, turn_idx,
+       min(lsn) AS birth_lsn,
+       max(lsn) AS last_lsn
+FROM live GROUP BY conv_id, turn_idx
+"""
+
+_LINEAGE_REPLAY_CACHE: dict = {}
+
+
+def q_cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW LINEAGE graded end-to-end (lake/minilake.read_lineage — the
+    Iceberg v3 row-lineage analog: `_row_id` /
+    `_last_updated_sequence_number`, re-expressed in LSN space so the
+    raw change stream itself is the oracle): the stream is replayed
+    into a `row_lineage=True` table — the per-batch delta pre-reduce,
+    the periodic maintenance folds and the final compaction all carry
+    the associative `_birth_lsn`/`_tomb_lsn` summaries — and the final
+    lineage view must equal segment semantics computed from scratch
+    over the stream: birth survives every update, resets on delete +
+    re-insert, and dies with the tombstone. The reference has no notion
+    of row identity at all (each scrape run rebuilds the table,
+    /root/reference/utils/load.py:190-290). At 10^10 events the
+    summaries keep lineage O(live keys): loser events never survive a
+    fold, yet every surviving row still knows when it was born."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _LINEAGE_REPLAY_CACHE.get(key)
+    if t is None:
+        ce = (
+            derive_change_events(spark, sf_dir)
+            .withColumn("tool", F.lit(None).cast("string"))
+            .withColumn("source_part", (F.col("lsn") % 4).cast("int"))
+        )
+        t = _replay_to_table(
+            spark, sf_dir, ce, "cdc_lineage_replay_", row_lineage=True
+        )
+        _LINEAGE_REPLAY_CACHE[key] = t
+    return t.read_lineage().select(
+        "conv_id", "turn_idx", "birth_lsn", "last_lsn"
+    )
 
 
 _STREAM_FEED_CACHE: dict = {}
@@ -5329,6 +5389,8 @@ QUERIES = {
     "cdc_zorder_scan": q_cdc_zorder_scan,
     "cdc_stream_changes": q_cdc_stream_changes,
     "cdc_clone_state": q_cdc_clone_state,
+    # -- r5 session-6 addition, born inside the window per the rule --
+    "cdc_row_lineage": q_cdc_row_lineage,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5350,13 +5412,14 @@ QUERIES = {
     "docs_sentence_dedup": q_docs_sentence_dedup,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
+    # ---------------- driver window ends here (first 50) ----------------
+    # docs_dedup_then_sample moved below the line for the r5 session-6
+    # insertion of cdc_row_lineage — allowed: green r04 (60 rows).
     "docs_dedup_then_sample": q_docs_dedup_then_sample,
     "docs_bpe_token_stats": q_docs_bpe_token_stats,
     "docs_exact_dup_pairs": q_docs_exact_dup_pairs,
-    # -- never driver-graded: multimodal + embeddings --
     "mm_frame_sample": q_mm_frame_sample,
     "emb_label_stats": q_emb_label_stats,
-    # ---------------- driver window ends here (first 50) ----------------
     # emb_near_dup_pairs, user_event_paths, user_event_paths_jvm and
     # events_last_value_per_user (all green r04) rotated below for the
     # r5 session-3 insertions of cdc_default_values, cdc_widened_state,
@@ -5460,6 +5523,7 @@ ORACLE_SQL = {
     "cdc_zorder_scan": ZORDER_SCAN_SQL,
     "cdc_stream_changes": STREAM_CHANGES_SQL,
     "cdc_clone_state": CLONE_STATE_SQL,
+    "cdc_row_lineage": ROW_LINEAGE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

@@ -65,6 +65,16 @@ DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
 INTERNAL_COLS = [LSN_COL, DELETED_COL, BUCKET_COL]
 
+# Row-lineage bookkeeping (opt-in per table, Iceberg v3 row-lineage
+# analog: `_row_id` / `_last_updated_sequence_number`). `_birth_lsn` is
+# the LSN of the event that created the key's CURRENT live incarnation
+# (min live LSN above the last tombstone — survives updates, resets on
+# delete + re-insert); `_tomb_lsn` is the highest delete LSN folded into
+# the row, carried so lineage summaries stay associative across delta
+# pre-reduces, compactions and rescales.
+BIRTH_COL = "_birth_lsn"
+TOMB_COL = "_tomb_lsn"
+
 
 def physical_fields(logical_fields: list[T.StructField]) -> list[T.StructField]:
     """Logical fields + engine bookkeeping columns (in stable order)."""
