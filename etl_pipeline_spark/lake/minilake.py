@@ -1244,7 +1244,7 @@ class MiniLakeTable:
             and _dirs
             and all(
                 os.path.basename(os.path.dirname(d)).startswith(
-                    ("compact-", "rescale-")
+                    ("compact-", "rescale-", "expire-")
                 )
                 for d in _dirs
             )
@@ -1594,7 +1594,7 @@ class MiniLakeTable:
             all_dirs
             and all(
                 os.path.basename(os.path.dirname(d)).startswith(
-                    ("compact-", "rescale-")
+                    ("compact-", "rescale-", "expire-")
                 )
                 for d in all_dirs
             )
@@ -3575,6 +3575,258 @@ class MiniLakeTable:
             "manifests_removed": len(dropped),
             "dirs_removed": len(removed_dirs),
             "young_orphans_skipped": len(skipped_orphans),
+        }
+
+    def expire_rows(
+        self,
+        col: str,
+        older_than,
+        compact_first: bool = True,
+    ) -> dict:
+        """Row retention expiry as METADATA-level file drops (the
+        Iceberg delete-by-partition-predicate / BigQuery
+        partition-expiration analog): remove every LIVE row whose
+        ``col`` is strictly below ``older_than``. At 10^10 rows this is
+        the operation that makes a retention policy affordable — a
+        30-day TTL sweep must cost O(files), never an O(table) rewrite:
+
+        - files whose footer proves every row expires (``max(col) <
+          cutoff``, no nulls, no tombstones) are DROPPED — no task ever
+          opens them;
+        - files whose footer proves no row expires are HARDLINKED into
+          the new snapshot's dirs — zero bytes copied, and retained
+          older snapshots keep reading the shared inodes (time travel
+          across the expiry stays intact until ``expire_snapshots``);
+        - only BOUNDARY files (cutoff inside their bounds, or stats
+          unknown) are rewritten, by one Spark job reading exactly
+          those files.
+
+        A ``compact(cluster_cols=[col])`` layout makes the boundary set
+        O(1) files per bucket; on an un-clustered layout everything is
+        boundary and this degrades gracefully into a filtered rewrite.
+
+        Semantics: rows with NULL ``col`` are retained (a range
+        predicate never matches null); TOMBSTONES are retained (a
+        dropped tombstone would let a stale straggler resurrect its
+        key — same straggler contract as ``compact(drop_tombstones=
+        True)``). Expired rows do NOT appear in the CDC-out feed —
+        retention is per-store policy, not a data change (the
+        Delta/Iceberg convention); replicas apply their own policy.
+
+        Requires the LWW engine and a fully RESOLVED snapshot (COW
+        always is; MOR = one compaction/rescale/expire output dir per
+        bucket — otherwise a dropped file's winner could resurrect a
+        loser still sitting in an older delta). With ``compact_first``
+        an unresolved MOR table is compacted (tombstone-keeping)
+        in-line; otherwise this raises. On a CAS conflict the rewrite
+        is abandoned and re-raised — retryable, like rescale."""
+        import pyarrow.parquet as pq
+
+        base = self.manifest()
+        if base.get("merge_engine", "lww") != "lww":
+            raise ValueError("expire_rows requires the lww merge engine")
+        schema = schema_from_manifest(base["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        if col not in by_name:
+            raise ValueError(f"no column {col!r} in the table schema")
+        field = by_name[col]
+        filter_value, enc_cutoff = self._norm_bound(field, older_than)
+        pcol = physical_name(field)
+
+        def _resolved(m: dict) -> bool:
+            return m.get("write_mode", "cow") == "cow" or (
+                all(len(ds) == 1 for ds in m["buckets"].values())
+                and all(
+                    os.path.basename(os.path.dirname(d)).startswith(
+                        ("compact-", "rescale-", "expire-")
+                    )
+                    for ds in m["buckets"].values()
+                    for d in ds
+                )
+            )
+
+        if not _resolved(base):
+            if not compact_first:
+                raise ValueError(
+                    "expire_rows needs a fully resolved snapshot (file "
+                    "drops on a delta-holding table could resurrect "
+                    "folded-away losers); run compact() first or pass "
+                    "compact_first=True"
+                )
+            # tombstones KEPT: expiry mid-stream must not un-guard keys
+            self.compact(drop_tombstones=False)
+            base = self.manifest()
+        version = base["version"]
+        enc = self._encode_stat_bound
+
+        def _classify(path: str) -> str:
+            """'drop' | 'keep' | 'boundary' from the parquet footer —
+            driver-side metadata only, no task launched."""
+            try:
+                md = pq.read_metadata(path)
+            except Exception:
+                return "boundary"
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            if pcol not in names:
+                # pre-add file: every row reads the column's
+                # initial-default (or null) — decide from that one value
+                dflt = initial_default(field)
+                if dflt is None:
+                    return "keep"  # all-null → retained
+                _, enc_d = self._norm_bound(field, dflt)
+                try:
+                    return "drop" if enc_d < enc_cutoff else "keep"
+                except TypeError:
+                    return "boundary"
+            ci = names.index(pcol)
+            di = names.index(DELETED_COL) if DELETED_COL in names else None
+            droppable = True
+            keepable = True
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(ci).statistics
+                if st is None:
+                    return "boundary"
+                n_vals = st.num_values
+                if not st.has_min_max:
+                    if n_vals:  # values exist but no bounds → unknown
+                        return "boundary"
+                    droppable = False  # all-null group: rows retained
+                    continue
+                emn, emx = enc(st.min), enc(st.max)
+                if emn is None or emx is None or any(
+                    isinstance(v, float) and math.isnan(v)
+                    for v in (emn, emx)
+                ):
+                    return "boundary"
+                try:
+                    if not (emx < enc_cutoff):
+                        droppable = False
+                    if not (emn >= enc_cutoff):
+                        keepable = False
+                except TypeError:
+                    return "boundary"
+                if st.null_count is None or st.null_count > 0:
+                    droppable = False  # null rows are retained
+                if di is not None:
+                    ds = g.column(di).statistics
+                    if ds is None or not ds.has_min_max or ds.max:
+                        droppable = False  # tombstones are retained
+            if droppable:
+                return "drop"
+            if keepable:
+                return "keep"
+            return "boundary"
+
+        dropped: list[str] = []
+        linked: list[tuple[str, int]] = []  # (path, bucket)
+        boundary: dict[str, list[str]] = {}  # dir -> file paths
+        touched: set[int] = set()
+        for b_str, dirs in base["buckets"].items():
+            b = int(b_str)
+            plan: list[tuple[str, str]] = []
+            for d in dirs:
+                for name in sorted(os.listdir(d)):
+                    if not name.endswith(".parquet"):
+                        continue
+                    path = os.path.join(d, name)
+                    plan.append((path, _classify(path)))
+            if all(cls == "keep" for _, cls in plan):
+                continue  # bucket untouched, dirs survive byte-identical
+            touched.add(b)
+            for path, cls in plan:
+                if cls == "drop":
+                    dropped.append(path)
+                elif cls == "keep":
+                    linked.append((path, b))
+                else:
+                    boundary.setdefault(os.path.dirname(path), []).append(
+                        path
+                    )
+        if not touched:
+            return {
+                "version": version, "files_dropped": 0,
+                "files_linked": 0, "files_rewritten": 0,
+            }
+
+        out_dir = os.path.join(
+            self.data_dir, f"expire-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
+        )
+        n_rewritten = 0
+        if boundary:
+            dirs = sorted(boundary)
+            df = self._read_files(
+                dirs, version=version,
+                file_filter={d: boundary[d] for d in dirs},
+            )
+            kept = df.filter(
+                # expired = rows MATCHING col < cutoff; null and NaN
+                # match no range predicate, so both are retained (the
+                # same convention as read_range)
+                F.col(DELETED_COL)
+                | F.col(col).isNull()
+                | ~(F.col(col) < F.lit(filter_value))
+            ).withColumn(
+                BUCKET_COL,
+                self._bucket_expr(base["key_cols"][0], base["n_buckets"]),
+            )
+            to_phys = {f.name: physical_name(f) for f in schema.fields}
+            pkey0 = to_phys[base["key_cols"][0]]
+            writer = (
+                self._to_physical(kept, schema)
+                # no repartition and no sort: each boundary file's rows
+                # flow through their own scan tasks, preserving the
+                # compaction's clustering inside the rewritten output
+                .write.partitionBy(BUCKET_COL)
+                .option(f"parquet.bloom.filter.enabled#{pkey0}", "true")
+            )
+            for c in base.get("properties", {}).get(STATS_COLS_PROP, []):
+                if c in to_phys and to_phys[c] != pkey0:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.enabled#{to_phys[c]}", "true"
+                    )
+            writer.mode("overwrite").parquet(out_dir)
+            n_rewritten = sum(len(v) for v in boundary.values())
+        for path, b in linked:
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            os.makedirs(bdir, exist_ok=True)
+            dst = os.path.join(bdir, os.path.basename(path))
+            try:
+                os.link(path, dst)  # zero-copy share with old snapshots
+            except OSError:
+                shutil.copy2(path, dst)  # cross-device fallback
+        new_buckets = dict(base["buckets"])
+        new_dirs: list[str] = []
+        for b in sorted(touched):
+            bucket_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.exists(bucket_dir) and any(
+                n.endswith(".parquet") for n in os.listdir(bucket_dir)
+            ):
+                new_buckets[str(b)] = [bucket_dir]
+                new_dirs.append(bucket_dir)
+            else:
+                new_buckets.pop(str(b), None)  # bucket fully expired
+        m2 = dict(base)
+        m2["version"] = version + 1
+        m2["parent_snapshot_id"] = base["snapshot_id"]
+        m2["snapshot_id"] = str(uuid.uuid4())
+        m2["buckets"] = new_buckets
+        m2["file_stats"] = self._stats_for_manifest(
+            base, new_dirs, new_buckets, base["key_cols"][0]
+        )
+        m2["committed_at"] = time.time()
+        try:
+            self._write_manifest(m2)
+        except CommitConflict:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        return {
+            "version": m2["version"],
+            "files_dropped": len(dropped),
+            "files_linked": len(linked),
+            "files_rewritten": n_rewritten,
         }
 
     # -------------------------------------------------------------- clone

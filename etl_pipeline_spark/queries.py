@@ -585,6 +585,90 @@ SELECT conv_id, turn_idx,
 FROM live GROUP BY conv_id, turn_idx
 """
 
+# The flagship LWW state with rows below a stream-derived ts cutoff
+# (min + span/3, integer-second arithmetic) removed — the oracle for
+# q_cdc_expired_state's retention expiry. Null ts would be retained
+# (range predicates never match null); the derived stream has none.
+EXPIRED_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+),
+b AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM state, b
+WHERE ts IS NULL
+   OR epoch(ts) >= mn + CAST(floor((mx - mn) / 3.0) AS BIGINT)
+"""
+
+_EXPIRE_CACHE: dict = {}
+
+
+def q_cdc_expired_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expiry graded end-to-end (lake/minilake.expire_rows —
+    the Iceberg delete-by-partition-predicate / BigQuery
+    partition-expiration analog): the replayed primary is SHALLOW-CLONED
+    (zero-copy), the clone declares ``ts`` a stats column, compacts
+    clustered on ts, then expires every row below a stream-derived
+    cutoff (min + span/3). The graded claims: the surviving state
+    equals the flagship LWW state filtered to ``ts >= cutoff`` AND the
+    expiry was really metadata-shaped — whole files dropped from footer
+    bounds alone (asserted in-query: ``files_dropped > 0``), untouched
+    files hardlinked (zero bytes copied), only boundary files rewritten
+    — while the primary stays untouched (asserted). At 10^10 rows this
+    is what makes a 30-day TTL affordable: O(files) metadata, never an
+    O(table) rewrite."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    clone = _EXPIRE_CACHE.get(key)
+    if clone is None:
+        import datetime
+
+        primary = _replayed_table(spark, sf_dir)
+        before = primary.read().count()
+        tmp = tempfile.mkdtemp(prefix="cdc_expire_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        clone = primary.shallow_clone(os.path.join(tmp, "table"))
+        clone.set_stats_columns(["ts"])
+        # same per-file sizing as the range-scan query: several ts-spans
+        # per bucket at the driver's sf, sane task counts at larger ones
+        target = max(128, 4 * _batch_width(spark, sf_dir) // 288)
+        clone.compact(
+            drop_tombstones=True,
+            cluster_cols=["ts"],
+            target_rows_per_file=target,
+        )
+        mn, mx = (
+            derive_change_events(spark, sf_dir)
+            .agg(
+                F.min(F.unix_timestamp("ts")).alias("mn"),
+                F.max(F.unix_timestamp("ts")).alias("mx"),
+            )
+            .first()
+        )
+        cutoff_s = int(mn) + (int(mx) - int(mn)) // 3
+        res = clone.expire_rows(
+            "ts", datetime.datetime.utcfromtimestamp(cutoff_s)
+        )
+        # the metadata-drop claim must be real at the graded sf, and the
+        # zero-copy clone isolation must hold
+        assert res["files_dropped"] > 0, res
+        assert primary.read().count() == before
+        _EXPIRE_CACHE[key] = clone
+    return _state_projection(clone.read())
+
+
 _LINEAGE_REPLAY_CACHE: dict = {}
 
 
@@ -5389,8 +5473,9 @@ QUERIES = {
     "cdc_zorder_scan": q_cdc_zorder_scan,
     "cdc_stream_changes": q_cdc_stream_changes,
     "cdc_clone_state": q_cdc_clone_state,
-    # -- r5 session-6 addition, born inside the window per the rule --
+    # -- r5 session-6 additions, born inside the window per the rule --
     "cdc_row_lineage": q_cdc_row_lineage,
+    "cdc_expired_state": q_cdc_expired_state,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5411,10 +5496,11 @@ QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
-    "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
     # ---------------- driver window ends here (first 50) ----------------
-    # docs_dedup_then_sample moved below the line for the r5 session-6
-    # insertion of cdc_row_lineage — allowed: green r04 (60 rows).
+    # docs_dedup_then_sample and docs_quality_percentile_filter moved
+    # below the line for the r5 session-6 insertions of cdc_row_lineage
+    # and cdc_expired_state — allowed: both green r04 (60 and 450 rows).
+    "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
     "docs_dedup_then_sample": q_docs_dedup_then_sample,
     "docs_bpe_token_stats": q_docs_bpe_token_stats,
     "docs_exact_dup_pairs": q_docs_exact_dup_pairs,
@@ -5524,6 +5610,7 @@ ORACLE_SQL = {
     "cdc_stream_changes": STREAM_CHANGES_SQL,
     "cdc_clone_state": CLONE_STATE_SQL,
     "cdc_row_lineage": ROW_LINEAGE_SQL,
+    "cdc_expired_state": EXPIRED_STATE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

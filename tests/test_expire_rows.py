@@ -1,0 +1,225 @@
+"""Row retention expiry as metadata-level file drops (expire_rows).
+
+The claims under test: rows with ``col < cutoff`` disappear exactly
+(null / NaN / tombstones retained), files wholly below the cutoff are
+DROPPED from pure footer metadata, files wholly above are HARDLINKED
+(zero bytes copied — old snapshots keep reading the shared inodes, so
+time travel across the expiry survives until retention GC), only
+boundary files are rewritten, and a racing commit aborts the expiry
+with a retryable CommitConflict rather than corrupting either result.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_spark.lake.minilake import CommitConflict, MiniLakeTable
+from etl_pipeline_spark.pipeline import ApplyConfig, apply_batch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+CFG = ApplyConfig(clean_cols=(), use_pandas_udf=False)
+ROWS_SQL = (
+    "lsn long, op string, conv_id string, turn_idx int, text string, "
+    "ts timestamp, score double"
+)
+
+
+def _ts(d: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, d)
+
+
+def _mk(spark, root, rows, n_buckets=4):
+    t = MiniLakeTable.create(
+        spark, str(root), SCHEMA, key_cols=["conv_id", "turn_idx"],
+        n_buckets=n_buckets, write_mode="mor",
+    )
+    apply_batch(t, spark.createDataFrame(rows, ROWS_SQL), 0, CFG,
+                stream_id="s")
+    return t
+
+
+def _expected(t, cutoff):
+    return sorted(
+        t.read()
+        .filter(F.col("ts").isNull() | ~(F.col("ts") < F.lit(cutoff)))
+        .collect()
+    )
+
+
+def test_exactness_with_drops_links_and_rewrites(spark, tmp_path):
+    rows = [
+        (i, "I", f"c{i}", i, f"v{i}", _ts(1 + i % 28), float(i))
+        for i in range(1, 400)
+    ]
+    rows += [
+        (400, "D", "c5", 5, None, None, None),       # tombstone
+        (401, "I", "cnull", 0, "null-ts", None, 1.0),  # null ts retained
+    ]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=False, cluster_cols=["ts"],
+              target_rows_per_file=30)
+    cutoff = _ts(15)
+    want = _expected(t, cutoff)
+    res = t.expire_rows("ts", cutoff)
+    # the clustered layout must make the drop path REAL: whole files
+    # removed from footer metadata alone, untouched files hardlinked
+    assert res["files_dropped"] > 0 and res["files_linked"] > 0
+    assert sorted(t.read().collect()) == want
+    assert ("cnull", 0) in {
+        (r["conv_id"], r["turn_idx"]) for r in t.read().collect()
+    }
+    # tombstone survives: a stale straggler can never resurrect c5
+    assert t.read_tombstones().count() == 1
+    # idempotent: a second expiry at the same cutoff is a no-op
+    v = t.current_version()
+    res2 = t.expire_rows("ts", cutoff)
+    assert res2["version"] == v and res2["files_dropped"] == 0
+
+
+def test_time_travel_and_gc_across_expiry(spark, tmp_path):
+    rows = [
+        (i, "I", f"c{i}", i, f"v{i}", _ts(1 + i % 28), float(i))
+        for i in range(1, 200)
+    ]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=True, cluster_cols=["ts"],
+              target_rows_per_file=20)
+    pre = sorted(t.read().collect())
+    v_pre = t.current_version()
+    res = t.expire_rows("ts", _ts(15))
+    assert res["files_linked"] > 0
+    post = sorted(t.read().collect())
+    # hardlink sharing: the PRE-expiry snapshot still reads complete
+    assert sorted(t.read(version=v_pre).collect()) == pre
+    # GC the old snapshots: shared inodes must survive dir removal
+    gc = t.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    assert gc["dirs_removed"] > 0
+    assert sorted(t.read().collect()) == post
+
+
+def test_unresolved_mor_requires_compaction(spark, tmp_path):
+    rows = [(i, "I", f"c{i}", i, "v", _ts(2), 1.0) for i in range(1, 30)]
+    t = _mk(spark, tmp_path / "t", rows)  # delta-only, never compacted
+    with pytest.raises(ValueError, match="resolved"):
+        t.expire_rows("ts", _ts(15), compact_first=False)
+    # compact_first folds in-line (tombstone-keeping) and proceeds
+    res = t.expire_rows("ts", _ts(15), compact_first=True)
+    assert t.read().count() == 0  # everything was below the cutoff
+    assert res["files_dropped"] > 0 or res["files_rewritten"] > 0
+
+
+def test_unclustered_layout_degrades_to_rewrite(spark, tmp_path):
+    # key-sorted compaction: ts spans every file → everything boundary
+    rows = [
+        (i, "I", f"c{i % 37}", i % 5, "v", _ts(1 + i % 28), float(i))
+        for i in range(1, 300)
+    ]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=True)
+    cutoff = _ts(15)
+    want = _expected(t, cutoff)
+    t.expire_rows("ts", cutoff)
+    assert sorted(t.read().collect()) == want
+
+
+def test_nan_rows_are_retained(spark, tmp_path):
+    nan = float("nan")
+    rows = [
+        (1, "I", "a", 1, "old", _ts(2), 1.0),
+        (2, "I", "b", 2, "nan", _ts(2), nan),
+        (3, "I", "c", 3, "new", _ts(20), 9.0),
+    ]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=True)
+    # expire on the DOUBLE column: NaN matches no range predicate, so
+    # the NaN row must survive (read_range convention)
+    t.expire_rows("score", 5.0)
+    got = {r["conv_id"] for r in t.read().collect()}
+    assert got == {"b", "c"}
+
+
+def test_expiry_is_not_a_cdc_change(spark, tmp_path):
+    """Retention is per-store policy: expired rows must NOT appear in
+    the CDC-out feed (the Delta/Iceberg convention) — replicas apply
+    their own retention."""
+    rows = [(i, "I", f"c{i}", i, "v", _ts(1 + i % 28), 1.0)
+            for i in range(1, 100)]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=True, cluster_cols=["ts"],
+              target_rows_per_file=10)
+    v_before = t.current_version()
+    t.expire_rows("ts", _ts(15))
+    assert t.read_changes_since(v_before).count() == 0
+
+
+def test_racing_commit_aborts_cleanly(spark, tmp_path):
+    rows = [(i, "I", f"c{i}", i, "v", _ts(1 + i % 28), 1.0)
+            for i in range(1, 100)]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=True, cluster_cols=["ts"],
+              target_rows_per_file=10)
+    racer = MiniLakeTable(spark, t.root)
+    orig = t._write_manifest
+    fired = {"n": 0}
+
+    def hooked(m):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            racer.merge(
+                spark.createDataFrame(
+                    [(500, "I", "znew", 9, "late", _ts(28), 1.0)], ROWS_SQL
+                ).selectExpr(
+                    "conv_id", "turn_idx", "text", "ts", "score",
+                    "lsn", "op",
+                ),
+                batch_id=7,
+            )
+        return orig(m)
+
+    t._write_manifest = hooked
+    try:
+        with pytest.raises(CommitConflict):
+            t.expire_rows("ts", _ts(15))
+    finally:
+        t._write_manifest = orig
+    # the racer's commit and the whole pre-expiry state are intact, and
+    # the abandoned expire dir is gone
+    assert t.read().count() == 100
+    assert not any(
+        n.startswith("expire-") for n in os.listdir(t.data_dir)
+    ) or all(
+        d in {x for ds in t.manifest()["buckets"].values() for x in ds}
+        for n in os.listdir(t.data_dir) if n.startswith("expire-")
+        for d in [n]
+    )
+    # retry after the conflict succeeds
+    res = t.expire_rows("ts", _ts(15))
+    assert res["files_dropped"] + res["files_rewritten"] > 0
+
+
+def test_engine_guard(spark, tmp_path):
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "agg"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), True),
+        ]),
+        key_cols=["conv_id", "turn_idx"], write_mode="mor",
+        merge_engine="agg", agg_spec={"n": "sum"},
+    )
+    with pytest.raises(ValueError, match="lww"):
+        t.expire_rows("n", 5)
