@@ -669,6 +669,95 @@ def q_cdc_expired_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state_projection(clone.read())
 
 
+# ANALYZE oracle: per-column exact NDV + null counts over the LWW
+# state, with DuckDB gating ITS OWN sketch the same way the engine
+# gates its stored HLL++ numbers (the events_approx_distinct_check
+# convention: what is graded is that both sketches stay inside the
+# tolerance, plus the hash-compared exact values).
+_STATS_COLS = ["conv_id", "role", "text", "tool", "ts", "turn_idx"]
+
+
+def _stats_check_branch(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name,
+         count(DISTINCT {col}) AS ndv_exact,
+         count(*) FILTER (WHERE {col} IS NULL) AS n_nulls,
+         CASE WHEN count(DISTINCT {col}) = 0
+              THEN approx_count_distinct({col}) = 0
+              ELSE abs(approx_count_distinct({col})
+                       - count(DISTINCT {col}))
+                   <= 0.05 * count(DISTINCT {col}) END AS stats_ok
+  FROM state"""
+
+
+TABLE_STATS_SQL = (
+    f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(NULL AS VARCHAR) AS tool, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+)
+"""
+    + " UNION ALL ".join(_stats_check_branch(c) for c in _STATS_COLS)
+)
+
+_STATS_CHECK_CACHE: dict = {}
+
+
+def q_cdc_table_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE graded end-to-end (lake/minilake.analyze — the
+    Iceberg Puffin statistics-file analog): the replayed primary is
+    shallow-cloned (ANALYZE commits a snapshot, so the shared primary
+    stays untouched), analyzed in ONE aggregation pass (HLL++ NDV at
+    rsd 0.01 + exact null counts per column, stored in the manifest
+    keyed by physical name), and the STORED numbers are gated against
+    exact recomputation. Graded per column: the exact distinct and
+    null counts (value-hash-compared with the oracle) plus the
+    in-tolerance verdict — the sketch is what a 100 TB profile job can
+    afford; exact distinct is the thing that stops scaling."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _STATS_CHECK_CACHE.get(key)
+    if rows is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_analyze_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        clone = primary.shallow_clone(os.path.join(tmp, "table"))
+        clone.analyze()
+        stored = clone.table_stats()
+        assert stored["computed_at_version"] is not None
+        state = clone.read()
+        aggs = []
+        for i, c in enumerate(_STATS_COLS):
+            aggs.append(F.countDistinct(c).alias(f"d{i}"))
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"n{i}")
+            )
+        exact = state.agg(*aggs).first()
+        rows = []
+        for i, c in enumerate(_STATS_COLS):
+            e_ndv, e_nul = int(exact[f"d{i}"]), int(exact[f"n{i}"])
+            s = stored["columns"][c]
+            ndv_ok = (
+                s["ndv"] == 0
+                if e_ndv == 0
+                else abs(s["ndv"] - e_ndv) <= 0.05 * e_ndv
+            )
+            # stored null counts are exact by construction — fold the
+            # equality into the graded verdict
+            rows.append((c, e_ndv, e_nul, bool(ndv_ok and s["nulls"] == e_nul)))
+        _STATS_CHECK_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "col_name string, ndv_exact long, n_nulls long, stats_ok boolean"
+    )
+
+
 _LINEAGE_REPLAY_CACHE: dict = {}
 
 
@@ -5476,6 +5565,7 @@ QUERIES = {
     # -- r5 session-6 additions, born inside the window per the rule --
     "cdc_row_lineage": q_cdc_row_lineage,
     "cdc_expired_state": q_cdc_expired_state,
+    "cdc_table_stats_check": q_cdc_table_stats_check,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5495,11 +5585,12 @@ QUERIES = {
     "docs_boilerplate": q_docs_boilerplate,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_sentence_dedup": q_docs_sentence_dedup,
-    "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     # ---------------- driver window ends here (first 50) ----------------
-    # docs_dedup_then_sample and docs_quality_percentile_filter moved
-    # below the line for the r5 session-6 insertions of cdc_row_lineage
-    # and cdc_expired_state — allowed: both green r04 (60 and 450 rows).
+    # docs_dedup_then_sample, docs_quality_percentile_filter and
+    # docs_tfidf_top_terms moved below the line for the r5 session-6
+    # insertions of cdc_row_lineage, cdc_expired_state and
+    # cdc_table_stats_check — allowed: all green r04 (60/450/500 rows).
+    "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
     "docs_dedup_then_sample": q_docs_dedup_then_sample,
     "docs_bpe_token_stats": q_docs_bpe_token_stats,
@@ -5611,6 +5702,7 @@ ORACLE_SQL = {
     "cdc_clone_state": CLONE_STATE_SQL,
     "cdc_row_lineage": ROW_LINEAGE_SQL,
     "cdc_expired_state": EXPIRED_STATE_SQL,
+    "cdc_table_stats_check": TABLE_STATS_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

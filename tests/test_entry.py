@@ -117,17 +117,18 @@ INTENDED_FIRST_50 = [
     "cdc_default_values", "cdc_widened_state", "cdc_constrained_state",
     "cdc_dml_state", "cdc_ts_range_scan", "cdc_zorder_scan",
     "cdc_stream_changes", "cdc_clone_state", "cdc_row_lineage",
-    "cdc_expired_state",
+    "cdc_expired_state", "cdc_table_stats_check",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
     "docs_simhash_pairs_editdist", "docs_containment",
     "docs_winnow_fingerprints", "docs_dup_clusters", "docs_pii_redaction",
     "docs_repetition_stats", "docs_unigram_entropy", "docs_boilerplate",
-    "docs_stratified_sample", "docs_sentence_dedup", "docs_tfidf_top_terms",
-    # docs_dedup_then_sample and docs_quality_percentile_filter moved
-    # below the line for the r5 session-6 insertions of cdc_row_lineage
-    # and cdc_expired_state — allowed: both green r04 (60 and 450 rows).
+    "docs_stratified_sample", "docs_sentence_dedup",
+    # docs_dedup_then_sample, docs_quality_percentile_filter and
+    # docs_tfidf_top_terms moved below the line for the r5 session-6
+    # insertions of cdc_row_lineage, cdc_expired_state and
+    # cdc_table_stats_check — allowed: all green r04 (60/450/500 rows).
     # docs_bpe_token_stats, docs_exact_dup_pairs and mm_frame_sample
     # moved below the line for the r5 session-5 insertions of
     # cdc_clone_state, cdc_stream_changes and cdc_zorder_scan —
