@@ -31,7 +31,7 @@ def main() -> None:
         "--mode",
         choices=[
             "stream", "evolving-stream", "replay", "export",
-            "requeue", "publish-branch",
+            "requeue", "publish-branch", "audit", "expire", "analyze",
         ],
         default="stream",
         help="stream: fixed superset read schema; evolving-stream: "
@@ -45,7 +45,26 @@ def main() -> None:
         "(as-is retry — rows dead-lettered for a since-fixed cause, e.g. "
         "a schema that has since evolved; still-bad rows re-quarantine); "
         "publish-branch: fast-forward --branch onto main (falls back to "
-        "cherry-pick when main advanced past the divergence)",
+        "cherry-pick when main advanced past the divergence); "
+        "audit: integrity fsck at --audit-level, nonzero exit on "
+        "findings; expire: row retention TTL — drop rows with "
+        "--expire-col below --older-than as metadata file drops; "
+        "analyze: store per-column NDV sketches + null counts in the "
+        "manifest (Puffin analog)",
+    )
+    ap.add_argument(
+        "--audit-level", choices=["metadata", "files", "data"],
+        default="files",
+    )
+    ap.add_argument("--expire-col", default="ts")
+    ap.add_argument(
+        "--older-than", default=None,
+        help="expire mode: ISO timestamp/date or number (typed per "
+        "--expire-col)",
+    )
+    ap.add_argument(
+        "--analyze-columns", default=None,
+        help="analyze mode: comma-separated columns (default: all)",
     )
     ap.add_argument(
         "--to-branch", default=None,
@@ -154,6 +173,57 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if args.mode == "audit":
+        from etl_pipeline_spark.lake.audit import audit_table
+
+        rep = audit_table(table, level=args.audit_level)
+        print(json.dumps(rep))
+        sys.exit(0 if rep["ok"] else 1)
+
+    if args.mode == "expire":
+        if args.older_than is None:
+            ap.error("--mode expire requires --older-than")
+        from etl_pipeline_spark.schema import schema_from_manifest
+
+        schema = schema_from_manifest(table.manifest()["schema"])
+        dtype = next(
+            (f.dataType for f in schema.fields
+             if f.name == args.expire_col), None
+        )
+        cutoff: object = args.older_than
+        if dtype is not None and dtype.simpleString() in (
+            "timestamp", "date",
+        ):
+            import datetime as _dt
+
+            cutoff = (
+                _dt.datetime.fromisoformat(args.older_than)
+                if dtype.simpleString() == "timestamp"
+                else _dt.date.fromisoformat(args.older_than)
+            )
+        else:
+            try:
+                cutoff = (
+                    int(args.older_than)
+                    if "." not in args.older_than
+                    else float(args.older_than)
+                )
+            except ValueError:
+                pass  # string column: compare as-is
+        res = table.expire_rows(args.expire_col, cutoff)
+        print(json.dumps(res))
+        return
+
+    if args.mode == "analyze":
+        cols = (
+            [c.strip() for c in args.analyze_columns.split(",")]
+            if args.analyze_columns
+            else None
+        )
+        v = table.analyze(columns=cols)
+        print(json.dumps({"version": v, "stats": table.table_stats()}))
         return
 
     cfg = ApplyConfig(lineage_level=args.lineage_level)
