@@ -210,6 +210,64 @@ def test_racing_commit_aborts_cleanly(spark, tmp_path):
     assert res["files_dropped"] + res["files_rewritten"] > 0
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_weird_scores = st.one_of(
+    st.floats(min_value=-1e9, max_value=1e9, allow_nan=False,
+              allow_infinity=False),
+    st.sampled_from([float("nan"), float("inf"), float("-inf"),
+                     -0.0, 0.0, None]),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_property_expire_equals_filter(spark, tmp_path_factory, data):
+    """For arbitrary double values (NaN, ±inf, ±0.0, nulls) and an
+    arbitrary finite cutoff, expire_rows must equal the exact
+    keep-filter ``NOT (col < cutoff) OR col IS NULL`` — whatever mix of
+    drops, links and rewrites the footer classification picked."""
+    scores = data.draw(st.lists(_weird_scores, min_size=1, max_size=25))
+    cutoff = data.draw(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False,
+                  allow_infinity=False)
+    )
+    cluster = data.draw(st.booleans())
+    root = tmp_path_factory.mktemp("expire_prop")
+    rows = [
+        (i + 1, "I", f"k{i}", i, "v", _ts(2), s)
+        for i, s in enumerate(scores)
+    ]
+    t = _mk(spark, root / "t", rows)
+    t.compact(
+        drop_tombstones=True,
+        target_rows_per_file=4,
+        **({"cluster_cols": ["score"]} if cluster else {}),
+    )
+    def norm(rows):
+        # NaN != NaN under Row equality; compare via a repr-stable key
+        return sorted(
+            tuple("NaN" if isinstance(v, float) and v != v else v
+                  for v in r)
+            for r in rows
+        )
+
+    want = norm(
+        t.read()
+        .filter(
+            F.col("score").isNull() | ~(F.col("score") < F.lit(cutoff))
+        )
+        .collect()
+    )
+    t.expire_rows("score", cutoff)
+    assert norm(t.read().collect()) == want
+
+
 def test_engine_guard(spark, tmp_path):
     t = MiniLakeTable.create(
         spark, str(tmp_path / "agg"),

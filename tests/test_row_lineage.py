@@ -252,6 +252,74 @@ def test_dead_letters_ride_the_lineage_fold(spark, tmp_path):
     assert dlq.filter(F.col("_tomb_lsn").isNotNull()).count() == 0
 
 
+def test_lineage_survives_schema_evolution(spark, tmp_path):
+    """Additive evolution mid-stream on a lineage table: batches after
+    an add_columns carry the new column, pre-add files read it as null,
+    and the lineage summaries ride the widened physical schema through
+    the next compaction untouched."""
+    t = _table(spark, tmp_path / "t")
+    b1 = [(1, "I", "a", 1, "x"), (2, "I", "b", 2, "y"),
+          (3, "U", "a", 1, "x2")]
+    apply_batch(t, _batch(spark, b1), 0, CFG, stream_id="s")
+    t.add_columns([T.StructField("tool", T.StringType(), True)])
+    b2 = spark.createDataFrame(
+        [(4, "U", "b", 2, "y2", "search"), (5, "D", "a", 1, None, None),
+         (6, "I", "a", 1, "re", "calc")],
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "text string, tool string",
+    )
+    apply_batch(t, b2, 1, CFG, stream_id="s")
+    want = {("a", 1): (6, 6), ("b", 2): (2, 4)}
+    assert _lineage(t) == want
+    t.compact(drop_tombstones=False)
+    assert _lineage(t) == want
+    tools = {
+        (r["conv_id"], r["turn_idx"]): r["tool"]
+        for r in t.read().collect()
+    }
+    assert tools == {("a", 1): "calc", ("b", 2): "search"}
+
+
+def test_lineage_survives_row_expiry(spark, tmp_path):
+    """expire_rows on a lineage table: survivors keep their exact
+    births (kept files are hardlinked verbatim; boundary rewrites carry
+    the summary columns through _read_files/_to_physical)."""
+    import datetime
+
+    schema = T.StructType(
+        SCHEMA.fields + [T.StructField("ts", T.TimestampType(), True)]
+    )
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), schema,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4, write_mode="mor",
+        row_lineage=True,
+    )
+    rows = [
+        (i, "I", f"k{i}", i, "v", datetime.datetime(2026, 1, 1 + i % 28))
+        for i in range(1, 100)
+    ] + [(100, "U", "k5", 5, "v2", datetime.datetime(2026, 1, 20))]
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx int, "
+            "text string, ts timestamp",
+        ),
+        0, CFG, stream_id="s",
+    )
+    t.compact(drop_tombstones=True, cluster_cols=["ts"],
+              target_rows_per_file=10)
+    before = _lineage(t)
+    t.expire_rows("ts", datetime.datetime(2026, 1, 10))
+    after = _lineage(t)
+    survivors = {
+        (r["conv_id"], r["turn_idx"]) for r in t.read().collect()
+    }
+    assert after == {k: v for k, v in before.items() if k in survivors}
+    # the updated key k5 (birth 5, last 100) survived with exact lineage
+    assert after[("k5", 5)] == (5, 100)
+
+
 @settings(
     max_examples=6,
     deadline=None,
