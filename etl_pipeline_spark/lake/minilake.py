@@ -1862,6 +1862,7 @@ class MiniLakeTable:
         self,
         from_version: int | str,
         to_version: int | str | None = None,
+        with_before: bool = False,
     ) -> DataFrame:
         """NET CDC view (Delta CDF's "net changes" / Flink changelog
         compaction analog): ONE row per key whose state differs between
@@ -1886,6 +1887,13 @@ class MiniLakeTable:
         the key columns — a hash-shuffle join, O(table + changes), with
         no broadcast/collect assumptions. Output column ``net_op``
         avoids colliding with a source stream's ``op``.
+
+        ``with_before=True`` additionally emits each payload column's
+        FROM-state value as ``before_<col>`` (null on ``I`` rows) — the
+        Debezium before-image envelope, free here because the
+        classification join already carries the old values. Consumers
+        use it for optimistic-concurrency checks and for reversing a
+        feed without a second snapshot read.
         """
         if isinstance(from_version, str):
             from_version = self.tag_version(from_version)
@@ -1953,6 +1961,16 @@ class MiniLakeTable:
                     F.when(~F.col(DELETED_COL), F.col(c)).alias(c)
                     for c in payload
                 ],
+                *(
+                    [
+                        F.when(F.col("_had"), F.col(f"_old_{c}")).alias(
+                            f"before_{c}"
+                        )
+                        for c in payload
+                    ]
+                    if with_before
+                    else []
+                ),
                 F.col(LSN_COL),
             )
         )

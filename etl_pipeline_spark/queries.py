@@ -5439,6 +5439,84 @@ WHERE NOT (op = 'D' AND NOT had)
 """
 
 
+# The net-changes view with Debezium-style BEFORE images: same window
+# and classification as NET_CHANGES_SQL, plus each payload column's
+# FROM-state value (null on I rows).
+NET_ENVELOPE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
+s0 AS (
+  SELECT * FROM (
+    SELECT ce.*, TRUE AS had0,
+           row_number() OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY lsn DESC) AS rn
+    FROM ce WHERE lsn < 2 * (SELECT bw FROM w)
+  ) WHERE rn = 1 AND op <> 'D'
+),
+f AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY lsn DESC) AS rn
+    FROM ce
+  ) WHERE rn = 1
+),
+fch AS (
+  SELECT f.* FROM f
+  WHERE EXISTS (SELECT 1 FROM ce c
+                WHERE c.conv_id = f.conv_id AND c.turn_idx = f.turn_idx
+                  AND c.lsn >= 2 * (SELECT bw FROM w))
+),
+n AS (
+  SELECT fch.*, s0.role AS old_role, s0.text AS old_text, s0.ts AS old_ts,
+         coalesce(s0.had0, FALSE) AS had
+  FROM fch LEFT JOIN s0 USING (conv_id, turn_idx)
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN op = 'D' THEN 'D'
+            WHEN NOT had THEN 'I' ELSE 'U' END AS net_op,
+       CASE WHEN op = 'D' THEN NULL ELSE role END AS role,
+       CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+       CASE WHEN op = 'D' THEN NULL
+            ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS ts_epoch,
+       CASE WHEN had THEN old_role END AS before_role,
+       CASE WHEN had THEN old_text END AS before_text,
+       CASE WHEN had THEN CAST(floor(epoch(old_ts)) AS BIGINT) END
+         AS before_ts_epoch,
+       lsn
+FROM n
+WHERE NOT (op = 'D' AND NOT had)
+  AND NOT (op <> 'D' AND had
+           AND role IS NOT DISTINCT FROM old_role
+           AND text IS NOT DISTINCT FROM old_text
+           AND ts IS NOT DISTINCT FROM old_ts)
+"""
+
+
+def q_cdc_net_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style change envelope (minilake.net_changes
+    with_before=True): the net CDC view with each changed key's BEFORE
+    image attached — null on I rows, the FROM-state payload on U and D.
+    The before side is free at the engine level (the classification
+    join already carries the old values); consumers use it for
+    optimistic-concurrency checks and to REVERSE a feed without a
+    second snapshot read. The oracle recomputes both snapshot states
+    from the raw stream and attaches the same befores."""
+    table = _replayed_table(spark, sf_dir)
+    nc = table.net_changes(3, with_before=True)
+    return nc.select(
+        "conv_id",
+        "turn_idx",
+        "net_op",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "before_role",
+        "before_text",
+        F.unix_timestamp("before_ts").alias("before_ts_epoch"),
+        F.col("_lsn").alias("lsn"),
+    )
+
+
 def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Net CDC view (minilake.net_changes): one row per key whose state
     DIFFERS between the snapshot after batch 1 (version 3) and the
@@ -5570,6 +5648,7 @@ QUERIES = {
     "cdc_row_lineage": q_cdc_row_lineage,
     "cdc_expired_state": q_cdc_expired_state,
     "cdc_table_stats_check": q_cdc_table_stats_check,
+    "cdc_net_envelope": q_cdc_net_envelope,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5583,17 +5662,18 @@ QUERIES = {
     "docs_containment": q_docs_containment,
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "docs_dup_clusters": q_docs_dup_clusters,
-    "docs_pii_redaction": q_docs_pii_redaction,
     "docs_repetition_stats": q_docs_repetition_stats,
     "docs_unigram_entropy": q_docs_unigram_entropy,
     "docs_boilerplate": q_docs_boilerplate,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     # ---------------- driver window ends here (first 50) ----------------
-    # docs_dedup_then_sample, docs_quality_percentile_filter and
-    # docs_tfidf_top_terms moved below the line for the r5 session-6
-    # insertions of cdc_row_lineage, cdc_expired_state and
-    # cdc_table_stats_check — allowed: all green r04 (60/450/500 rows).
+    # docs_dedup_then_sample, docs_quality_percentile_filter,
+    # docs_tfidf_top_terms and docs_pii_redaction moved below the line
+    # for the r5 session-6 insertions of cdc_row_lineage,
+    # cdc_expired_state, cdc_table_stats_check and cdc_net_envelope —
+    # allowed: all green r04 (60/450/500/500 rows).
+    "docs_pii_redaction": q_docs_pii_redaction,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_quality_percentile_filter": q_docs_quality_percentile_filter,
     "docs_dedup_then_sample": q_docs_dedup_then_sample,
@@ -5707,6 +5787,7 @@ ORACLE_SQL = {
     "cdc_row_lineage": ROW_LINEAGE_SQL,
     "cdc_expired_state": EXPIRED_STATE_SQL,
     "cdc_table_stats_check": TABLE_STATS_SQL,
+    "cdc_net_envelope": NET_ENVELOPE_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

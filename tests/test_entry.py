@@ -117,18 +117,19 @@ INTENDED_FIRST_50 = [
     "cdc_default_values", "cdc_widened_state", "cdc_constrained_state",
     "cdc_dml_state", "cdc_ts_range_scan", "cdc_zorder_scan",
     "cdc_stream_changes", "cdc_clone_state", "cdc_row_lineage",
-    "cdc_expired_state", "cdc_table_stats_check",
+    "cdc_expired_state", "cdc_table_stats_check", "cdc_net_envelope",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
     "docs_simhash_pairs_editdist", "docs_containment",
-    "docs_winnow_fingerprints", "docs_dup_clusters", "docs_pii_redaction",
+    "docs_winnow_fingerprints", "docs_dup_clusters",
     "docs_repetition_stats", "docs_unigram_entropy", "docs_boilerplate",
     "docs_stratified_sample", "docs_sentence_dedup",
-    # docs_dedup_then_sample, docs_quality_percentile_filter and
-    # docs_tfidf_top_terms moved below the line for the r5 session-6
-    # insertions of cdc_row_lineage, cdc_expired_state and
-    # cdc_table_stats_check — allowed: all green r04 (60/450/500 rows).
+    # docs_dedup_then_sample, docs_quality_percentile_filter,
+    # docs_tfidf_top_terms and docs_pii_redaction moved below the line
+    # for the r5 session-6 insertions of cdc_row_lineage,
+    # cdc_expired_state, cdc_table_stats_check and cdc_net_envelope —
+    # allowed: all green r04 (60/450/500/500 rows).
     # docs_bpe_token_stats, docs_exact_dup_pairs and mm_frame_sample
     # moved below the line for the r5 session-5 insertions of
     # cdc_clone_state, cdc_stream_changes and cdc_zorder_scan —

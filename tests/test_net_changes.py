@@ -117,3 +117,48 @@ def test_replica_law(table, spark, tmp_path):
     got = {(r["k"], r["v"]) for r in replica.read().collect()}
     want = {(r["k"], r["v"]) for r in table.read().collect()}
     assert got == want
+
+
+def test_envelope_before_images(table, spark):
+    """with_before=True attaches each changed key's FROM-state payload:
+    null on I, the old value on U and D — checked cell-for-cell against
+    the FROM snapshot."""
+    from_state = {r["k"]: r["v"] for r in table.read(version=2).collect()}
+    env = {
+        r["k"]: r
+        for r in table.net_changes(2, with_before=True).collect()
+    }
+    assert set(env) == {"upd", "del", "ins"}
+    assert env["ins"]["net_op"] == "I" and env["ins"]["before_v"] is None
+    assert env["upd"]["net_op"] == "U"
+    assert env["upd"]["before_v"] == from_state["upd"] == "old"
+    assert env["del"]["net_op"] == "D"
+    assert env["del"]["before_v"] == from_state["del"] == "doomed"
+
+
+def test_envelope_reversal_law(table, spark, tmp_path):
+    """TO state + REVERSED envelope == FROM state: I rows become
+    deletes, U rows re-write the before image, D rows re-insert it —
+    the consumer-side undo the before images exist for, with no second
+    snapshot read."""
+    replica = MiniLakeTable.create(
+        spark, str(tmp_path / "rev"), SCHEMA, key_cols=["k"],
+        n_buckets=4, write_mode="mor",
+    )
+    seed = table.read().withColumn("lsn", F.lit(0)).withColumn(
+        "op", F.lit("I")
+    )
+    replica.merge(seed, batch_id=0)
+    env = table.net_changes(2, with_before=True)
+    undo = env.select(
+        "k",
+        F.when(F.col("net_op") != "I", F.col("before_v")).alias("v"),
+        (F.col("_lsn") + 1_000_000).alias("lsn"),  # outranks the seed
+        F.when(F.col("net_op") == "I", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    replica.merge(undo, batch_id=1)
+    got = {(r["k"], r["v"]) for r in replica.read().collect()}
+    want = {(r["k"], r["v"]) for r in table.read(version=2).collect()}
+    assert got == want
