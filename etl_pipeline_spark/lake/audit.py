@@ -38,7 +38,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..schema import BUCKET_COL, DELETED_COL, LSN_COL, physical_name
-from .minilake import DEAD_BUCKET, MiniLakeTable
+from .minilake import DEAD_BUCKET, MiniLakeTable, snapshot_is_resolved
 
 LEVELS = ("metadata", "files", "data")
 
@@ -102,8 +102,9 @@ def _audit_metadata(t: MiniLakeTable, findings: list, checked: dict) -> dict:
                 _find(findings, "metadata", "dir-missing", d)
     checked["dirs"] = len(live_dirs)
     stats = m.get("file_stats", {})
+    live_set = set(live_dirs)
     for d in stats:
-        if d not in set(live_dirs):
+        if d not in live_set:
             _find(
                 findings, "metadata", "stats-for-dead-dir",
                 f"file_stats references unregistered dir {d}",
@@ -152,6 +153,7 @@ def _audit_files(t: MiniLakeTable, m: dict, findings: list,
             rows = 0
             kmin = kmax = lmin = lmax = None
             usable = True
+            rows_complete = True  # False once any footer is unreadable
             for name in sorted(os.listdir(d)):
                 if not name.endswith(".parquet"):
                     continue
@@ -163,6 +165,10 @@ def _audit_files(t: MiniLakeTable, m: dict, findings: list,
                     _find(findings, "files", "footer-unreadable",
                           f"{path}: {e}")
                     usable = False
+                    # the dir's footer row total is now incomplete —
+                    # a drift comparison against it would report a
+                    # phantom second finding for the same fault
+                    rows_complete = False
                     continue
                 rows += md.num_rows
                 names = [
@@ -198,8 +204,9 @@ def _audit_files(t: MiniLakeTable, m: dict, findings: list,
                     kmin = ks.min if kmin is None else min(kmin, ks.min)
                     kmax = ks.max if kmax is None else max(kmax, ks.max)
             s = stats.get(d)
-            if s is None:
-                continue  # absent stats are legal (never prune)
+            if s is None or not rows_complete:
+                continue  # absent stats are legal (never prune);
+                # incomplete footer sums already have their own finding
             if s.get("rows") != rows:
                 _find(
                     findings, "files", "row-count-drift",
@@ -252,16 +259,7 @@ def _audit_data(t: MiniLakeTable, m: dict, findings: list,
                 f"bucket {bi}: {bad} rows hash-route elsewhere",
             )
     checked["buckets_scanned"] = len(m["buckets"])
-    resolved = m.get("write_mode", "cow") == "cow" or (
-        all(len(ds) == 1 for ds in m["buckets"].values())
-        and all(
-            os.path.basename(os.path.dirname(d)).startswith(
-                ("compact-", "rescale-", "expire-")
-            )
-            for ds in m["buckets"].values()
-            for d in ds
-        )
-    )
+    resolved = snapshot_is_resolved(m)
     if resolved and m.get("merge_engine", "lww") == "lww":
         # one pass for both resolved-snapshot invariants: the fold-skip
         # read SERVES resolved snapshots verbatim, so a duplicate key is

@@ -99,6 +99,32 @@ CLONE_OF_PROP = "engine.clone-of"
 CLONE_TAG_PROP = "engine.clone-tag"
 ROW_LINEAGE_PROP = "engine.row-lineage"  # bool: carry _birth_lsn/_tomb_lsn
 TABLE_STATS_PROP = "engine.table-stats"  # ANALYZE output (Puffin analog)
+
+# Maintenance rewrites whose output is key-unique per bucket (they all
+# rewrite the RESOLVED state). Every resolved-snapshot decision — the
+# fold-skip read, per-file scan planning, expire_rows safety, the audit's
+# duplicate-key check — keys off this ONE tuple.
+RESOLVED_DIR_PREFIXES = ("compact-", "rescale-", "expire-")
+
+
+def snapshot_is_resolved(m: dict, dirs: list[str] | None = None) -> bool:
+    """Is the snapshot's on-disk state key-unique (one LWW fold row per
+    key, no pending deltas)? COW always is; MOR iff every bucket is
+    exactly ONE maintenance-rewrite output dir. ``dirs`` narrows the
+    prefix check to an explicit read set (e.g. a branch read's base +
+    branch deltas — the extra dirs fail the prefix test, correctly
+    disqualifying the skip). Vacuously true for an empty table; callers
+    whose optimization needs data guard on non-emptiness themselves."""
+    if m.get("write_mode", "cow") == "cow":
+        return True
+    if dirs is None:
+        dirs = [d for ds in m.get("buckets", {}).values() for d in ds]
+    return all(
+        os.path.basename(os.path.dirname(d)).startswith(
+            RESOLVED_DIR_PREFIXES
+        )
+        for d in dirs
+    ) and all(len(ds) == 1 for ds in m.get("buckets", {}).values())
 # dead-letter fusion bookkeeping (merge(valid_col=..., dead_sink=...)):
 # dead rows ride the delta write in this pseudo-bucket, then the dir is
 # relocated to the dead-letter sink before the manifest registers buckets
@@ -360,6 +386,27 @@ class MiniLakeTable:
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.meta_dir, "CURRENT"))
         return True
+
+    def _commit_properties(self, updates: dict) -> int:
+        """Metadata-only snapshot commit merging ``updates`` into the
+        current properties — the shared CAS-retry loop behind ANALYZE,
+        row-lineage enablement and any future property write. Retries
+        on conflict by re-landing the same updates on the racer's base
+        (property writes are attributed, not base-dependent). Returns
+        the committed version."""
+        while True:
+            base = self.manifest()
+            m2 = dict(base)
+            m2["version"] = base["version"] + 1
+            m2["parent_snapshot_id"] = base["snapshot_id"]
+            m2["snapshot_id"] = str(uuid.uuid4())
+            m2["properties"] = {**base["properties"], **updates}
+            m2["committed_at"] = time.time()
+            try:
+                self._write_manifest(m2)
+                return m2["version"]
+            except CommitConflict:
+                continue  # racer committed; re-land on its base
 
     def _reload_after_conflict(self, prev_version: int) -> dict:
         """Fresh CAS base after a :class:`CommitConflict` — the shared
@@ -891,21 +938,7 @@ class MiniLakeTable:
                 for i, c in enumerate(cols)
             },
         }
-        while True:
-            base = self.manifest()
-            m2 = dict(base)
-            m2["version"] = base["version"] + 1
-            m2["parent_snapshot_id"] = base["snapshot_id"]
-            m2["snapshot_id"] = str(uuid.uuid4())
-            m2["properties"] = {
-                **base["properties"], TABLE_STATS_PROP: stats
-            }
-            m2["committed_at"] = time.time()
-            try:
-                self._write_manifest(m2)
-                return m2["version"]
-            except CommitConflict:
-                continue  # racer committed; re-land on its base
+        return self._commit_properties({TABLE_STATS_PROP: stats})
 
     def table_stats(self, version: int | None = None) -> dict | None:
         """The last ANALYZE result under LOGICAL column names (the
@@ -1345,13 +1378,7 @@ class MiniLakeTable:
             # columns and can never skip.
             m.get("merge_engine", "lww") == "lww"
             and _dirs
-            and all(
-                os.path.basename(os.path.dirname(d)).startswith(
-                    ("compact-", "rescale-", "expire-")
-                )
-                for d in _dirs
-            )
-            and all(len(ds) == 1 for ds in m["buckets"].values())
+            and snapshot_is_resolved(m, dirs=_dirs)
         ):
             phys = self._fold(phys, m)
         return phys.filter(~F.col(DELETED_COL)).select(*cols)
@@ -1384,30 +1411,17 @@ class MiniLakeTable:
         still physically exists for it (its folded winner's own LSN).
         Keys whose segments begin after this commit are exact. Tables
         created with ``row_lineage=True`` are exact from birth."""
-        while True:
-            base = self.manifest()
-            if base.get("merge_engine", "lww") != "lww" or (
-                base.get("write_mode", "cow") != "mor"
-            ):
-                raise ValueError(
-                    "row lineage requires write_mode='mor' and "
-                    "merge_engine='lww'"
-                )
-            if base.get("properties", {}).get(ROW_LINEAGE_PROP):
-                return base["version"]
-            m2 = dict(base)
-            m2["version"] = base["version"] + 1
-            m2["parent_snapshot_id"] = base["snapshot_id"]
-            m2["snapshot_id"] = str(uuid.uuid4())
-            m2["properties"] = {
-                **base["properties"], ROW_LINEAGE_PROP: True
-            }
-            m2["committed_at"] = time.time()
-            try:
-                self._write_manifest(m2)
-                return m2["version"]
-            except CommitConflict:
-                continue  # racer committed; re-check on its base
+        base = self.manifest()
+        if base.get("merge_engine", "lww") != "lww" or (
+            base.get("write_mode", "cow") != "mor"
+        ):
+            raise ValueError(
+                "row lineage requires write_mode='mor' and "
+                "merge_engine='lww'"
+            )
+        if base.get("properties", {}).get(ROW_LINEAGE_PROP):
+            return base["version"]
+        return self._commit_properties({ROW_LINEAGE_PROP: True})
 
     def read_lineage(
         self,
@@ -1693,17 +1707,10 @@ class MiniLakeTable:
                 )
             ]
 
+        # per-file pruning assumes key-unique state on disk, same as
+        # read()'s fold-skip
         maintained = m.get("write_mode", "cow") == "cow" or (
-            all_dirs
-            and all(
-                os.path.basename(os.path.dirname(d)).startswith(
-                    ("compact-", "rescale-", "expire-")
-                )
-                for d in all_dirs
-            )
-            # one dir per bucket, same as read()'s fold-skip: per-file
-            # pruning assumes key-unique state on disk
-            and all(len(ds) == 1 for ds in m["buckets"].values())
+            bool(all_dirs) and snapshot_is_resolved(m, dirs=all_dirs)
         )
         if maintained:
             # key-unique resolved state (COW always; MOR once every dir
@@ -3754,19 +3761,7 @@ class MiniLakeTable:
         filter_value, enc_cutoff = self._norm_bound(field, older_than)
         pcol = physical_name(field)
 
-        def _resolved(m: dict) -> bool:
-            return m.get("write_mode", "cow") == "cow" or (
-                all(len(ds) == 1 for ds in m["buckets"].values())
-                and all(
-                    os.path.basename(os.path.dirname(d)).startswith(
-                        ("compact-", "rescale-", "expire-")
-                    )
-                    for ds in m["buckets"].values()
-                    for d in ds
-                )
-            )
-
-        if not _resolved(base):
+        if not snapshot_is_resolved(base):
             if not compact_first:
                 raise ValueError(
                     "expire_rows needs a fully resolved snapshot (file "
@@ -3777,30 +3772,51 @@ class MiniLakeTable:
             # tombstones KEPT: expiry mid-stream must not un-guard keys
             self.compact(drop_tombstones=False)
             base = self.manifest()
+            if not snapshot_is_resolved(base):
+                # a merge raced the inline compaction (compact's MOR
+                # conflict retry legitimately commits with the racer's
+                # delta dirs surviving) — running the file-drop plan on
+                # an unresolved base could drop a delta file whose rows
+                # out-LWW losers still sitting in older files. Abort
+                # retryably instead of planning on it.
+                raise CommitConflict(
+                    "table became unresolved again during "
+                    "compact_first (a merge raced the compaction); "
+                    "retry expire_rows"
+                )
         version = base["version"]
         enc = self._encode_stat_bound
 
-        def _classify(path: str) -> str:
-            """'drop' | 'keep' | 'boundary' from the parquet footer —
-            driver-side metadata only, no task launched."""
+        def _classify(path: str) -> tuple[str, frozenset | None]:
+            """('drop'|'keep'|'boundary', footer column set) from the
+            parquet footer — driver-side metadata only, no task
+            launched. The column set lets the caller protect the
+            one-footer-schema-per-dir invariant hardlinks could break."""
             try:
                 md = pq.read_metadata(path)
             except Exception:
-                return "boundary"
+                return "boundary", None
             names = [
                 md.schema.column(i).name for i in range(md.num_columns)
             ]
+            colset = frozenset(names)
             if pcol not in names:
-                # pre-add file: every row reads the column's
-                # initial-default (or null) — decide from that one value
+                # pre-add file: every ROW reads the column's
+                # initial-default (or null) — but the file may still
+                # hold TOMBSTONES, which must be retained, so a
+                # below-cutoff default can never whole-file drop
                 dflt = initial_default(field)
                 if dflt is None:
-                    return "keep"  # all-null → retained
+                    return "keep", colset  # all-null → retained
                 _, enc_d = self._norm_bound(field, dflt)
                 try:
-                    return "drop" if enc_d < enc_cutoff else "keep"
+                    return (
+                        ("boundary", colset)
+                        if enc_d < enc_cutoff
+                        else ("keep", colset)
+                    )
                 except TypeError:
-                    return "boundary"
+                    return "boundary", colset
             ci = names.index(pcol)
             di = names.index(DELETED_COL) if DELETED_COL in names else None
             droppable = True
@@ -3809,11 +3825,11 @@ class MiniLakeTable:
                 g = md.row_group(rg)
                 st = g.column(ci).statistics
                 if st is None:
-                    return "boundary"
+                    return "boundary", colset
                 n_vals = st.num_values
                 if not st.has_min_max:
                     if n_vals:  # values exist but no bounds → unknown
-                        return "boundary"
+                        return "boundary", colset
                     droppable = False  # all-null group: rows retained
                     continue
                 emn, emx = enc(st.min), enc(st.max)
@@ -3821,14 +3837,14 @@ class MiniLakeTable:
                     isinstance(v, float) and math.isnan(v)
                     for v in (emn, emx)
                 ):
-                    return "boundary"
+                    return "boundary", colset
                 try:
                     if not (emx < enc_cutoff):
                         droppable = False
                     if not (emn >= enc_cutoff):
                         keepable = False
                 except TypeError:
-                    return "boundary"
+                    return "boundary", colset
                 if st.null_count is None or st.null_count > 0:
                     droppable = False  # null rows are retained
                 if di is not None:
@@ -3836,28 +3852,40 @@ class MiniLakeTable:
                     if ds is None or not ds.has_min_max or ds.max:
                         droppable = False  # tombstones are retained
             if droppable:
-                return "drop"
+                return "drop", colset
             if keepable:
-                return "keep"
-            return "boundary"
+                return "keep", colset
+            return "boundary", colset
 
+        # the boundary-rewrite job writes the FULL current physical
+        # column set; a hardlinked survivor with a different footer set
+        # (e.g. written before an add_columns) would land in the same
+        # bucket dir and break the one-footer-schema-per-dir invariant
+        # the initial-default read path depends on — demote those to
+        # boundary (the rewrite normalizes them)
+        canonical = frozenset(
+            f.name for f in self.physical_read_schema(version).fields
+        )
         dropped: list[str] = []
         linked: list[tuple[str, int]] = []  # (path, bucket)
         boundary: dict[str, list[str]] = {}  # dir -> file paths
         touched: set[int] = set()
         for b_str, dirs in base["buckets"].items():
             b = int(b_str)
-            plan: list[tuple[str, str]] = []
+            plan: list[tuple[str, str, frozenset | None]] = []
             for d in dirs:
                 for name in sorted(os.listdir(d)):
                     if not name.endswith(".parquet"):
                         continue
                     path = os.path.join(d, name)
-                    plan.append((path, _classify(path)))
-            if all(cls == "keep" for _, cls in plan):
+                    cls, colset = _classify(path)
+                    plan.append((path, cls, colset))
+            if all(cls == "keep" for _, cls, _cs in plan):
                 continue  # bucket untouched, dirs survive byte-identical
             touched.add(b)
-            for path, cls in plan:
+            for path, cls, colset in plan:
+                if cls == "keep" and colset != canonical:
+                    cls = "boundary"
                 if cls == "drop":
                     dropped.append(path)
                 elif cls == "keep":

@@ -115,6 +115,13 @@ def main() -> None:
     spark = get_spark("etl-ingest", master=args.master)
     if MiniLakeTable.exists(args.table):
         table = MiniLakeTable(spark, args.table)
+    elif args.mode in ("audit", "expire", "analyze", "export",
+                       "requeue", "publish-branch"):
+        # maintenance/egress verbs operate on an EXISTING table — auto-
+        # creating an empty one here would let a typo'd --table path
+        # produce a green fsck (or a junk table) against nothing
+        ap.error(f"--mode {args.mode}: no table at {args.table}")
+        return  # unreachable; ap.error exits
     else:
         table = MiniLakeTable.create(
             spark,

@@ -268,6 +268,55 @@ def test_property_expire_equals_filter(spark, tmp_path_factory, data):
     assert norm(t.read().collect()) == want
 
 
+def test_expiry_after_add_columns_keeps_dirs_schema_homogeneous(
+    spark, tmp_path
+):
+    """Hardlinked survivors written BEFORE an add_columns lack the new
+    physical column; linking them next to the boundary-rewrite output
+    (which carries it) would break the one-footer-schema-per-dir
+    invariant the initial-default read path depends on. Those survivors
+    must be demoted to rewrite — and pre/post-add values plus the
+    default must all read back exactly."""
+    rows = [
+        (i, "I", f"c{i}", i, f"v{i}", _ts(1 + i % 28), 1.0)
+        for i in range(1, 120)
+    ]
+    t = _mk(spark, tmp_path / "t", rows)
+    t.compact(drop_tombstones=True, cluster_cols=["ts"],
+              target_rows_per_file=12)
+    # metadata-only add: every surviving file now PREDATES the column
+    t.add_columns(
+        [T.StructField("lang", T.StringType(), True)],
+        defaults={"lang": "en"},
+    )
+    cutoff = _ts(15)
+    want = sorted(
+        t.read()
+        .filter(F.col("ts").isNull() | ~(F.col("ts") < F.lit(cutoff)))
+        .collect()
+    )
+    res = t.expire_rows("ts", cutoff)
+    # every pre-add survivor was demoted to rewrite (its footer set
+    # differs from the canonical write set) — no mixed-schema dir can
+    # form, so no hardlinks here
+    assert res["files_linked"] == 0
+    assert res["files_rewritten"] > 0
+    assert sorted(t.read().collect()) == want
+    import pyarrow.parquet as pq
+
+    for ds in t.manifest()["buckets"].values():
+        for d in ds:
+            sets = {
+                frozenset(
+                    pq.read_metadata(os.path.join(d, n)).schema.names
+                )
+                for n in os.listdir(d) if n.endswith(".parquet")
+            }
+            assert len(sets) <= 1, (d, sets)
+    # the initial default still reads on every surviving row
+    assert {r["lang"] for r in t.read().collect()} == {"en"}
+
+
 def test_engine_guard(spark, tmp_path):
     t = MiniLakeTable.create(
         spark, str(tmp_path / "agg"),
