@@ -983,17 +983,36 @@ class MiniLakeTable:
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType,
         T.TimestampType, T.DateType,
+        T.StringType,
     )
 
     @staticmethod
     def _zorder_double(col, dtype):
         """Order-preserving double view of a z-order column (timestamps
         as epoch micros, dates as epoch days — ANSI mode forbids the
-        direct timestamp→double cast)."""
+        direct timestamp→double cast).
+
+        Strings map through their first 6 UTF-8 bytes read as a
+        big-endian integer (2^48 < 2^53, exactly representable in a
+        double): zero-RIGHT-padding the hex keeps the bytewise order
+        (\\x00 sorts below every byte), so the mapping is monotone in
+        binary collation. Strings sharing a 6-byte prefix collapse to
+        one rank — pure resolution loss, the same clamp-not-correctness
+        trade the numeric normalization already makes."""
         if isinstance(dtype, T.TimestampType):
             return F.unix_micros(col).cast("double")
         if isinstance(dtype, T.DateType):
             return F.unix_date(col).cast("double")
+        if isinstance(dtype, T.StringType):
+            return F.conv(
+                F.rpad(
+                    F.hex(F.substring(col.cast("binary"), 1, 6)),
+                    12,
+                    "0",
+                ),
+                16,
+                10,
+            ).cast("double")
         return col.cast("double")
 
     @staticmethod
@@ -4137,8 +4156,9 @@ class MiniLakeTable:
         range partitioner's sampling pass already scans the frame).
         Nulls rank at the top of each dimension, so all-null rows
         cluster in one corner (a range predicate never matches null —
-        those files prune away). Z-order columns must be numeric,
-        timestamp or date."""
+        those files prune away). Z-order columns may be numeric,
+        timestamp, date or string (strings rank by their first 6 bytes
+        — see ``_zorder_double``)."""
         base = self.manifest()
         version = base["version"]
         n_buckets = base["n_buckets"]
@@ -4193,8 +4213,8 @@ class MiniLakeTable:
             ]
             if bad:
                 raise ValueError(
-                    f"zorder cluster_cols must be numeric, timestamp or "
-                    f"date columns: {bad}"
+                    f"zorder cluster_cols must be numeric, timestamp, date "
+                    f"or string columns: {bad}"
                 )
             # exact normalization bounds: one extra agg job over the
             # folded frame (O(1) driver row). Out-of-range values only

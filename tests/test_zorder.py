@@ -132,13 +132,64 @@ def test_zorder_null_values_cluster_and_never_match(spark, tmp_path):
 
 
 def test_zorder_validates(spark, tmp_path):
+    from pyspark.sql import types as T
+
     t = _table(spark, tmp_path, "v")
     with pytest.raises(ValueError, match="at least two"):
         t.compact(cluster_cols=["ts"], zorder=True)
-    with pytest.raises(ValueError, match="numeric, timestamp or date"):
-        t.compact(cluster_cols=["ts", "role"], zorder=True)
     with pytest.raises(ValueError, match="zorder"):
         t.compact(zorder=True)
+    # a type with no order-preserving double view still rejects
+    tb = MiniLakeTable.create(
+        spark, str(tmp_path / "vb"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("flag", T.BooleanType(), True),
+        ]),
+        key_cols=KEYS, n_buckets=2, write_mode="mor",
+    )
+    with pytest.raises(ValueError, match="numeric, timestamp, date"):
+        tb.compact(cluster_cols=["turn_idx", "flag"], zorder=True)
+
+
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """Strings are z-orderable via their 6-byte-prefix rank: with
+    conv_id as the SECOND clustered dimension (the one linear
+    clustering can't prune), a conv_id range scan must both equal the
+    exact filter and skip files."""
+    t = _table(spark, tmp_path, "zs")
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "conv_id"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    t.set_stats_columns(["ts", "conv_id"])
+    # re-collect per-file bounds for the string column
+    t.compact(
+        drop_tombstones=True,
+        cluster_cols=["ts", "conv_id"],
+        zorder=True,
+        target_rows_per_file=16,
+    )
+    plan = t.plan_range_scan("conv_id", "c0", "c3zzz")
+    assert plan["mode"] == "file"
+    assert plan["files_planned"] < plan["files_total"], plan
+    exact = sorted(
+        map(
+            tuple,
+            t.read()
+            .filter(
+                (F.col("conv_id") >= "c0") & (F.col("conv_id") <= "c3zzz")
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, t.read_range("conv_id", "c0", "c3zzz").collect())
+    )
+    assert got == exact and len(got) > 0
 
 
 def test_zorder_survives_single_output_file(spark, tmp_path):
