@@ -67,6 +67,13 @@ def main() -> None:
         help="analyze mode: comma-separated columns (default: all)",
     )
     ap.add_argument(
+        "--catalog", default=None,
+        help="resolve --table as a catalog identifier "
+        "('namespace.table') against this catalog root instead of a "
+        "filesystem path; ingest modes create the table in the catalog "
+        "if missing",
+    )
+    ap.add_argument(
         "--to-branch", default=None,
         help="replay mode: audited backfill — write every batch to this "
         "branch ref (created at the current snapshot if missing); main "
@@ -113,10 +120,34 @@ def main() -> None:
     )
 
     spark = get_spark("etl-ingest", master=args.master)
-    if MiniLakeTable.exists(args.table):
+    maintenance = args.mode in (
+        "audit", "expire", "analyze", "export", "requeue",
+        "publish-branch",
+    )
+    if args.catalog is not None:
+        from etl_pipeline_spark.lake.catalog import MiniLakeCatalog
+
+        cat = MiniLakeCatalog.create(spark, args.catalog)
+        if cat.table_exists(args.table):
+            table = cat.load_table(args.table)
+        elif maintenance:
+            # maintenance/egress verbs operate on an EXISTING table
+            ap.error(
+                f"--mode {args.mode}: no table {args.table!r} in the "
+                f"catalog at {args.catalog}"
+            )
+            return  # unreachable; ap.error exits
+        else:
+            table = cat.create_table(
+                args.table,
+                TRANSCRIPT_SCHEMA,
+                key_cols=["conv_id", "turn_idx"],
+                n_buckets=args.n_buckets,
+                write_mode=args.write_mode,
+            )
+    elif MiniLakeTable.exists(args.table):
         table = MiniLakeTable(spark, args.table)
-    elif args.mode in ("audit", "expire", "analyze", "export",
-                       "requeue", "publish-branch"):
+    elif maintenance:
         # maintenance/egress verbs operate on an EXISTING table — auto-
         # creating an empty one here would let a typo'd --table path
         # produce a green fsck (or a junk table) against nothing
