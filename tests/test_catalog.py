@@ -152,3 +152,61 @@ def test_audit_all(spark, tmp_path):
     _seed(spark, t)
     rep = cat.audit_all(level="metadata")
     assert rep["ok"] and set(rep["tables"]) == {"a.t"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_property_catalog_matches_model(spark, tmp_path_factory, data):
+    """Model-based: a random sequence of create/rename/drop/register
+    operations must leave the catalog equal to a plain-dict model that
+    applied the same sequence — including which operations FAILED (both
+    sides must agree on every error)."""
+    root = tmp_path_factory.mktemp("cat_prop")
+    cat = MiniLakeCatalog.create(spark, str(root / "lake"))
+    model: dict[str, str] = {}  # ident -> physical root
+    names = [f"ns{i}.t{j}" for i in range(2) for j in range(3)]
+    n_ops = data.draw(st.integers(3, 12))
+    for _ in range(n_ops):
+        op = data.draw(st.sampled_from(["create", "rename", "drop"]))
+        if op == "create":
+            name = data.draw(st.sampled_from(names))
+            should_fail = name in model
+            try:
+                t = cat.create_table(
+                    name, SCHEMA, key_cols=["conv_id", "turn_idx"],
+                    n_buckets=2,
+                )
+                assert not should_fail
+                model[name] = t.root
+            except ValueError:
+                assert should_fail
+        elif op == "rename":
+            old = data.draw(st.sampled_from(names))
+            new = data.draw(st.sampled_from(names))
+            try:
+                cat.rename_table(old, new)
+                assert old in model and (new not in model or new == old)
+                model[new] = model.pop(old)
+            except KeyError:
+                assert old not in model
+            except ValueError:
+                assert new in model and new != old
+        else:
+            name = data.draw(st.sampled_from(names))
+            try:
+                cat.drop_table(name)
+                assert name in model
+                del model[name]
+            except KeyError:
+                assert name not in model
+    assert cat.list_tables() == sorted(model)
+    for ident, r in model.items():
+        assert cat.load_table(ident).root == r
