@@ -113,3 +113,74 @@ def test_subset_analyze_and_staleness(spark, tmp_path):
     )
     assert t.current_version() > stale_at
     assert t.table_stats()["computed_at_version"] == stale_at
+
+
+def test_incremental_analyze_tracks_ever_seen(spark, tmp_path):
+    """Incremental HLL ANALYZE: fold-in of only the new commits must
+    estimate the EVER-WRITTEN distinct count within sketch tolerance,
+    never decrease on deletes/overwrites, and no-op when nothing new."""
+    import pyspark.sql.functions as F
+
+    t = _mk(spark, tmp_path / "t", n=400)
+    v1 = t.analyze_incremental()
+    s1 = t.sketch_stats()
+    assert s1["since_version"] == v1 - 1
+    exact1 = t.read().select("conv_id").distinct().count()
+    got1 = s1["columns"]["conv_id"]["ndv_ever"]
+    assert abs(got1 - exact1) <= max(2, 0.05 * exact1)
+    # idempotent: nothing new to fold
+    assert t.analyze_incremental() == t.current_version()
+    # new batch with NEW conv_ids + deletes of old ones
+    rows = [
+        (1000 + i, "I", f"z{i}", i % 7, "new",
+         datetime.datetime(2026, 2, 1)) for i in range(50)
+    ] + [(2000, "D", "c1", 1 % 7, None, None)]
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx int, "
+            "text string, ts timestamp",
+        ),
+        1, CFG, stream_id="s",
+    )
+    t.analyze_incremental()
+    s2 = t.sketch_stats()
+    got2 = s2["columns"]["conv_id"]["ndv_ever"]
+    # ever-seen grew by the 50 new ids; the delete did NOT decrease it
+    want2 = exact1 + 50
+    assert abs(got2 - want2) <= max(3, 0.05 * want2)
+    assert got2 >= got1
+    # text nulls accumulated from the tombstone's null payload
+    assert s2["columns"]["text"]["nulls"] >= s1["columns"]["text"]["nulls"]
+
+
+def test_incremental_analyze_horizon_and_reset(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    t = _mk(spark, tmp_path / "t", n=100)
+    t.analyze_incremental()
+    with pytest.raises(ValueError, match="lg_k"):
+        t.analyze_incremental(lg_k=14)
+    # advance several commits then GC past the watermark
+    for b in range(1, 4):
+        apply_batch(
+            t,
+            spark.createDataFrame(
+                [(1000 * b, "I", f"n{b}", 0, "x",
+                  datetime.datetime(2026, 2, b))],
+                "lsn long, op string, conv_id string, turn_idx int, "
+                "text string, ts timestamp",
+            ),
+            b, CFG, stream_id="s",
+        )
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    with pytest.raises(ValueError):
+        t.analyze_incremental()  # watermark behind the horizon
+    v = t.analyze_incremental(reset=True)  # re-seed from live state
+    s = t.sketch_stats()
+    exact = t.read().select("conv_id").distinct().count()
+    assert abs(s["columns"]["conv_id"]["ndv_ever"] - exact) <= max(
+        2, 0.05 * exact
+    )
+    assert v == t.current_version()
