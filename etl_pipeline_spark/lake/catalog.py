@@ -212,6 +212,8 @@ class MiniLakeCatalog:
         def mutate(tables):
             if oident not in tables:
                 raise KeyError(f"no table {oident!r} in the catalog")
+            if nident == oident:
+                return  # self-rename: idempotent no-op (HMS semantics)
             if nident in tables:
                 raise ValueError(f"table {nident!r} already exists")
             tables[nident] = tables.pop(oident)
