@@ -4528,6 +4528,167 @@ def q_cdc_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- command MERGE INTO / replaceWhere --
+
+# Generic conditional MERGE (lake/merge_into.py — the Delta MERGE
+# builder compiled to one fenced LWW batch) graded end to end over a
+# copy of the replayed primary. The command exercises all four clause
+# families at once:
+#   USING  (live purchase rows) ∪ (same rows at turn_idx+100, role
+#          'merged' — guaranteed-new keys: live turn_idx < 20)
+#   WHEN MATCHED AND s.text IS NULL        THEN DELETE   (precedence)
+#   WHEN MATCHED                           THEN UPDATE text='m:'||s.text
+#                                               (role/ts keep t values)
+#   WHEN NOT MATCHED                       THEN INSERT *
+#   WHEN NOT MATCHED BY SOURCE AND t.role='error' THEN DELETE
+# The oracle replays the same algebra on the flagship LWW state.
+MERGE_INTO_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+base AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+),
+pur AS (SELECT * FROM base WHERE role = 'purchase')
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM (
+  SELECT conv_id, turn_idx, role, 'm:' || text AS text, ts
+  FROM pur WHERE text IS NOT NULL
+  UNION ALL
+  SELECT conv_id, turn_idx + 100, 'merged', text, ts FROM pur
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text, ts FROM base
+  WHERE role IS NULL OR role NOT IN ('purchase', 'error')
+)
+"""
+
+_MERGE_INTO_CACHE: dict = {}
+
+
+def q_cdc_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Command-style MERGE INTO graded end to end: matched
+    update/delete (with clause precedence), not-matched insert, and
+    not-matched-by-source delete — one atomic fenced commit on a copy
+    of the replayed primary (`lake/merge_into.py`)."""
+    from .lake.merge_into import merge_into
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _MERGE_INTO_CACHE.get(key)
+    if table is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_merge_into_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        shutil.copytree(primary.root, root)
+        table = MiniLakeTable(spark, root)
+        pur = table.read().filter("role = 'purchase'").select(
+            "conv_id", "turn_idx", "role", "text", "ts"
+        )
+        src = pur.unionByName(
+            pur.select(
+                "conv_id",
+                (F.col("turn_idx") + 100).alias("turn_idx"),
+                F.lit("merged").alias("role"),
+                "text",
+                "ts",
+            )
+        )
+        merge_into(
+            table,
+            src,
+            update_set={"text": "concat('m:', s.text)"},
+            delete_condition="s.text IS NULL",
+            insert_values="*",
+            by_source_delete_condition="t.role = 'error'",
+        )
+        _MERGE_INTO_CACHE[key] = table
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+# replaceWhere: every live 'view' row is atomically replaced by the
+# replacement frame (even turn_idx only, text prefixed) — vacated keys
+# delete and upserts land in ONE snapshot (lake/merge_into.py
+# overwrite_where; Delta replaceWhere semantics incl. the
+# rows-must-satisfy-the-predicate validation).
+OVERWRITE_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+base AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM (
+  SELECT conv_id, turn_idx, role, text, ts FROM base
+  WHERE role IS NULL OR role <> 'view'
+  UNION ALL
+  SELECT conv_id, turn_idx, role,
+         'ow:' || COALESCE(text, '') AS text, ts
+  FROM base WHERE role = 'view' AND turn_idx % 2 = 0
+)
+"""
+
+_OVERWRITE_CACHE: dict = {}
+
+
+def q_cdc_overwrite_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere graded end to end: `overwrite_where(role='view',
+    replacement)` — replacement keeps only even-turn view rows (text
+    prefixed), odd-turn view keys vacate via tombstones, all in one
+    atomic commit; non-view rows untouched."""
+    from .lake.merge_into import overwrite_where
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _OVERWRITE_CACHE.get(key)
+    if table is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_overwrite_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = os.path.join(tmp, "table")
+        shutil.copytree(primary.root, root)
+        table = MiniLakeTable(spark, root)
+        repl = (
+            table.read()
+            .filter("role = 'view' AND turn_idx % 2 = 0")
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                F.concat(F.lit("ow:"), F.coalesce("text", F.lit(""))).alias(
+                    "text"
+                ),
+                "ts",
+            )
+        )
+        overwrite_where(table, "role = 'view'", repl)
+        _OVERWRITE_CACHE[key] = table
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 # ------------------------------------------------- dedup clustering (CC) --
 
 DUP_CLUSTERS_SQL = f"""
@@ -5639,6 +5800,9 @@ QUERIES = {
     "cdc_widened_state": q_cdc_widened_state,
     "cdc_constrained_state": q_cdc_constrained_state,
     "cdc_dml_state": q_cdc_dml_state,
+    # -- r5 session-7 additions, born inside the window per the rule --
+    "cdc_merge_into_state": q_cdc_merge_into_state,
+    "cdc_overwrite_state": q_cdc_overwrite_state,
     # -- r5 session-4/5 additions, born inside the window per the rule --
     "cdc_ts_range_scan": q_cdc_ts_range_scan,
     "cdc_zorder_scan": q_cdc_zorder_scan,
@@ -5662,12 +5826,15 @@ QUERIES = {
     "docs_containment": q_docs_containment,
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "docs_dup_clusters": q_docs_dup_clusters,
-    "docs_repetition_stats": q_docs_repetition_stats,
-    "docs_unigram_entropy": q_docs_unigram_entropy,
     "docs_boilerplate": q_docs_boilerplate,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     # ---------------- driver window ends here (first 50) ----------------
+    # docs_repetition_stats and docs_unigram_entropy moved below the
+    # line for the r5 session-7 insertions of cdc_merge_into_state and
+    # cdc_overwrite_state — allowed: both green r04 (500 rows each).
+    "docs_repetition_stats": q_docs_repetition_stats,
+    "docs_unigram_entropy": q_docs_unigram_entropy,
     # docs_dedup_then_sample, docs_quality_percentile_filter,
     # docs_tfidf_top_terms and docs_pii_redaction moved below the line
     # for the r5 session-6 insertions of cdc_row_lineage,
@@ -5780,6 +5947,8 @@ ORACLE_SQL = {
     "cdc_widened_state": WIDENED_STATE_SQL,
     "cdc_constrained_state": CONSTRAINED_STATE_SQL,
     "cdc_dml_state": DML_STATE_SQL,
+    "cdc_merge_into_state": MERGE_INTO_STATE_SQL,
+    "cdc_overwrite_state": OVERWRITE_STATE_SQL,
     "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
     "cdc_zorder_scan": ZORDER_SCAN_SQL,
     "cdc_stream_changes": STREAM_CHANGES_SQL,

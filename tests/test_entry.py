@@ -115,16 +115,19 @@ INTENDED_FIRST_50 = [
     "cdc_files_metadata", "cdc_scd2_history", "cdc_net_changes",
     "cdc_partial_update_state", "cdc_conv_agg_state",
     "cdc_default_values", "cdc_widened_state", "cdc_constrained_state",
-    "cdc_dml_state", "cdc_ts_range_scan", "cdc_zorder_scan",
+    "cdc_dml_state", "cdc_merge_into_state", "cdc_overwrite_state",
+    "cdc_ts_range_scan", "cdc_zorder_scan",
     "cdc_stream_changes", "cdc_clone_state", "cdc_row_lineage",
     "cdc_expired_state", "cdc_table_stats_check", "cdc_net_envelope",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
     "docs_simhash_pairs_editdist", "docs_containment",
-    "docs_winnow_fingerprints", "docs_dup_clusters",
-    "docs_repetition_stats", "docs_unigram_entropy", "docs_boilerplate",
+    "docs_winnow_fingerprints", "docs_dup_clusters", "docs_boilerplate",
     "docs_stratified_sample", "docs_sentence_dedup",
+    # docs_repetition_stats and docs_unigram_entropy moved below the
+    # line for the r5 session-7 insertions of cdc_merge_into_state and
+    # cdc_overwrite_state — allowed: both green r04 (500 rows each).
     # docs_dedup_then_sample, docs_quality_percentile_filter,
     # docs_tfidf_top_terms and docs_pii_redaction moved below the line
     # for the r5 session-6 insertions of cdc_row_lineage,
