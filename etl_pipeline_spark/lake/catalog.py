@@ -254,6 +254,22 @@ class MiniLakeCatalog:
 
         self._commit(mutate)
 
+    def transaction(self, txn_id: str | None = None):
+        """Begin a multi-table atomic transaction (see
+        :mod:`.transaction`): ``with cat.transaction() as txn:
+        txn.merge("ns.table", batch, batch_id=...)`` — commits every
+        participant atomically on block exit, aborts on exception."""
+        from .transaction import LakeTransaction
+
+        return LakeTransaction(self, txn_id).begin()
+
+    def recover_transactions(self) -> dict:
+        """Resolve pending multi-table transactions (startup recovery):
+        prepared → aborted, committed → rolled forward."""
+        from .transaction import recover_transactions
+
+        return recover_transactions(self)
+
     def audit_all(self, level: str = "metadata") -> dict:
         """Run the integrity audit over every registered table. Returns
         ``{ident: report}``; ``ok`` is the conjunction."""

@@ -5474,6 +5474,128 @@ def q_cdc_conv_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TXN_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, ts FROM r WHERE rn = 1 AND op <> 'D'
+),
+base AS (
+  SELECT conv_id,
+         count(*) AS live_turns,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_epoch
+  FROM state GROUP BY conv_id
+),
+stats AS (
+  SELECT conv_id, count(*) AS n_events
+  FROM ce WHERE op <> 'D' GROUP BY conv_id
+)
+SELECT b.conv_id, b.live_turns, b.last_ts_epoch, s.n_events
+FROM base b JOIN stats s USING (conv_id)
+"""
+
+
+_TXN_CACHE: dict = {}
+
+
+def q_cdc_txn_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic transactions graded end-to-end
+    (lake/transaction.py over the catalog): each micro-batch of the
+    derived change stream fans out to TWO tables inside one
+    ``catalog.transaction()`` — the LWW transcripts table and a
+    per-conversation event-count table (agg merge engine) — with
+    WAP-staged prepares and fence-idempotent publishes. One batch is
+    deliberately crashed between its two publishes and completed by
+    ``recover_transactions`` (the roll-forward path is ON the graded
+    path, not just unit-tested). The graded result joins both tables;
+    the oracle computes both sides from the raw stream — any
+    atomicity/exactly-once drift (double-applied stats batch, lost
+    transcript batch) breaks the join's counts.
+
+    The reference's analog is the single-table Postgres transaction in
+    ``load.py:190-290``; this is the multi-table generalization a CDC
+    fan-out needs."""
+    from pyspark.sql import types as T
+
+    from .lake.catalog import MiniLakeCatalog
+    from .lake.minilake import MiniLakeTable as _MLT
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cat = _TXN_CACHE.get(key)
+    if cat is None:
+        tmp = tempfile.mkdtemp(prefix="cdc_txn_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        cat = MiniLakeCatalog.create(spark, os.path.join(tmp, "lake"))
+        cat.create_table(
+            "prod.transcripts", TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"], n_buckets=16,
+            write_mode="mor",
+        )
+        cat.create_table(
+            "prod.conv_stats",
+            T.StructType([
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("n_events", T.LongType(), True),
+            ]),
+            key_cols=["conv_id"], n_buckets=8,
+            write_mode="mor", merge_engine="agg",
+            agg_spec={"n_events": "sum"},
+        )
+        ce = (
+            derive_change_events(spark, sf_dir)
+            .withColumn("tool", F.lit(None).cast("string"))
+        )
+        measures = ce.filter(F.col("op") != "D").select(
+            "lsn", "op", "conv_id",
+            F.lit(1).cast("long").alias("n_events"),
+        )
+        bw = _batch_width(spark, sf_dir)
+        mx = int(ce.agg(F.max("lsn")).first()[0] or 0)
+        n_batches = mx // bw + 1
+        crash_batch = n_batches // 2  # mid-replay crash/recover exercise
+        for b in range(n_batches):
+            in_b = (F.col("lsn") >= b * bw) & (
+                (F.col("lsn") < (b + 1) * bw)
+                if b < n_batches - 1
+                else F.lit(True)
+            )
+            txn = cat.transaction(txn_id=f"batch-{b:06d}")
+            txn.merge("prod.transcripts", ce.filter(in_b), batch_id=b)
+            txn.merge("prod.conv_stats", measures.filter(in_b), batch_id=b)
+            if b == crash_batch:
+                # crash strictly after the commit point, before any
+                # publish; the recovery below must roll it forward
+                real = _MLT.publish_staged
+                _MLT.publish_staged = lambda self, wap_id: (_ for _ in ()).throw(
+                    OSError("injected crash")
+                )
+                try:
+                    txn.commit()
+                except OSError:
+                    pass
+                finally:
+                    _MLT.publish_staged = real
+                rep = cat.recover_transactions()
+                assert rep["completed"] == [f"batch-{b:06d}"], rep
+            else:
+                txn.commit()
+        _TXN_CACHE[key] = cat
+    transcripts = cat.load_table("prod.transcripts").read()
+    stats = cat.load_table("prod.conv_stats").read()
+    base = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("live_turns"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
+    )
+    return base.join(stats, "conv_id").select(
+        "conv_id", "live_turns", "last_ts_epoch", "n_events"
+    )
+
+
 PARTIAL_UPDATE_SQL = f"""
 WITH ce AS ({CE_SQL}),
 msk AS (
@@ -5803,6 +5925,8 @@ QUERIES = {
     # -- r5 session-7 additions, born inside the window per the rule --
     "cdc_merge_into_state": q_cdc_merge_into_state,
     "cdc_overwrite_state": q_cdc_overwrite_state,
+    # -- r5 session-8 additions, born inside the window per the rule --
+    "cdc_txn_state": q_cdc_txn_state,
     # -- r5 session-4/5 additions, born inside the window per the rule --
     "cdc_ts_range_scan": q_cdc_ts_range_scan,
     "cdc_zorder_scan": q_cdc_zorder_scan,
@@ -5827,9 +5951,11 @@ QUERIES = {
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_boilerplate": q_docs_boilerplate,
-    "docs_stratified_sample": q_docs_stratified_sample,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     # ---------------- driver window ends here (first 50) ----------------
+    # docs_stratified_sample moved below the line for the r5 session-8
+    # insertion of cdc_txn_state — allowed: green r04 (60 rows).
+    "docs_stratified_sample": q_docs_stratified_sample,
     # docs_repetition_stats and docs_unigram_entropy moved below the
     # line for the r5 session-7 insertions of cdc_merge_into_state and
     # cdc_overwrite_state — allowed: both green r04 (500 rows each).
@@ -5949,6 +6075,7 @@ ORACLE_SQL = {
     "cdc_dml_state": DML_STATE_SQL,
     "cdc_merge_into_state": MERGE_INTO_STATE_SQL,
     "cdc_overwrite_state": OVERWRITE_STATE_SQL,
+    "cdc_txn_state": TXN_STATE_SQL,
     "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
     "cdc_zorder_scan": ZORDER_SCAN_SQL,
     "cdc_stream_changes": STREAM_CHANGES_SQL,
