@@ -4156,6 +4156,118 @@ class MiniLakeTable:
             "files_rewritten": n_rewritten,
         }
 
+    # -------------------------------------------------------------- purge
+
+    def purge_where(
+        self,
+        predicate: str,
+        orphan_min_age_s: float = 86400.0,
+        verify: bool = True,
+    ) -> dict:
+        """Hard-delete every PHYSICAL row matching ``predicate`` from
+        every still-readable snapshot — the right-to-be-forgotten
+        composition (Delta's ``DELETE`` + ``VACUUM 0``, GDPR art. 17):
+
+        1. refuse while tags, branches or staged commits pin old
+           snapshots (a clone's auto source tag counts — the pin list
+           names what to release first; a purge that silently left the
+           data reachable through a ref would be a compliance lie);
+        2. ``delete_where(predicate)`` tombstones the matching LIVE
+           keys (fenced, CDC-visible, so replicas and MVs converge);
+        3. rewrite exactly the buckets holding any matching physical
+           row — including rows already superseded under LWW and
+           tombstone-retained payloads, which step 2 alone never
+           touches — via partial ``compact(buckets=...,
+           drop_tombstones=True)``; untouched buckets keep their files
+           byte-identical (O(matching buckets), not O(table));
+        4. ``expire_snapshots(keep_last=1, ...)`` drops every pre-purge
+           manifest and deletes the now-unreferenced dirs, so time
+           travel cannot resurrect the data;
+        5. (``verify=True``) re-scan the physical rows of every
+           remaining readable version and assert zero matches.
+
+        Known out-of-band copies this cannot reach (documented, same as
+        any lake engine): dead-letter sinks, CDC-out exports already
+        shipped to replicas, and external backups — purge those stores
+        separately. A CDC consumer (replica, MV) that tails between
+        steps 2 and 4 converges from the tombstones; one whose
+        watermark falls behind the purge's expiry horizon gets the
+        standard behind-retention error and must re-seed — purge is a
+        history rewrite, and downstreams are told so rather than left
+        silently stale.
+
+        Drops tombstones for the matched keys — a purge erases the
+        key's existence, so a pre-purge straggler UPDATE below the LSN
+        high-water could re-insert; the LSN fence in :meth:`merge`
+        still rejects stale batches via the stream fences, same
+        exposure as Iceberg after ``rewrite_data_files`` +
+        ``expire_snapshots``.
+
+        Returns ``{rows_deleted, buckets_rewritten, versions_expired,
+        dirs_deleted, verified}``."""
+        pins = {
+            "tags": sorted(self.tags()),
+            "branches": self.branches(),
+            "staged": self.list_staged(),
+        }
+        pinned = {k: v for k, v in pins.items() if v}
+        if pinned:
+            raise ValueError(
+                "purge_where refused: old snapshots are pinned by "
+                f"{pinned} — a purge must leave NO readable copy; "
+                "delete the refs (or publish/abort staged commits) "
+                "and retry"
+            )
+        # tombstone live matches first so downstream CDC consumers see
+        # ordinary deletes before history disappears
+        res = self.delete_where(predicate)
+        # buckets holding ANY matching physical row (stale LWW losers
+        # and tombstone payloads included) — O(scan) job, O(buckets)
+        # driver result, same control-plane class as the point lookups
+        m = self.manifest()
+        phys = self.read_physical()
+        hit = (
+            phys.filter(F.expr(predicate))
+            .select(
+                self._bucket_expr(m["key_cols"][0], m["n_buckets"])
+                .alias("_pb")
+            )
+            .distinct()
+        )
+        affected = sorted(r["_pb"] for r in hit.collect())
+        if affected:
+            self.compact(buckets=affected, drop_tombstones=True)
+        exp = self.expire_snapshots(
+            keep_last=1, orphan_min_age_s=orphan_min_age_s
+        )
+        verified = None
+        if verify:
+            versions = sorted(
+                int(os.path.basename(p)[1:-5])
+                for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+            )
+            leftover = 0
+            for v in versions:
+                leftover += (
+                    self.read_physical(version=v)
+                    .filter(F.expr(predicate))
+                    .count()
+                )
+            if leftover:
+                raise RuntimeError(
+                    f"purge verification failed: {leftover} physical "
+                    f"rows still match {predicate!r} across versions "
+                    f"{versions}"
+                )
+            verified = True
+        return {
+            "rows_deleted": res.rows_deleted,
+            "buckets_rewritten": len(affected),
+            "versions_expired": exp["manifests_removed"],
+            "dirs_deleted": exp["dirs_removed"],
+            "verified": verified,
+        }
+
     # -------------------------------------------------------------- clone
 
     def shallow_clone(

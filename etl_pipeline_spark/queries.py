@@ -5596,6 +5596,55 @@ def q_cdc_txn_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PURGED_STATE_SQL = f"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM r
+WHERE rn = 1 AND op <> 'D'
+  AND conv_id NOT IN ('conv-13', 'conv-57')
+"""
+
+
+_PURGE_CACHE: dict = {}
+
+
+def q_cdc_purged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge graded end-to-end
+    (minilake.purge_where — DELETE + targeted
+    compact(drop_tombstones) + expire_snapshots, composed and
+    verified): the replayed table purges two conversations by
+    predicate, and purge_where's verify pass re-scans every remaining
+    readable version's PHYSICAL rows (stale LWW losers and tombstone
+    payloads included) asserting zero matches — so this query failing
+    OR the purge raising both grade the erasure guarantee. The oracle
+    is the LWW state minus the purged conversations.
+
+    The reference's closest analog is its hard truncate
+    (``load.py:190-290`` drops the whole table before rewrite); this is
+    the key-scoped, history-rewriting version a lake table needs."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _PURGE_CACHE.get(key)
+    if table is None:
+        ce = (
+            derive_change_events(spark, sf_dir)
+            .withColumn("tool", F.lit(None).cast("string"))
+        )
+        table = _replay_to_table(spark, sf_dir, ce, "cdc_purge_")
+        rep = table.purge_where(
+            "conv_id IN ('conv-13', 'conv-57')", orphan_min_age_s=0
+        )
+        assert rep["verified"], rep
+        _PURGE_CACHE[key] = table
+    return _state_projection(table.read())
+
+
 PARTIAL_UPDATE_SQL = f"""
 WITH ce AS ({CE_SQL}),
 msk AS (
@@ -5927,6 +5976,7 @@ QUERIES = {
     "cdc_overwrite_state": q_cdc_overwrite_state,
     # -- r5 session-8 additions, born inside the window per the rule --
     "cdc_txn_state": q_cdc_txn_state,
+    "cdc_purged_state": q_cdc_purged_state,
     # -- r5 session-4/5 additions, born inside the window per the rule --
     "cdc_ts_range_scan": q_cdc_ts_range_scan,
     "cdc_zorder_scan": q_cdc_zorder_scan,
@@ -5950,12 +6000,13 @@ QUERIES = {
     "docs_containment": q_docs_containment,
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "docs_dup_clusters": q_docs_dup_clusters,
-    "docs_boilerplate": q_docs_boilerplate,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     # ---------------- driver window ends here (first 50) ----------------
-    # docs_stratified_sample moved below the line for the r5 session-8
-    # insertion of cdc_txn_state — allowed: green r04 (60 rows).
+    # docs_stratified_sample and docs_boilerplate moved below the line
+    # for the r5 session-8 insertions of cdc_txn_state and
+    # cdc_purged_state — allowed: both green r04 (60 / 500 rows).
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_boilerplate": q_docs_boilerplate,
     # docs_repetition_stats and docs_unigram_entropy moved below the
     # line for the r5 session-7 insertions of cdc_merge_into_state and
     # cdc_overwrite_state — allowed: both green r04 (500 rows each).
@@ -6076,6 +6127,7 @@ ORACLE_SQL = {
     "cdc_merge_into_state": MERGE_INTO_STATE_SQL,
     "cdc_overwrite_state": OVERWRITE_STATE_SQL,
     "cdc_txn_state": TXN_STATE_SQL,
+    "cdc_purged_state": PURGED_STATE_SQL,
     "cdc_ts_range_scan": TS_RANGE_SCAN_SQL,
     "cdc_zorder_scan": ZORDER_SCAN_SQL,
     "cdc_stream_changes": STREAM_CHANGES_SQL,

@@ -116,7 +116,7 @@ INTENDED_FIRST_50 = [
     "cdc_partial_update_state", "cdc_conv_agg_state",
     "cdc_default_values", "cdc_widened_state", "cdc_constrained_state",
     "cdc_dml_state", "cdc_merge_into_state", "cdc_overwrite_state",
-    "cdc_txn_state",
+    "cdc_txn_state", "cdc_purged_state",
     "cdc_ts_range_scan", "cdc_zorder_scan",
     "cdc_stream_changes", "cdc_clone_state", "cdc_row_lineage",
     "cdc_expired_state", "cdc_table_stats_check", "cdc_net_envelope",
@@ -124,10 +124,11 @@ INTENDED_FIRST_50 = [
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
     "docs_simhash_pairs_editdist", "docs_containment",
-    "docs_winnow_fingerprints", "docs_dup_clusters", "docs_boilerplate",
+    "docs_winnow_fingerprints", "docs_dup_clusters",
     "docs_sentence_dedup",
-    # docs_stratified_sample moved below the line for the r5 session-8
-    # insertion of cdc_txn_state — allowed: green r04 (60 rows).
+    # docs_stratified_sample and docs_boilerplate moved below the line
+    # for the r5 session-8 insertions of cdc_txn_state and
+    # cdc_purged_state — allowed: both green r04 (60 / 500 rows).
     # docs_repetition_stats and docs_unigram_entropy moved below the
     # line for the r5 session-7 insertions of cdc_merge_into_state and
     # cdc_overwrite_state — allowed: both green r04 (500 rows each).
