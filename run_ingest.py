@@ -25,13 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--changelog", default=None)
-    ap.add_argument("--table", required=True)
+    ap.add_argument("--table", default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
         "--mode",
         choices=[
             "stream", "evolving-stream", "replay", "export",
             "requeue", "publish-branch", "audit", "expire", "analyze",
+            "purge", "recover-txns",
         ],
         default="stream",
         help="stream: fixed superset read schema; evolving-stream: "
@@ -50,11 +51,20 @@ def main() -> None:
         "findings; expire: row retention TTL — drop rows with "
         "--expire-col below --older-than as metadata file drops; "
         "analyze: store per-column NDV sketches + null counts in the "
-        "manifest (Puffin analog)",
+        "manifest (Puffin analog); purge: right-to-be-forgotten — "
+        "hard-delete every physical row matching --where from every "
+        "readable snapshot, verified; recover-txns: resolve pending "
+        "multi-table transactions in --catalog (prepared→abort, "
+        "committed→roll forward)",
     )
     ap.add_argument(
         "--audit-level", choices=["metadata", "files", "data"],
         default="files",
+    )
+    ap.add_argument(
+        "--where", default=None,
+        help="purge mode: SQL predicate selecting the physical rows to "
+        "hard-delete from every readable snapshot",
     )
     ap.add_argument("--expire-col", default="ts")
     ap.add_argument(
@@ -120,9 +130,22 @@ def main() -> None:
     )
 
     spark = get_spark("etl-ingest", master=args.master)
+    if args.mode == "recover-txns":
+        if args.catalog is None:
+            ap.error("--mode recover-txns requires --catalog")
+        from etl_pipeline_spark.lake.catalog import MiniLakeCatalog
+
+        rep = MiniLakeCatalog.create(spark, args.catalog) \
+            .recover_transactions()
+        print(json.dumps(rep))
+        # a committed txn that cannot roll forward is an operator page
+        sys.exit(0 if not rep["pending"] else 1)
+
+    if args.table is None:
+        ap.error(f"--mode {args.mode} requires --table")
     maintenance = args.mode in (
         "audit", "expire", "analyze", "export", "requeue",
-        "publish-branch",
+        "publish-branch", "purge",
     )
     if args.catalog is not None:
         from etl_pipeline_spark.lake.catalog import MiniLakeCatalog
@@ -252,6 +275,13 @@ def main() -> None:
                 pass  # string column: compare as-is
         res = table.expire_rows(args.expire_col, cutoff)
         print(json.dumps(res))
+        return
+
+    if args.mode == "purge":
+        if args.where is None:
+            ap.error("--mode purge requires --where")
+        rep = table.purge_where(args.where)
+        print(json.dumps(rep))
         return
 
     if args.mode == "analyze":
