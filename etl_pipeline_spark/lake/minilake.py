@@ -4192,9 +4192,14 @@ class MiniLakeTable:
         separately. A CDC consumer (replica, MV) that tails between
         steps 2 and 4 converges from the tombstones; one whose
         watermark falls behind the purge's expiry horizon gets the
-        standard behind-retention error and must re-seed — purge is a
-        history rewrite, and downstreams are told so rather than left
-        silently stale.
+        standard behind-retention error — and because the purge also
+        drops the victims' tombstones, a snapshot re-seed ALONE cannot
+        delete them on a replica that already has them (no event exists
+        to overwrite). The replica procedure is therefore: run the SAME
+        ``purge_where`` on the replica, then re-seed from
+        ``export_snapshot`` (pinned by
+        ``tests/test_replicate.py::
+        test_purge_then_replica_purge_and_reseed_converges``).
 
         Drops tombstones for the matched keys — a purge erases the
         key's existence, so a pre-purge straggler UPDATE below the LSN

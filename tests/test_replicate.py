@@ -232,3 +232,59 @@ def test_snapshot_reseed_converges_stale_replica(spark, tmp_path):
     assert export_changes(
         primary, str(tmp_path / "e2"), from_version=v, batch_index=0
     ) is None  # nothing new yet — no phantom batch
+
+
+def test_purge_then_replica_purge_and_reseed_converges(spark, tmp_path):
+    """Purge × replication interplay. A primary purge (a) expires
+    history, so the replica's next incremental export raises the
+    behind-horizon error, and (b) drops the purged keys' tombstones, so
+    a snapshot re-seed ALONE cannot delete them on a replica that
+    already has them (no event exists to overwrite). The documented
+    operational sequence — run the SAME purge on the replica, then
+    re-seed from the snapshot — must converge both live state and
+    physical erasure."""
+    import glob
+    import os
+
+    cfg = GenConfig(n_events=6_000, batch_size=1_000, shuffle_window=100)
+    clog = str(tmp_path / "clog")
+    write_changelog(cfg, clog)
+    primary = _mor(spark, tmp_path / "primary")
+    out = str(tmp_path / "export")
+    replica = _mor(spark, tmp_path / "replica")
+
+    replay_files(spark, clog, primary)
+    v1 = primary.current_version()
+    assert export_changes(primary, out, batch_index=0) is not None
+    replay_files(spark, out, replica)
+
+    victim = primary.read().select("conv_id").first()["conv_id"]
+    pred = f"conv_id = '{victim}'"
+    rep = primary.purge_where(pred, orphan_min_age_s=0)
+    assert rep["verified"]
+
+    # (a) the replica's incremental watermark fell behind the purge
+    with pytest.raises(ValueError):
+        export_changes(primary, out, from_version=v1, batch_index=1)
+
+    # (b) snapshot re-seed alone leaves the purged rows on the replica
+    # — the primary has no tombstones for them to replay
+    seed_only = _mor(spark, tmp_path / "seed_only")
+    replay_files(spark, out, seed_only)  # same pre-purge state
+    out2 = str(tmp_path / "export2")
+    assert export_snapshot(primary, out2, batch_index=0) is not None
+    replay_files(spark, out2, seed_only)
+    assert seed_only.read().filter(pred).count() > 0  # the gap, pinned
+
+    # the documented sequence: replica purges the same predicate, then
+    # re-seeds — live state AND physical bytes converge
+    assert replica.purge_where(pred, orphan_min_age_s=0)["verified"]
+    out3 = str(tmp_path / "export3")
+    assert export_snapshot(primary, out3, batch_index=0) is not None
+    replay_files(spark, out3, replica)
+    assert _state(replica).equals(_state(primary))
+    leak = 0
+    for p in glob.glob(os.path.join(replica.meta_dir, "v*.json")):
+        v = int(os.path.basename(p)[1:-5])
+        leak += replica.read_physical(version=v).filter(pred).count()
+    assert leak == 0

@@ -338,3 +338,51 @@ def test_multi_batch_driver_loop(spark, cat):
     }
     assert stats == {"c0": 7, "c1": 7, "c2": 6}
     assert pending_transactions(cat) == []
+
+
+def test_concurrent_txns_converge_exactly_once(spark, cat):
+    """Two drivers replaying the SAME per-batch txns race into the same
+    two tables (the crash-retry topology: a zombie driver and its
+    replacement both run the loop). Every batch must land exactly once
+    on both tables — the publishes CAS-retry on conflicts and fence on
+    duplicates — and no txn record or staged commit may survive."""
+    import threading
+
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def run(worker: int):
+        barrier.wait()
+        try:
+            for b in range(4):
+                try:
+                    txn = cat.transaction(txn_id=f"w{worker}-b{b}")
+                except TransactionError:
+                    continue  # duplicate txn_id can't happen here; defensive
+                txn.merge(
+                    "prod.transcripts", _batch(spark, b * 5, b * 5 + 5),
+                    batch_id=b,
+                )
+                txn.merge(
+                    "prod.conv_stats", _stats(spark, b * 5, b * 5 + 5),
+                    batch_id=b,
+                )
+                txn.commit()
+        except Exception as e:  # pragma: no cover - assertion target
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # exactly-once convergence: same totals as one sequential pass
+    assert _counts(cat) == (20, 3)
+    stats = {
+        r["conv_id"]: r["n_events"]
+        for r in cat.load_table("prod.conv_stats").read().collect()
+    }
+    assert stats == {"c0": 7, "c1": 7, "c2": 6}
+    assert pending_transactions(cat) == []
+    assert _staged_leftovers(cat) == []
