@@ -1,0 +1,140 @@
+"""Read-time column masking policies — the governance read surface.
+
+A masking policy is table metadata (an Iceberg table-property /
+Snowflake-masking-policy analog): ``set_masking_policy`` commits a
+metadata-only snapshot binding a column to a mask kind, and
+``read_masked`` is :meth:`MiniLakeTable.read` with the bound masks
+applied as Column expressions on top of the logical view. Nothing on
+disk changes — the same files serve both the privileged ``read()`` and
+the masked read, which is the only affordable shape at 10^10 rows
+(contrast :mod:`..lake.purge`-style physical rewrite, which is for
+*erasure*; masking is for *access*). Generalizes the reference's
+fixed output projection (`/root/reference/utils/transform.py:139-201`
+decides once what a consumer may see) into per-reader policy.
+
+Design points:
+
+- Policies are keyed by PHYSICAL column name in the manifest (the same
+  rename-survival trick as ANALYZE stats and constraints): rename the
+  column and the policy follows; drop + re-add mints a fresh physical
+  name, so the old policy never latches onto the new column.
+- Policies are versioned WITH the table: ``read_masked(version=...)``
+  applies the policies as committed AT that snapshot — an audit replay
+  sees exactly what a reader at that point in history saw.
+- Mask kinds are deterministic, JVM-side Column expressions (no Python
+  in the data path): ``redact_pii`` (the functions/text.redact_pii
+  regexp chain — strings only), ``hash`` (md5 of the canonical string
+  form — equality-preserving so masked joins/group-bys still work),
+  ``null`` (type-preserving erasure of the column for this reader).
+
+Scale shape: pure metadata commit (CAS-retried) + per-row projection
+expressions inside whole-stage codegen; zero extra shuffles, zero
+extra scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.text import redact_pii
+from ..schema import physical_name, schema_from_manifest
+from .minilake import MiniLakeTable
+
+MASKING_PROP = "engine.masking-policies"  # {physical_col: {"kind": ...}}
+
+MASK_KINDS = ("redact_pii", "hash", "null")
+
+
+def _field(table: MiniLakeTable, column: str) -> T.StructField:
+    for f in table.schema().fields:
+        if f.name == column:
+            return f
+    raise ValueError(f"no column {column!r} in the table schema")
+
+
+def set_masking_policy(
+    table: MiniLakeTable, column: str, kind: str
+) -> int:
+    """Bind ``kind`` to ``column`` (metadata-only CAS commit; replaces
+    any existing policy on the column). Returns the committed version."""
+    if kind not in MASK_KINDS:
+        raise ValueError(
+            f"unknown mask kind {kind!r}; expected one of {MASK_KINDS}"
+        )
+    f = _field(table, column)
+    if kind == "redact_pii" and not isinstance(f.dataType, T.StringType):
+        raise ValueError(
+            f"redact_pii masks string columns; {column!r} is "
+            f"{f.dataType.simpleString()}"
+        )
+    current = table.manifest().get("properties", {}).get(MASKING_PROP, {})
+    updated = {**current, physical_name(f): {"kind": kind}}
+    return table._commit_properties({MASKING_PROP: updated})
+
+
+def drop_masking_policy(table: MiniLakeTable, column: str) -> int:
+    """Remove the policy on ``column`` (no-op commit if none bound)."""
+    f = _field(table, column)
+    current = table.manifest().get("properties", {}).get(MASKING_PROP, {})
+    updated = {k: v for k, v in current.items() if k != physical_name(f)}
+    return table._commit_properties({MASKING_PROP: updated})
+
+
+def masking_policies(
+    table: MiniLakeTable, version: int | None = None
+) -> dict[str, str]:
+    """Live policies under LOGICAL column names at ``version`` (default
+    current). Policies whose physical column was dropped fall out of
+    view — they can never rebind to a re-added column of the same name."""
+    m = table.manifest(version)
+    raw = m.get("properties", {}).get(MASKING_PROP, {})
+    schema = schema_from_manifest(m["schema"])
+    to_logical = {physical_name(f): f.name for f in schema.fields}
+    return {
+        to_logical[p]: pol["kind"]
+        for p, pol in raw.items()
+        if p in to_logical
+    }
+
+
+def _mask_expr(col: str, dtype: T.DataType, kind: str):
+    if kind == "redact_pii":
+        return redact_pii(F.col(col))
+    if kind == "hash":
+        # md5 over the canonical string form: deterministic,
+        # equality-preserving (masked joins/group-bys still line up),
+        # and oracle-reproducible (DuckDB md5 agrees byte-for-byte).
+        return F.md5(F.col(col).cast("string"))
+    if kind == "null":
+        return F.lit(None).cast(dtype)
+    raise ValueError(f"unknown mask kind {kind!r}")  # pragma: no cover
+
+
+def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
+    """:meth:`MiniLakeTable.read` with the masking policies committed at
+    the selected snapshot applied. ``hash`` rewrites the column to its
+    md5 string form (the masked type is string); ``null`` and
+    ``redact_pii`` preserve the column's type."""
+    df = table.read(**read_kwargs)
+    version = read_kwargs.get("version")
+    if version is None and read_kwargs.get("tag") is not None:
+        version = table.tag_version(read_kwargs["tag"])
+    if version is None and read_kwargs.get("as_of_ts") is not None:
+        version = table.version_as_of(read_kwargs["as_of_ts"])
+    # branch reads resolve policies at the branch's base snapshot via
+    # manifest(None) semantics: the policy set is main-table metadata.
+    policies = masking_policies(table, version=version)
+    if not policies:
+        return df
+    schema = table.schema(version)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    return df.select(
+        *[
+            (
+                _mask_expr(c, dtypes[c], policies[c]).alias(c)
+                if c in policies
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+    )

@@ -762,6 +762,174 @@ def q_cdc_table_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- governance reads --
+
+# PII patterns in the Java-regex ∩ RE2 common subset (mirrors
+# functions/text.PII_PATTERNS; also used by PII_SQL further down)
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\+\d[\d-]{6,}\d"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic PII injection for the masking query: a third of the
+# state's rows get an email + IPv4 + phone appended, all derived from
+# turn_idx so both engines compute identical dirty text. Spark and
+# DuckDB forms kept side-by-side (same arithmetic; `turn_idx >= 0` so
+# `%` and `pmod` agree).
+_MASK_INJECT_PRED = "turn_idx % 3 = 0 AND text IS NOT NULL"
+_MASK_INJECT_SPARK = (
+    "concat(text, ' u', cast(turn_idx as string), '@mail.example.org "
+    "from 10.', cast((turn_idx * 7) % 256 as string), '.0.', "
+    "cast((turn_idx * 3) % 256 as string), ' call +62-812-', "
+    "lpad(cast((turn_idx * 11) % 10000 as string), 4, '0'))"
+)
+_MASK_INJECT_DUCK = (
+    "text || ' u' || CAST(turn_idx AS VARCHAR) || '@mail.example.org "
+    "from 10.' || CAST((turn_idx * 7) % 256 AS VARCHAR) || '.0.' || "
+    "CAST((turn_idx * 3) % 256 AS VARCHAR) || ' call +62-812-' || "
+    "lpad(CAST((turn_idx * 11) % 10000 AS VARCHAR), 4, '0')"
+)
+
+MASKED_STATE_SQL = rf"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN {_MASK_INJECT_PRED}
+              THEN {_MASK_INJECT_DUCK} ELSE text END AS text,
+         ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, turn_idx,
+       md5(role) AS role_mask,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g'),
+         '{_PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM state
+"""
+
+_MASKED_CACHE: dict = {}
+
+
+def q_cdc_masked_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time column masking graded end-to-end (lake/masking — the
+    Snowflake-masking-policy / Iceberg-table-property analog over this
+    lake): the replayed primary is shallow-cloned, a deterministic PII
+    payload is injected into a third of its rows through the engine's
+    own UPDATE ... WHERE DML (so the dirty text lands via a real fenced
+    MERGE commit, not a fixture file), masking policies are committed as
+    table metadata (text → redact_pii, role → md5 hash), and the MASKED
+    read is graded against an oracle that recomputes the LWW state, the
+    injection and the mask chain in plain SQL. The privileged read stays
+    raw — masking is a metadata-only projection, zero rewrites, zero
+    extra shuffles (generalizes the reference's fixed output projection,
+    /root/reference/utils/transform.py:139-201, into per-reader policy).
+    """
+    from .lake.masking import read_masked, set_masking_policy
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    masked = _MASKED_CACHE.get(key)
+    if masked is None:
+        primary = _replayed_table(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_masked_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        clone = primary.shallow_clone(os.path.join(tmp, "table"))
+        clone.update_where(
+            _MASK_INJECT_PRED, {"text": _MASK_INJECT_SPARK}
+        )
+        set_masking_policy(clone, "text", "redact_pii")
+        set_masking_policy(clone, "role", "hash")
+        _MASKED_CACHE[key] = masked = clone
+    return read_masked(masked).select(
+        "conv_id",
+        "turn_idx",
+        F.col("role").alias("role_mask"),
+        F.col("text").alias("text_redacted"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+# ------------------------------------------------- profile drift --
+
+# exact per-column profile of one LWW state: rows, exact NDV, nulls
+def _drift_branch(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name,
+         (SELECT count(*) FROM state_a) AS rows_from,
+         (SELECT count(*) FROM state_b) AS rows_to,
+         (SELECT count(*) FROM state_b)
+           - (SELECT count(*) FROM state_a) AS rows_delta,
+         (SELECT count(DISTINCT {col}) FROM state_a) AS ndv_from,
+         (SELECT count(DISTINCT {col}) FROM state_b) AS ndv_to,
+         (SELECT count(DISTINCT {col}) FROM state_b)
+           - (SELECT count(DISTINCT {col}) FROM state_a) AS ndv_delta,
+         (SELECT count(*) FILTER (WHERE {col} IS NULL) FROM state_a)
+           AS nulls_from,
+         (SELECT count(*) FILTER (WHERE {col} IS NULL) FROM state_b)
+           AS nulls_to,
+         (SELECT count(*) FILTER (WHERE {col} IS NULL) FROM state_b)
+           - (SELECT count(*) FILTER (WHERE {col} IS NULL) FROM state_a)
+           AS nulls_delta"""
+
+
+PROFILE_DRIFT_SQL = (
+    f"""
+WITH ce AS ({CE_SQL}),
+w AS ({BATCH_W_SQL}),
+rb AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state_b AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(NULL AS VARCHAR) AS tool, ts
+  FROM rb WHERE rn = 1 AND op <> 'D'
+),
+ra AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce WHERE lsn < (SELECT bw FROM w)
+),
+state_a AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(NULL AS VARCHAR) AS tool, ts
+  FROM ra WHERE rn = 1 AND op <> 'D'
+)
+"""
+    + " UNION ALL ".join(_drift_branch(c) for c in _STATS_COLS)
+)
+
+
+def q_cdc_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile drift graded end-to-end (lake/monitor.
+    profile_drift): per-column row/NDV/null deltas between the snapshot
+    committed by the FIRST micro-batch (v2 — the same snapshot the
+    time-travel query pins) and the fully replayed head. Graded in
+    exact mode (the audit path); the zero-scan stats mode over stored
+    ANALYZE manifests — the 100 TB path — is exercised against this
+    same exact mode in tests/test_monitor.py. The oracle recomputes
+    both LWW states from the raw stream and diffs them in plain SQL.
+    Generalizes the reference's throwaway per-step count logging
+    (/root/reference/utils/transform.py:124-128) into a queryable,
+    versioned profile diff."""
+    from .lake.monitor import profile_drift
+
+    primary = _replayed_table(spark, sf_dir)
+    return profile_drift(
+        primary, v_from=2, columns=_STATS_COLS, mode="exact"
+    )
+
+
 _LINEAGE_REPLAY_CACHE: dict = {}
 
 
@@ -3649,9 +3817,8 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ corpus curation --
 
-_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE_RE = r"\+\d[\d-]{6,}\d"
-_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# (_PII_*_RE constants are defined above the governance-reads block,
+# which also interpolates them into MASKED_STATE_SQL)
 
 PII_SQL = rf"""
 WITH t AS (
@@ -5987,6 +6154,9 @@ QUERIES = {
     "cdc_expired_state": q_cdc_expired_state,
     "cdc_table_stats_check": q_cdc_table_stats_check,
     "cdc_net_envelope": q_cdc_net_envelope,
+    # -- r5 session-9 additions, born inside the window per the rule --
+    "cdc_masked_state": q_cdc_masked_state,
+    "cdc_profile_drift": q_cdc_profile_drift,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -5999,9 +6169,12 @@ QUERIES = {
     "docs_simhash_pairs_editdist": q_docs_simhash_pairs_editdist,
     "docs_containment": q_docs_containment,
     "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
+    # ---------------- driver window ends here (first 50) ----------------
+    # docs_dup_clusters and docs_sentence_dedup moved below the line for
+    # the r5 session-9 insertions of cdc_masked_state and
+    # cdc_profile_drift — allowed: both green r04 (360 / 2 rows).
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_sentence_dedup": q_docs_sentence_dedup,
-    # ---------------- driver window ends here (first 50) ----------------
     # docs_stratified_sample and docs_boilerplate moved below the line
     # for the r5 session-8 insertions of cdc_txn_state and
     # cdc_purged_state — allowed: both green r04 (60 / 500 rows).
@@ -6136,6 +6309,8 @@ ORACLE_SQL = {
     "cdc_expired_state": EXPIRED_STATE_SQL,
     "cdc_table_stats_check": TABLE_STATS_SQL,
     "cdc_net_envelope": NET_ENVELOPE_SQL,
+    "cdc_masked_state": MASKED_STATE_SQL,
+    "cdc_profile_drift": PROFILE_DRIFT_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

@@ -1,0 +1,124 @@
+"""Read-time column masking policies: metadata-only commits, physical
+keying (rename-proof, re-add-proof), version-pinned application, and
+JVM-only mask expressions over the logical read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_pipeline_spark.lake.masking import (
+    drop_masking_policy,
+    masking_policies,
+    read_masked,
+    set_masking_policy,
+)
+from etl_pipeline_spark.lake.minilake import MiniLakeTable
+from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _table(spark, tmp_path, name="t"):
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / name), TRANSCRIPT_SCHEMA, key_cols=KEYS,
+        n_buckets=4, write_mode="mor",
+    )
+    ev = spark.createDataFrame(
+        [
+            ("a", 0, "user", "mail me at bob@example.com", None, 1, "I"),
+            ("a", 1, "assistant", "from 10.0.0.1 call +62-812-0001", None, 2, "I"),
+            ("b", 0, "user", "clean text", None, 3, "I"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(ev, batch_id=0)
+    return t
+
+
+def test_masks_apply_and_privileged_read_is_untouched(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    set_masking_policy(t, "text", "redact_pii")
+    set_masking_policy(t, "role", "hash")
+    set_masking_policy(t, "ts", "null")
+
+    masked = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in read_masked(t).collect()
+    }
+    assert masked[("a", 0)]["text"] == "mail me at <EMAIL>"
+    assert masked[("a", 1)]["text"] == "from <IP> call <PHONE>"
+    assert masked[("b", 0)]["text"] == "clean text"
+    # hash mask is deterministic md5 and equality-preserving
+    assert masked[("a", 0)]["role"] == masked[("b", 0)]["role"]
+    assert masked[("a", 0)]["role"] != "user"
+    assert len(masked[("a", 0)]["role"]) == 32
+    assert all(r["ts"] is None for r in masked.values())
+
+    # the privileged read still serves the raw values
+    raw = {r["turn_idx"]: r for r in t.read().filter("conv_id='a'").collect()}
+    assert "bob@example.com" in raw[0]["text"]
+    assert raw[0]["role"] == "user"
+
+    assert masking_policies(t) == {
+        "text": "redact_pii", "role": "hash", "ts": "null",
+    }
+
+
+def test_policy_survives_rename_and_dies_with_drop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    set_masking_policy(t, "tool", "hash")
+    t.rename_column("tool", "tool_name")
+    # physical keying: the policy followed the rename
+    assert masking_policies(t) == {"tool_name": "hash"}
+
+    t.drop_column("tool_name")
+    assert masking_policies(t) == {}
+    # re-adding a same-named column mints a fresh physical name — the
+    # orphaned policy must NOT rebind to it
+    t.add_columns([T.StructField("tool_name", T.StringType(), True)])
+    assert masking_policies(t) == {}
+    assert "tool_name" in [f.name for f in t.schema().fields]
+
+
+def test_masks_are_version_pinned(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v_before = t.current_version()
+    set_masking_policy(t, "text", "null")
+    # historical read: at v_before no policy existed yet
+    hist = read_masked(t, version=v_before).filter("conv_id='b'").first()
+    assert hist["text"] == "clean text"
+    # current read masks
+    assert read_masked(t).filter("conv_id='b'").first()["text"] is None
+
+
+def test_drop_policy_restores_plain_read(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    set_masking_policy(t, "text", "null")
+    drop_masking_policy(t, "text")
+    assert masking_policies(t) == {}
+    assert (
+        read_masked(t).filter("conv_id='b'").first()["text"] == "clean text"
+    )
+
+
+def test_validation_errors(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown mask kind"):
+        set_masking_policy(t, "text", "rot13")
+    with pytest.raises(ValueError, match="no column"):
+        set_masking_policy(t, "nope", "hash")
+    with pytest.raises(ValueError, match="redact_pii masks string"):
+        set_masking_policy(t, "turn_idx", "redact_pii")
+
+
+def test_masked_read_stays_jvm_side(spark, tmp_path):
+    # no Python evaluation in the masked plan: the masks are Column
+    # expressions, so the physical plan must be UDF-free
+    t = _table(spark, tmp_path)
+    set_masking_policy(t, "text", "redact_pii")
+    set_masking_policy(t, "role", "hash")
+    plan = read_masked(t)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,121 @@
+"""Snapshot profile drift: exact mode audits any two snapshots with two
+scans; stats mode diffs stored ANALYZE manifests with zero scans and
+surfaces staleness instead of hiding it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_pipeline_spark.lake.minilake import MiniLakeTable
+from etl_pipeline_spark.lake.monitor import profile_drift
+from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+
+KEYS = ["conv_id", "turn_idx"]
+COLS = ["conv_id", "role", "text"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, lsn long, op string",
+    )
+
+
+def _table(spark, tmp_path):
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, key_cols=KEYS,
+        n_buckets=4, write_mode="mor",
+    )
+    t.merge(_ev(spark, [
+        ("a", 0, "user", "hi", None, 1, "I"),
+        ("a", 1, "assistant", "hello", None, 2, "I"),
+        ("b", 0, "user", None, None, 3, "I"),
+    ]), batch_id=0)
+    return t
+
+
+def _by_col(df):
+    return {r["col_name"]: r for r in df.collect()}
+
+
+def test_exact_drift_reports_per_column_deltas(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    # second batch: new conv, an overwrite, and a delete
+    t.merge(_ev(spark, [
+        ("c", 0, "user", "new conv", None, 10, "I"),
+        ("a", 0, "user", "hi edited", None, 11, "U"),
+        ("b", 0, None, None, None, 12, "D"),
+    ]), batch_id=1)
+
+    d = _by_col(profile_drift(t, v_from=v1, columns=COLS))
+    r = d["conv_id"]
+    assert (r["rows_from"], r["rows_to"], r["rows_delta"]) == (3, 3, 0)
+    assert (r["ndv_from"], r["ndv_to"], r["ndv_delta"]) == (2, 2, 0)
+    # text: null b-row deleted, 'hi'→'hi edited', 'new conv' added
+    rt = d["text"]
+    assert (rt["nulls_from"], rt["nulls_to"], rt["nulls_delta"]) == (1, 0, -1)
+    assert rt["ndv_delta"] == 1  # {hi, hello} -> {hi edited, hello, new conv}
+
+
+def test_default_columns_are_the_schema_intersection(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    t.add_columns([T.StructField("extra", T.StringType(), True)])
+    d = profile_drift(t, v_from=v1)
+    names = {r["col_name"] for r in d.collect()}
+    # 'extra' exists only at v_to: excluded from the default column set
+    assert "extra" not in names
+    assert {"conv_id", "turn_idx", "role", "text", "ts"} <= names
+    # but asking for it explicitly is a clear error, not a silent null
+    with pytest.raises(ValueError, match="absent from the v_from"):
+        profile_drift(t, v_from=v1, columns=["extra"])
+
+
+def test_stats_mode_is_metadata_only_and_tracks_staleness(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.analyze(columns=COLS)
+    v1 = t.current_version()
+    t.merge(_ev(spark, [
+        ("c", 0, "user", "new conv", None, 10, "I"),
+    ]), batch_id=1)
+    t.analyze(columns=COLS)
+
+    d = _by_col(profile_drift(t, v_from=v1, columns=COLS, mode="stats"))
+    r = d["conv_id"]
+    assert (r["rows_from"], r["rows_to"], r["rows_delta"]) == (3, 4, 1)
+    # ndv at this tiny scale is exact under HLL++ rsd 0.01
+    assert (r["ndv_from"], r["ndv_to"], r["ndv_delta"]) == (2, 3, 1)
+    # staleness surfaced: each side names the version it was computed at
+    assert r["stats_at_from"] < v1 <= r["stats_at_to"]
+
+    # the drift diff itself is read-only: no snapshot was committed
+    assert t.current_version() == r["stats_at_to"] + 1
+
+
+def test_stats_mode_fails_clearly_without_analyze(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    with pytest.raises(ValueError, match="no ANALYZE stats"):
+        profile_drift(t, v_from=v1, mode="stats")
+    t.analyze(columns=["conv_id"])
+    with pytest.raises(ValueError, match="not covered by the stats"):
+        profile_drift(
+            t, v_from=t.current_version(), columns=["text"], mode="stats"
+        )
+
+
+def test_exact_matches_stats_on_identical_snapshots(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.analyze(columns=COLS)
+    v = t.current_version()
+    exact = _by_col(profile_drift(t, v_from=v, v_to=v, columns=COLS))
+    stats = _by_col(profile_drift(t, v_from=v, v_to=v, columns=COLS,
+                                  mode="stats"))
+    for c in COLS:
+        assert exact[c]["rows_from"] == stats[c]["rows_from"]
+        assert exact[c]["nulls_from"] == stats[c]["nulls_from"]
+        assert exact[c]["ndv_from"] == stats[c]["ndv_from"]  # tiny: HLL exact
+        assert exact[c]["rows_delta"] == 0 and stats[c]["rows_delta"] == 0
