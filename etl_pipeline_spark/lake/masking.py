@@ -1,9 +1,10 @@
-"""Read-time column masking policies — the governance read surface.
+"""Read-time governance policies: column masking and row filters.
 
 A masking policy is table metadata (an Iceberg table-property /
 Snowflake-masking-policy analog): ``set_masking_policy`` commits a
-metadata-only snapshot binding a column to a mask kind, and
-``read_masked`` is :meth:`MiniLakeTable.read` with the bound masks
+metadata-only snapshot binding a column to a mask kind,
+``set_row_filter`` binds a row-access predicate, and ``read_masked``
+is :meth:`MiniLakeTable.read` with the bound row filter and masks
 applied as Column expressions on top of the logical view. Nothing on
 disk changes — the same files serve both the privileged ``read()`` and
 the masked read, which is the only affordable shape at 10^10 rows
@@ -41,6 +42,7 @@ from ..schema import physical_name, schema_from_manifest
 from .minilake import MiniLakeTable
 
 MASKING_PROP = "engine.masking-policies"  # {physical_col: {"kind": ...}}
+ROW_FILTER_PROP = "engine.row-filter"  # SQL predicate string
 
 MASK_KINDS = ("redact_pii", "hash", "null")
 
@@ -97,6 +99,42 @@ def masking_policies(
     }
 
 
+def set_row_filter(table: MiniLakeTable, predicate: str) -> int:
+    """Bind a row-access predicate (the Snowflake row-access-policy /
+    Ranger row-filter analog): governed reads serve only rows where the
+    SQL ``predicate`` holds. One filter per table (set replaces);
+    evaluated against the RAW row before any column mask applies, so a
+    policy may filter on a column the same reader sees masked.
+    Metadata-only CAS commit; returns the committed version."""
+    # fail fast on typos: resolve the predicate against the current
+    # logical schema (touching .schema forces analysis, no job runs)
+    try:
+        table.read().filter(predicate).schema
+    except Exception as e:  # noqa: BLE001 - surface the analysis error
+        raise ValueError(
+            f"row filter {predicate!r} does not resolve against the "
+            f"table schema: {e}"
+        ) from None
+    return table._commit_properties({ROW_FILTER_PROP: predicate})
+
+
+def drop_row_filter(table: MiniLakeTable) -> int:
+    """Remove the row filter (no-op commit if none bound)."""
+    return table._commit_properties({ROW_FILTER_PROP: None})
+
+
+def row_filter(
+    table: MiniLakeTable, version: int | None = None
+) -> str | None:
+    """The bound row-access predicate at ``version`` (default current),
+    or None. NOTE: the predicate references LOGICAL column names as of
+    when it was set — unlike per-column masks it does not auto-follow
+    renames; re-set it after renaming a referenced column (setting it
+    fails fast on unresolvable names, so the break is loud)."""
+    m = table.manifest(version)
+    return m.get("properties", {}).get(ROW_FILTER_PROP)
+
+
 def _mask_expr(col: str, dtype: T.DataType, kind: str):
     if kind == "redact_pii":
         return redact_pii(F.col(col))
@@ -111,9 +149,10 @@ def _mask_expr(col: str, dtype: T.DataType, kind: str):
 
 
 def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
-    """:meth:`MiniLakeTable.read` with the masking policies committed at
-    the selected snapshot applied. ``hash`` rewrites the column to its
-    md5 string form (the masked type is string); ``null`` and
+    """:meth:`MiniLakeTable.read` with the governance policies committed
+    at the selected snapshot applied: first the row filter (evaluated on
+    raw values), then the column masks. ``hash`` rewrites the column to
+    its md5 string form (the masked type is string); ``null`` and
     ``redact_pii`` preserve the column's type."""
     df = table.read(**read_kwargs)
     version = read_kwargs.get("version")
@@ -123,6 +162,9 @@ def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
         version = table.version_as_of(read_kwargs["as_of_ts"])
     # branch reads resolve policies at the branch's base snapshot via
     # manifest(None) semantics: the policy set is main-table metadata.
+    pred = row_filter(table, version=version)
+    if pred is not None:
+        df = df.filter(pred)
     policies = masking_policies(table, version=version)
     if not policies:
         return df

@@ -803,6 +803,7 @@ state AS (
               THEN {_MASK_INJECT_DUCK} ELSE text END AS text,
          ts
   FROM r WHERE rn = 1 AND op <> 'D'
+    AND turn_idx % 7 <> 0  -- the bound row-access filter
 )
 SELECT conv_id, turn_idx,
        md5(role) AS role_mask,
@@ -819,20 +820,25 @@ _MASKED_CACHE: dict = {}
 
 
 def q_cdc_masked_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read-time column masking graded end-to-end (lake/masking — the
-    Snowflake-masking-policy / Iceberg-table-property analog over this
+    """Read-time governance graded end-to-end (lake/masking — the
+    Snowflake masking-policy + row-access-policy analog over this
     lake): the replayed primary is shallow-cloned, a deterministic PII
     payload is injected into a third of its rows through the engine's
     own UPDATE ... WHERE DML (so the dirty text lands via a real fenced
-    MERGE commit, not a fixture file), masking policies are committed as
-    table metadata (text → redact_pii, role → md5 hash), and the MASKED
-    read is graded against an oracle that recomputes the LWW state, the
-    injection and the mask chain in plain SQL. The privileged read stays
-    raw — masking is a metadata-only projection, zero rewrites, zero
+    MERGE commit, not a fixture file), governance policies are committed
+    as table metadata (row filter ``turn_idx % 7 <> 0``; masks
+    text → redact_pii, role → md5 hash), and the GOVERNED read is graded
+    against an oracle that recomputes the LWW state, the injection, the
+    filter and the mask chain in plain SQL. The privileged read stays
+    raw — governance is a metadata-only projection, zero rewrites, zero
     extra shuffles (generalizes the reference's fixed output projection,
     /root/reference/utils/transform.py:139-201, into per-reader policy).
     """
-    from .lake.masking import read_masked, set_masking_policy
+    from .lake.masking import (
+        read_masked,
+        set_masking_policy,
+        set_row_filter,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     masked = _MASKED_CACHE.get(key)
@@ -846,6 +852,7 @@ def q_cdc_masked_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         set_masking_policy(clone, "text", "redact_pii")
         set_masking_policy(clone, "role", "hash")
+        set_row_filter(clone, "turn_idx % 7 <> 0")
         _MASKED_CACHE[key] = masked = clone
     return read_masked(masked).select(
         "conv_id",

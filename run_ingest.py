@@ -32,7 +32,7 @@ def main() -> None:
         choices=[
             "stream", "evolving-stream", "replay", "export",
             "requeue", "publish-branch", "audit", "expire", "analyze",
-            "purge", "recover-txns",
+            "purge", "recover-txns", "drift", "mask", "row-filter",
         ],
         default="stream",
         help="stream: fixed superset read schema; evolving-stream: "
@@ -55,7 +55,11 @@ def main() -> None:
         "hard-delete every physical row matching --where from every "
         "readable snapshot, verified; recover-txns: resolve pending "
         "multi-table transactions in --catalog (prepared→abort, "
-        "committed→roll forward)",
+        "committed→roll forward); drift: per-column row/NDV/null deltas "
+        "between --from-version and --to-version (--drift-mode stats is "
+        "the zero-scan path over stored ANALYZE manifests); mask: bind "
+        "--mask-kind to --column (none drops the policy); row-filter: "
+        "bind --where as the row-access predicate (omit to drop)",
     )
     ap.add_argument(
         "--audit-level", choices=["metadata", "files", "data"],
@@ -93,6 +97,22 @@ def main() -> None:
         "--branch", default=None, help="publish-branch mode: branch name"
     )
     ap.add_argument("--out", default=None, help="export mode: output dir")
+    ap.add_argument(
+        "--to-version", type=int, default=None,
+        help="drift mode: end snapshot (default: current)",
+    )
+    ap.add_argument(
+        "--drift-mode", choices=["exact", "stats"], default="exact",
+        help="drift mode: exact recompute (audit) or zero-scan diff of "
+        "stored ANALYZE manifests",
+    )
+    ap.add_argument("--column", default=None, help="mask mode: column")
+    ap.add_argument(
+        "--mask-kind",
+        choices=["redact_pii", "hash", "null", "none"],
+        default=None,
+        help="mask mode: policy to bind ('none' drops the policy)",
+    )
     ap.add_argument(
         "--from-version", type=int, default=None,
         help="export mode: last source version already exported "
@@ -145,7 +165,7 @@ def main() -> None:
         ap.error(f"--mode {args.mode} requires --table")
     maintenance = args.mode in (
         "audit", "expire", "analyze", "export", "requeue",
-        "publish-branch", "purge",
+        "publish-branch", "purge", "drift", "mask", "row-filter",
     )
     if args.catalog is not None:
         from etl_pipeline_spark.lake.catalog import MiniLakeCatalog
@@ -282,6 +302,68 @@ def main() -> None:
             ap.error("--mode purge requires --where")
         rep = table.purge_where(args.where)
         print(json.dumps(rep))
+        return
+
+    if args.mode == "drift":
+        if args.from_version is None:
+            ap.error("--mode drift requires --from-version")
+        from etl_pipeline_spark.lake.monitor import profile_drift
+
+        cols = (
+            [c.strip() for c in args.analyze_columns.split(",")]
+            if args.analyze_columns
+            else None
+        )
+        df = profile_drift(
+            table, v_from=args.from_version, v_to=args.to_version,
+            columns=cols, mode=args.drift_mode,
+        )
+        print(
+            json.dumps(
+                {
+                    "from_version": args.from_version,
+                    "to_version": (
+                        args.to_version
+                        if args.to_version is not None
+                        else table.current_version()
+                    ),
+                    "mode": args.drift_mode,
+                    "columns": [r.asDict() for r in df.collect()],
+                }
+            )
+        )
+        return
+
+    if args.mode == "mask":
+        from etl_pipeline_spark.lake import masking
+
+        if not args.column or args.mask_kind is None:
+            ap.error("--mode mask requires --column and --mask-kind")
+        if args.mask_kind == "none":
+            v = masking.drop_masking_policy(table, args.column)
+        else:
+            v = masking.set_masking_policy(
+                table, args.column, args.mask_kind
+            )
+        print(
+            json.dumps(
+                {"version": v, "policies": masking.masking_policies(table)}
+            )
+        )
+        return
+
+    if args.mode == "row-filter":
+        from etl_pipeline_spark.lake import masking
+
+        if args.where:
+            v = masking.set_row_filter(table, args.where)
+        else:
+            v = masking.drop_row_filter(table)
+        print(
+            json.dumps(
+                {"version": v, "row_filter": masking.row_filter(table)}
+            )
+        )
         return
 
     if args.mode == "analyze":

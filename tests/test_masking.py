@@ -9,9 +9,12 @@ from pyspark.sql import types as T
 
 from etl_pipeline_spark.lake.masking import (
     drop_masking_policy,
+    drop_row_filter,
     masking_policies,
     read_masked,
+    row_filter,
     set_masking_policy,
+    set_row_filter,
 )
 from etl_pipeline_spark.lake.minilake import MiniLakeTable
 from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
@@ -111,6 +114,40 @@ def test_validation_errors(spark, tmp_path):
         set_masking_policy(t, "nope", "hash")
     with pytest.raises(ValueError, match="redact_pii masks string"):
         set_masking_policy(t, "turn_idx", "redact_pii")
+
+
+def test_row_filter_governs_reads_and_sees_raw_values(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    set_row_filter(t, "role = 'user'")
+    assert row_filter(t) == "role = 'user'"
+    got = read_masked(t).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in got} == {
+        ("a", 0), ("b", 0),
+    }
+    # the filter evaluates on RAW values even when the same column is
+    # masked for this reader
+    set_masking_policy(t, "role", "hash")
+    got = read_masked(t).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in got} == {
+        ("a", 0), ("b", 0),
+    }
+    assert all(len(r["role"]) == 32 for r in got)
+    # privileged read ignores the filter
+    assert t.read().count() == 3
+
+    drop_row_filter(t)
+    assert row_filter(t) is None
+    assert read_masked(t).count() == 3
+
+
+def test_row_filter_is_version_pinned_and_validated(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v_before = t.current_version()
+    set_row_filter(t, "turn_idx = 0")
+    assert read_masked(t, version=v_before).count() == 3
+    assert read_masked(t).count() == 2
+    with pytest.raises(ValueError, match="does not resolve"):
+        set_row_filter(t, "no_such_col = 1")
 
 
 def test_masked_read_stays_jvm_side(spark, tmp_path):
