@@ -150,6 +150,40 @@ def test_row_filter_is_version_pinned_and_validated(spark, tmp_path):
         set_row_filter(t, "no_such_col = 1")
 
 
+def test_policies_do_not_replicate_implicitly(spark, tmp_path):
+    """Governance policies are TABLE metadata, not data: the CDC-out
+    feed carries rows only, so a replica ingesting it serves RAW values
+    until policies are re-bound on the replica itself. This pins the
+    gap (same shape as the purge x replication procedure): replicating
+    a governed table requires re-applying its policies downstream —
+    masking_policies(primary) is the transferable spec."""
+    from etl_pipeline_spark.lake.replicate import export_changes
+    from etl_pipeline_spark.streaming.ingest import replay_files
+
+    t = _table(spark, tmp_path)
+    set_masking_policy(t, "text", "null")
+    set_row_filter(t, "conv_id = 'a'")
+    out = str(tmp_path / "export")
+    export_changes(t, out)
+    replica = MiniLakeTable.create(
+        spark, str(tmp_path / "replica"), TRANSCRIPT_SCHEMA,
+        key_cols=KEYS, n_buckets=4, write_mode="mor",
+    )
+    replay_files(spark, out, replica)
+    # data replicated in full — policies did not
+    assert replica.read().count() == t.read().count() == 3
+    assert masking_policies(replica) == {}
+    assert row_filter(replica) is None
+    # the documented procedure: copy the primary's policy spec over
+    for col, kind in masking_policies(t).items():
+        set_masking_policy(replica, col, kind)
+    set_row_filter(replica, row_filter(t))
+    a = read_masked(t).collect()
+    b = read_masked(replica).collect()
+    assert sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in a) == \
+        sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in b)
+
+
 def test_masked_read_stays_jvm_side(spark, tmp_path):
     # no Python evaluation in the masked plan: the masks are Column
     # expressions, so the physical plan must be UDF-free

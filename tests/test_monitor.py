@@ -107,6 +107,22 @@ def test_stats_mode_fails_clearly_without_analyze(spark, tmp_path):
         )
 
 
+def test_drift_past_retention_horizon_fails_clearly(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    for b in (1, 2, 3):
+        t.merge(_ev(spark, [
+            (f"x{b}", 0, "user", f"row {b}", None, 10 + b, "I"),
+        ]), batch_id=b)
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    with pytest.raises(ValueError, match="expired by retention GC"):
+        profile_drift(t, v_from=v1, columns=COLS)
+    # the current snapshot still profiles against itself
+    v = t.current_version()
+    d = _by_col(profile_drift(t, v_from=v, v_to=v, columns=COLS))
+    assert d["conv_id"]["rows_from"] == 6
+
+
 def test_exact_matches_stats_on_identical_snapshots(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.analyze(columns=COLS)
