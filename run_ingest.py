@@ -33,6 +33,7 @@ def main() -> None:
             "stream", "evolving-stream", "replay", "export",
             "requeue", "publish-branch", "audit", "expire", "analyze",
             "purge", "recover-txns", "drift", "mask", "row-filter",
+            "compact", "gc",
         ],
         default="stream",
         help="stream: fixed superset read schema; evolving-stream: "
@@ -59,7 +60,11 @@ def main() -> None:
         "between --from-version and --to-version (--drift-mode stats is "
         "the zero-scan path over stored ANALYZE manifests); mask: bind "
         "--mask-kind to --column (none drops the policy); row-filter: "
-        "bind --where as the row-access predicate (omit to drop)",
+        "bind --where as the row-access predicate (omit to drop); "
+        "compact: fold delta chains into fresh key-sorted files "
+        "(--cluster-cols re-targets the layout at range scans, --zorder "
+        "at multi-dimensional boxes); gc: retention — expire snapshots "
+        "older than the newest --keep-last and delete unreferenced dirs",
     )
     ap.add_argument(
         "--audit-level", choices=["metadata", "files", "data"],
@@ -107,6 +112,30 @@ def main() -> None:
         "stored ANALYZE manifests",
     )
     ap.add_argument("--column", default=None, help="mask mode: column")
+    ap.add_argument(
+        "--cluster-cols", default=None,
+        help="compact mode: comma-separated range-layout columns",
+    )
+    ap.add_argument(
+        "--zorder", action="store_true",
+        help="compact mode: z-order the clustered columns",
+    )
+    ap.add_argument(
+        "--target-rows-per-file", type=int, default=8_000_000,
+        help="compact mode: range-split size",
+    )
+    ap.add_argument(
+        "--keep-tombstones", action="store_true",
+        help="compact mode: retain tombstone rows (default drops them)",
+    )
+    ap.add_argument(
+        "--keep-last", type=int, default=10,
+        help="gc mode: number of newest snapshots to retain",
+    )
+    ap.add_argument(
+        "--orphan-min-age-s", type=float, default=86400.0,
+        help="gc mode: minimum age before an unreferenced dir is deleted",
+    )
     ap.add_argument(
         "--mask-kind",
         choices=["redact_pii", "hash", "null", "none"],
@@ -166,6 +195,7 @@ def main() -> None:
     maintenance = args.mode in (
         "audit", "expire", "analyze", "export", "requeue",
         "publish-branch", "purge", "drift", "mask", "row-filter",
+        "compact", "gc",
     )
     if args.catalog is not None:
         from etl_pipeline_spark.lake.catalog import MiniLakeCatalog
@@ -301,6 +331,35 @@ def main() -> None:
         if args.where is None:
             ap.error("--mode purge requires --where")
         rep = table.purge_where(args.where)
+        print(json.dumps(rep))
+        return
+
+    if args.mode == "compact":
+        cluster = (
+            [c.strip() for c in args.cluster_cols.split(",")]
+            if args.cluster_cols
+            else None
+        )
+        v = table.compact(
+            drop_tombstones=not args.keep_tombstones,
+            target_rows_per_file=args.target_rows_per_file,
+            cluster_cols=cluster,
+            zorder=args.zorder,
+        )
+        files = table.inspect_files().count()
+        print(
+            json.dumps(
+                {"version": v, "files": files, "cluster_cols": cluster,
+                 "zorder": args.zorder}
+            )
+        )
+        return
+
+    if args.mode == "gc":
+        rep = table.expire_snapshots(
+            keep_last=args.keep_last,
+            orphan_min_age_s=args.orphan_min_age_s,
+        )
         print(json.dumps(rep))
         return
 

@@ -1,6 +1,7 @@
 """CLI verbs for the session-9 surfaces: ``--mode drift`` (snapshot
-profile deltas, exact or zero-scan stats), ``--mode mask`` and
-``--mode row-filter`` (governance policy admin). Driven in-process with
+profile deltas, exact or zero-scan stats), ``--mode mask`` /
+``--mode row-filter`` (governance policy admin), and the maintenance
+verbs ``--mode compact`` / ``--mode gc``. Driven in-process with
 injected argv, asserting the one-JSON-line output contract."""
 
 from __future__ import annotations
@@ -68,6 +69,42 @@ def test_cli_drift(spark, tmp_path, monkeypatch, capsys):
     by_col = {c["col_name"]: c for c in rep["columns"]}
     assert by_col["conv_id"]["rows_delta"] == 1
     assert by_col["conv_id"]["ndv_delta"] == 1
+
+
+def test_cli_compact_and_gc(spark, tmp_path, monkeypatch, capsys):
+    t = _table(spark, tmp_path)
+    for b in (1, 2, 3):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{b}", 0, "user", f"row {b}", None, 10 + b, "I")],
+                "conv_id string, turn_idx int, role string, text string, "
+                "ts timestamp, lsn long, op string",
+            ),
+            batch_id=b,
+        )
+    state_before = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.read().collect()
+    )
+    code, rep = _cli(
+        monkeypatch, capsys,
+        "--table", str(tmp_path / "t"), "--mode", "compact",
+        "--cluster-cols", "conv_id",
+    )
+    assert code == 0 and rep["cluster_cols"] == ["conv_id"]
+    assert rep["files"] <= 2  # delta chains folded, one dir per bucket
+    assert sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.read().collect()
+    ) == state_before
+
+    code, rep = _cli(
+        monkeypatch, capsys,
+        "--table", str(tmp_path / "t"), "--mode", "gc",
+        "--keep-last", "1", "--orphan-min-age-s", "0",
+    )
+    assert code == 0 and rep["manifests_removed"] > 0
+    assert sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.read().collect()
+    ) == state_before
 
 
 def test_cli_mask_and_row_filter(spark, tmp_path, monkeypatch, capsys):
