@@ -1451,6 +1451,7 @@ class MiniLakeTable:
         m: dict,
         keys: list[str] | None = None,
         lineage: bool = False,
+        payload_subset: list[str] | None = None,
     ) -> DataFrame:
         """Per-key state resolution under the table's merge engine: the
         LWW whole-row reduce by default, the column-coalescing partial
@@ -1466,7 +1467,16 @@ class MiniLakeTable:
         forever. Plain reads never pass it: the state view doesn't need
         birth, and the lineage fold trades the pure hash aggregation for
         a window + aggregation (one sort more) inside the same single
-        Exchange."""
+        Exchange.
+
+        ``payload_subset`` (projected reads, lww engine only) folds over
+        just those payload columns so Catalyst's column pruning reaches
+        the Parquet scan — sound because LSNs are unique per key up to
+        byte-identical duplicate deliveries (the ingest contract), so
+        the winner never depends on which payload columns ride in the
+        tie-break struct. The partial/agg engines ignore it: their
+        on-disk fold layout is itself per-column state, and dropping a
+        column there would drop its fold."""
         keys = keys if keys is not None else list(m["key_cols"])
         schema = schema_from_manifest(m["schema"])
         payload_fields = [
@@ -1474,6 +1484,12 @@ class MiniLakeTable:
         ]
         payload = [f.name for f in payload_fields]
         engine = m.get("merge_engine", "lww")
+        if (
+            payload_subset is not None
+            and engine == "lww"
+            and not lineage
+        ):
+            payload = [c for c in payload if c in payload_subset]
         if engine == "partial":
             return partial_fold(df, keys=keys, payload_cols=payload)
         if engine == "agg":
@@ -1504,6 +1520,7 @@ class MiniLakeTable:
         as_of_ts: float | None = None,
         tag: str | None = None,
         branch: str | None = None,
+        columns: list[str] | None = None,
         _dirs: list[str] | None = None,
         _file_filter: dict[str, list[str]] | None = None,
     ) -> DataFrame:
@@ -1512,6 +1529,17 @@ class MiniLakeTable:
         (VERSION AS OF / TIMESTAMP AS OF / ``VERSION AS OF 'tag-name'``);
         ``branch`` reads a branch ref (base snapshot + every branch
         commit, LWW-folded — what main WOULD show after fast_forward).
+
+        ``columns`` is the PROJECTED read: on a live (unfolded) MOR
+        table the LWW resolve normally references every payload column
+        (the winner is a whole row), which blocks Catalyst's column
+        pruning — a one-column profile would scan the full width. With
+        ``columns`` the fold runs over only the requested payload
+        subset, so the pruning reaches the Parquet scan; at a wide
+        100 TB table that is the difference between scanning 3 columns
+        and scanning 40. Sound under the ingest contract (LSNs unique
+        per key up to byte-identical duplicates); the partial/agg
+        engines project after their full fold instead.
 
         On a merge-on-read table the per-key LWW resolution happens here
         (deltas may hold many versions of a key); copy-on-write tables
@@ -1536,6 +1564,17 @@ class MiniLakeTable:
         m = self.manifest(version)
         schema = schema_from_manifest(m["schema"])
         cols = [f.name for f in schema.fields]
+        if columns is not None:
+            if not columns:
+                raise ValueError("columns must be non-empty or None")
+            missing = [c for c in columns if c not in cols]
+            if missing:
+                raise ValueError(
+                    f"columns {missing} not in the table schema"
+                )
+            out_cols = list(columns)
+        else:
+            out_cols = cols
         if _dirs is None:
             _dirs = [d for ds in m["buckets"].values() for d in ds]
         phys = self._read_files(
@@ -1558,8 +1597,8 @@ class MiniLakeTable:
             and _dirs
             and snapshot_is_resolved(m, dirs=_dirs)
         ):
-            phys = self._fold(phys, m)
-        return phys.filter(~F.col(DELETED_COL)).select(*cols)
+            phys = self._fold(phys, m, payload_subset=out_cols)
+        return phys.filter(~F.col(DELETED_COL)).select(*out_cols)
 
     def read_tombstones(self, version: int | None = None) -> DataFrame:
         """The deleted-key registry: keys whose LWW winner is a tombstone,

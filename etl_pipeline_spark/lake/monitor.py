@@ -44,7 +44,10 @@ DRIFT_SCHEMA = (
 def _exact_profile(
     table: MiniLakeTable, version: int, columns: list[str]
 ) -> tuple[int, dict[str, tuple[int, int]]]:
-    df = table.read(version=version)
+    # projected read: the LWW fold runs over only the profiled columns,
+    # so column pruning reaches the scan — a 3-column profile of a
+    # 40-column table reads 3 columns, not 40
+    df = table.read(version=version, columns=columns)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, c in enumerate(columns):
         aggs.append(F.countDistinct(c).alias(f"__ndv{i}"))
