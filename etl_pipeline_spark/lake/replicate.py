@@ -156,12 +156,62 @@ def _write_batch(out, out_dir: str, batch_index: int) -> str | None:
     return path
 
 
+def _masked_projection(table: MiniLakeTable, cols: list[str]):
+    """Column exprs applying the primary's masking policies to a change
+    feed — the SANITIZED export: a replica in a less-trusted environment
+    ingests masked values as its raw data. Masks compose with CDC
+    because they are deterministic and column-local: the same event
+    masks identically on every export, nulls stay null (tombstone
+    payloads pass through), and a hash-masked KEY pseudonymizes
+    consistently, so replica LWW still converges. A ``null`` mask on a
+    key column is rejected (it would collapse every key). The ROW
+    FILTER deliberately does NOT apply here: a later update failing the
+    filter would be dropped from the feed and leave the STALE earlier
+    version live on the replica — row-level governance on a replica
+    means re-binding the filter there (see tests/test_masking.py)."""
+    from ..schema import schema_from_manifest
+    from .masking import _mask_expr, masking_policies
+
+    pol = masking_policies(table)
+    key_cols = table.manifest()["key_cols"]
+    for k in key_cols:
+        if pol.get(k) == "null":
+            raise ValueError(
+                f"cannot export with a 'null' mask on key column {k!r}"
+            )
+    dtypes = {
+        f.name: f.dataType
+        for f in schema_from_manifest(table.manifest()["schema"]).fields
+    }
+    from pyspark.sql import types as T
+
+    for c, kind in pol.items():
+        if kind == "hash" and not isinstance(dtypes[c], T.StringType):
+            # a hash mask rewrites the column to its md5 STRING form —
+            # fine for a read view, but an exported changelog must match
+            # the replica's declared column type
+            raise ValueError(
+                f"cannot export a 'hash' mask on non-string column "
+                f"{c!r} ({dtypes[c].simpleString()}): the masked value "
+                "is a string and would not fit the replica's schema"
+            )
+    return [
+        (
+            _mask_expr(c, dtypes[c], pol[c]).alias(c)
+            if c in pol
+            else F.col(c)
+        )
+        for c in cols
+    ]
+
+
 def export_changes(
     table: MiniLakeTable,
     out_dir: str,
     from_version: int | None = None,
     to_version: int | None = None,
     batch_index: int = 0,
+    apply_masks: bool = False,
 ) -> str | None:
     """Write the changes in ``(from_version, to_version]`` as one ordered
     changelog batch file set (``batch-NNNNNN.parquet`` directory) that
@@ -177,8 +227,21 @@ def export_changes(
     MERGE treats I and U identically), tombstones as op='D'. The
     source's ``_lsn`` rides along unchanged, so replicas converge to the
     same LWW winners whatever order batches land in.
+
+    ``apply_masks=True`` (lww engine only) exports the SANITIZED feed:
+    the primary's masking policies applied to every change event — the
+    replica for the less-trusted environment never receives a raw
+    value (see :func:`_masked_projection` for why masks compose with
+    CDC and the row filter does not).
     """
     m = table.manifest()
+    if apply_masks and m.get("merge_engine", "lww") != "lww":
+        raise ValueError(
+            "apply_masks is only supported on lww tables: the "
+            "partial/agg engines decompose fold state into per-column "
+            "events whose masking semantics (masked partial aggregates, "
+            "keepalive rows) have no sound definition"
+        )
     if from_version is None:
         from_version = 1  # the CREATE snapshot: everything since birth
     changes = table.read_changes_since(from_version, to_version)
@@ -202,11 +265,15 @@ def export_changes(
             changes, key_cols, _agg_spec_by_logical(table, m)
         )
     else:
+        cols = (
+            _masked_projection(table, key_cols + payload)
+            if apply_masks
+            else [F.col(c) for c in key_cols + payload]
+        )
         out = changes.select(
             F.col(LSN_COL).alias("lsn"),
             F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
-            *key_cols,
-            *payload,
+            *cols,
         )
     return _write_batch(out, out_dir, batch_index)
 
@@ -215,6 +282,7 @@ def export_snapshot(
     table: MiniLakeTable,
     out_dir: str,
     batch_index: int = 0,
+    apply_masks: bool = False,
 ) -> str | None:
     """Re-seed export: the table's CURRENT resolved state as one
     changelog batch — live rows as op='U', tombstoned keys as op='D',
@@ -230,8 +298,16 @@ def export_snapshot(
     replay as tombstones rather than silent absences. O(table), not
     O(changes) — use only to (re-)seed, then return to incremental
     exports from the snapshot's version.
+
+    ``apply_masks=True`` re-seeds the SANITIZED replica (same contract
+    as :func:`export_changes`; lww engine only).
     """
     m = table.manifest()
+    if apply_masks and m.get("merge_engine", "lww") != "lww":
+        raise ValueError(
+            "apply_masks is only supported on lww tables (see "
+            "export_changes)"
+        )
     key_cols = m["key_cols"]
     payload = [
         f.name for f in table.schema().fields if f.name not in key_cols
@@ -252,10 +328,14 @@ def export_snapshot(
             phys, key_cols, _agg_spec_by_logical(table, m)
         )
     else:
+        cols = (
+            _masked_projection(table, key_cols + payload)
+            if apply_masks
+            else [F.col(c) for c in key_cols + payload]
+        )
         out = phys.select(
             F.col(LSN_COL).alias("lsn"),
             F.when(F.col(DELETED_COL), F.lit("D")).otherwise("U").alias("op"),
-            *key_cols,
-            *payload,
+            *cols,
         )
     return _write_batch(out, out_dir, batch_index)

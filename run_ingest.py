@@ -154,6 +154,12 @@ def main() -> None:
         "batch; the recovery path when --from-version fell behind the "
         "retention horizon",
     )
+    ap.add_argument(
+        "--apply-masks", action="store_true",
+        help="export mode: sanitized feed — the table's masking "
+        "policies applied to every change event (lww tables; the row "
+        "filter must be re-bound on the replica)",
+    )
     ap.add_argument("--batch-index", type=int, default=0)
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--n-buckets", type=int, default=32)
@@ -246,12 +252,14 @@ def main() -> None:
 
         if args.snapshot:
             path = export_snapshot(
-                table, args.out, batch_index=args.batch_index
+                table, args.out, batch_index=args.batch_index,
+                apply_masks=args.apply_masks,
             )
         else:
             path = export_changes(
                 table, args.out,
                 from_version=args.from_version, batch_index=args.batch_index,
+                apply_masks=args.apply_masks,
             )
         print(
             json.dumps(

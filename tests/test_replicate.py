@@ -288,3 +288,81 @@ def test_purge_then_replica_purge_and_reseed_converges(spark, tmp_path):
         v = int(os.path.basename(p)[1:-5])
         leak += replica.read_physical(version=v).filter(pred).count()
     assert leak == 0
+
+
+def test_sanitized_export_builds_masked_replica(spark, tmp_path):
+    """apply_masks=True: the replica in the less-trusted environment
+    never receives a raw value — its state equals the primary's masked
+    view (column masks only; the row filter must be re-bound on the
+    replica, pinned in tests/test_masking.py). Covers incremental
+    exports across a delete so tombstones ride the sanitized feed."""
+    from etl_pipeline_spark.lake.masking import (
+        read_masked,
+        set_masking_policy,
+    )
+
+    cfg = GenConfig(
+        n_events=4_000, batch_size=1_000, dup_delivery_rate=0.02,
+        shuffle_window=200,
+    )
+    clog = str(tmp_path / "clog")
+    write_changelog(cfg, clog)
+    primary = _mor(spark, tmp_path / "primary")
+    replay_files(spark, clog, primary, stop_after=2)
+    set_masking_policy(primary, "text", "hash")
+    set_masking_policy(primary, "role", "null")
+
+    out = str(tmp_path / "export")
+    replica = _mor(spark, tmp_path / "replica")
+    path = export_changes(primary, out, apply_masks=True)
+    assert path is not None
+    v1 = primary.current_version()
+    replay_files(spark, out, replica)
+
+    # resume the primary, export incrementally (sanitized), re-ingest
+    replay_files(spark, clog, primary)
+    assert export_changes(
+        primary, out, from_version=v1, batch_index=1, apply_masks=True
+    ) is not None
+    replay_files(spark, out, replica)
+
+    masked = read_masked(primary).toPandas().sort_values(KEYS)
+    got = replica.read().toPandas().sort_values(KEYS)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    a = masked[cols].astype(object).where(masked[cols].notna(), None)
+    b = got[cols].astype(object).where(got[cols].notna(), None)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # the sanitized feed carried no raw text anywhere
+    assert got["text"].dropna().map(len).eq(32).all()
+    assert got["role"].isna().all()
+
+    # sanitized RE-SEED (the retention-horizon recovery path): a fresh
+    # replica seeded from the masked snapshot equals the same view
+    from etl_pipeline_spark.lake.replicate import export_snapshot
+
+    out2 = str(tmp_path / "seed")
+    assert export_snapshot(primary, out2, apply_masks=True) is not None
+    reseeded = _mor(spark, tmp_path / "replica2")
+    replay_files(spark, out2, reseeded)
+    c = reseeded.read().toPandas().sort_values(KEYS)
+    c2 = c[cols].astype(object).where(c[cols].notna(), None)
+    assert a.reset_index(drop=True).equals(c2.reset_index(drop=True))
+
+
+def test_sanitized_export_rejects_schema_breaking_masks(spark, tmp_path):
+    from etl_pipeline_spark.lake.masking import set_masking_policy
+
+    primary = _mor(spark, tmp_path / "primary")
+    primary.merge(
+        spark.createDataFrame(
+            [("a", 0, "user", "x", None, 1, "I")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "ts timestamp, lsn long, op string",
+        ),
+        batch_id=0,
+    )
+    set_masking_policy(primary, "ts", "hash")
+    with pytest.raises(ValueError, match="non-string column 'ts'"):
+        export_changes(
+            primary, str(tmp_path / "out"), apply_masks=True
+        )
