@@ -819,26 +819,11 @@ FROM state
 _MASKED_CACHE: dict = {}
 
 
-def q_cdc_masked_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read-time governance graded end-to-end (lake/masking — the
-    Snowflake masking-policy + row-access-policy analog over this
-    lake): the replayed primary is shallow-cloned, a deterministic PII
-    payload is injected into a third of its rows through the engine's
-    own UPDATE ... WHERE DML (so the dirty text lands via a real fenced
-    MERGE commit, not a fixture file), governance policies are committed
-    as table metadata (row filter ``turn_idx % 7 <> 0``; masks
-    text → redact_pii, role → md5 hash), and the GOVERNED read is graded
-    against an oracle that recomputes the LWW state, the injection, the
-    filter and the mask chain in plain SQL. The privileged read stays
-    raw — governance is a metadata-only projection, zero rewrites, zero
-    extra shuffles (generalizes the reference's fixed output projection,
-    /root/reference/utils/transform.py:139-201, into per-reader policy).
-    """
-    from .lake.masking import (
-        read_masked,
-        set_masking_policy,
-        set_row_filter,
-    )
+def _masked_clone(spark: SparkSession, sf_dir: str):
+    """The governed clone shared by the masking queries: replayed
+    primary, shallow-cloned, PII injected via the engine's own UPDATE
+    DML, masks (text → redact_pii, role → hash) + row filter bound."""
+    from .lake.masking import set_masking_policy, set_row_filter
 
     key = (spark.sparkContext.applicationId, sf_dir)
     masked = _MASKED_CACHE.get(key)
@@ -854,7 +839,108 @@ def q_cdc_masked_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         set_masking_policy(clone, "role", "hash")
         set_row_filter(clone, "turn_idx % 7 <> 0")
         _MASKED_CACHE[key] = masked = clone
+    return masked
+
+
+def q_cdc_masked_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time governance graded end-to-end (lake/masking — the
+    Snowflake masking-policy + row-access-policy analog over this
+    lake): the replayed primary is shallow-cloned, a deterministic PII
+    payload is injected into a third of its rows through the engine's
+    own UPDATE ... WHERE DML (so the dirty text lands via a real fenced
+    MERGE commit, not a fixture file), governance policies are committed
+    as table metadata (row filter ``turn_idx % 7 <> 0``; masks
+    text → redact_pii, role → md5 hash), and the GOVERNED read is graded
+    against an oracle that recomputes the LWW state, the injection, the
+    filter and the mask chain in plain SQL. The privileged read stays
+    raw — governance is a metadata-only projection, zero rewrites, zero
+    extra shuffles (generalizes the reference's fixed output projection,
+    /root/reference/utils/transform.py:139-201, into per-reader policy).
+    """
+    from .lake.masking import read_masked
+
+    masked = _masked_clone(spark, sf_dir)
     return read_masked(masked).select(
+        "conv_id",
+        "turn_idx",
+        F.col("role").alias("role_mask"),
+        F.col("text").alias("text_redacted"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+# Sanitized-replica oracle: the masked LWW state WITHOUT the row
+# filter — column masks ride the CDC-out feed; the row filter
+# deliberately does not (a later update failing it would be dropped
+# from the feed and strand the stale earlier version on the replica).
+SANITIZED_REPLICA_SQL = rf"""
+WITH ce AS ({CE_SQL}),
+r AS (
+  SELECT ce.*,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY lsn DESC) AS rn
+  FROM ce
+),
+state AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN {_MASK_INJECT_PRED}
+              THEN {_MASK_INJECT_DUCK} ELSE text END AS text,
+         ts
+  FROM r WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, turn_idx,
+       md5(role) AS role_mask,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g'),
+         '{_PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM state
+"""
+
+_SANITIZED_REPLICA_CACHE: dict = {}
+
+
+def q_cdc_sanitized_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanitized replication graded end-to-end (lake/replicate
+    export_changes(apply_masks=True)): the governed clone's CDC-out
+    feed is exported WITH its column masks applied, re-ingested into a
+    fresh replica, and the replica's raw state is graded against the
+    masked-LWW oracle — proving the less-trusted environment never
+    received a raw value AND that the feed stays a convergent CDC
+    stream after masking. The oracle is the masked state WITHOUT the
+    clone's row filter: column masks compose with CDC (deterministic,
+    column-local, null-transparent on tombstones), the row filter
+    deliberately stays replica-side (a filtered-out update would
+    strand stale replica rows) — this query grades that contract.
+    The governed source is a SHALLOW CLONE, whose manifest chain
+    starts at the clone point, so the seeding path is the masked
+    SNAPSHOT export (every row carrying its winning LSN — the same
+    export that recovers a replica past a retention horizon);
+    incremental masked exports are covered in tests/test_replicate.py.
+    """
+    from .lake.replicate import export_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    replica = _SANITIZED_REPLICA_CACHE.get(key)
+    if replica is None:
+        masked = _masked_clone(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdc_sanitized_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        out = os.path.join(tmp, "export")
+        export_snapshot(masked, out, apply_masks=True)
+        replica = MiniLakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"],
+            n_buckets=16,
+            write_mode="mor",
+        )
+        replay_files(spark, out, replica)
+        _SANITIZED_REPLICA_CACHE[key] = replica
+    return replica.read().select(
         "conv_id",
         "turn_idx",
         F.col("role").alias("role_mask"),
@@ -6164,6 +6250,7 @@ QUERIES = {
     # -- r5 session-9 additions, born inside the window per the rule --
     "cdc_masked_state": q_cdc_masked_state,
     "cdc_profile_drift": q_cdc_profile_drift,
+    "cdc_sanitized_replica": q_cdc_sanitized_replica,
     # -- recent rotations kept for re-verification --
     "brand_revenue_promo_share": q_brand_revenue_promo_share,
     "events_approx_quantiles_check": q_events_approx_quantiles_check,
@@ -6175,8 +6262,11 @@ QUERIES = {
     "docs_simhash_near_dups": q_docs_simhash_near_dups,
     "docs_simhash_pairs_editdist": q_docs_simhash_pairs_editdist,
     "docs_containment": q_docs_containment,
-    "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     # ---------------- driver window ends here (first 50) ----------------
+    # docs_winnow_fingerprints moved below the line for the r5
+    # session-9 insertion of cdc_sanitized_replica — allowed: green r04
+    # (500 rows).
+    "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     # docs_dup_clusters and docs_sentence_dedup moved below the line for
     # the r5 session-9 insertions of cdc_masked_state and
     # cdc_profile_drift — allowed: both green r04 (360 / 2 rows).
@@ -6318,6 +6408,7 @@ ORACLE_SQL = {
     "cdc_net_envelope": NET_ENVELOPE_SQL,
     "cdc_masked_state": MASKED_STATE_SQL,
     "cdc_profile_drift": PROFILE_DRIFT_SQL,
+    "cdc_sanitized_replica": SANITIZED_REPLICA_SQL,
     "cdc_time_travel": TIME_TRAVEL_SQL,
     "cdc_point_lookup": POINT_LOOKUP_SQL,
     "cdc_incremental_changes": INCREMENTAL_SQL,

@@ -120,12 +120,14 @@ INTENDED_FIRST_50 = [
     "cdc_ts_range_scan", "cdc_zorder_scan",
     "cdc_stream_changes", "cdc_clone_state", "cdc_row_lineage",
     "cdc_expired_state", "cdc_table_stats_check", "cdc_net_envelope",
-    "cdc_masked_state", "cdc_profile_drift",
+    "cdc_masked_state", "cdc_profile_drift", "cdc_sanitized_replica",
     "brand_revenue_promo_share", "events_approx_quantiles_check",
     "cdc_rollback_state", "mm_features", "docs_minhash_near_dups",
     "docs_simhash_groups", "docs_simhash_near_dups",
     "docs_simhash_pairs_editdist", "docs_containment",
-    "docs_winnow_fingerprints",
+    # docs_winnow_fingerprints moved below the line for the r5
+    # session-9 insertion of cdc_sanitized_replica — allowed: green r04
+    # (500 rows).
     # docs_dup_clusters and docs_sentence_dedup moved below the line
     # for the r5 session-9 insertions of cdc_masked_state and
     # cdc_profile_drift — allowed: both green r04 (360 / 2 rows).
