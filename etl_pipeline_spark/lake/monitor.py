@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..schema import physical_name, schema_from_manifest
 from .minilake import MiniLakeTable
 
 DRIFT_SCHEMA = (
@@ -82,6 +83,132 @@ def _stats_profile(
         },
         int(s["computed_at_version"]),
     )
+
+
+def schema_drift(
+    table: MiniLakeTable, v_from: int, v_to: int | None = None
+) -> list[dict]:
+    """Schema changes between two snapshots, resolved through PHYSICAL
+    column identity (the field-id analog), so a metadata-only rename is
+    reported as a rename — not as a drop + add. Pure driver-side
+    manifest work, zero scans. One dict per change:
+    ``{"change": added|dropped|renamed|widened, "column", "from_type",
+    "to_type", "from_name"}`` (fields absent where meaningless)."""
+    if v_to is None:
+        v_to = table.current_version()
+    a = {
+        physical_name(f): f
+        for f in schema_from_manifest(table.manifest(v_from)["schema"]).fields
+    }
+    b = {
+        physical_name(f): f
+        for f in schema_from_manifest(table.manifest(v_to)["schema"]).fields
+    }
+    out: list[dict] = []
+    for p, f in b.items():
+        if p not in a:
+            out.append(
+                {"change": "added", "column": f.name,
+                 "to_type": f.dataType.simpleString()}
+            )
+            continue
+        g = a[p]
+        if g.name != f.name:
+            out.append(
+                {"change": "renamed", "column": f.name,
+                 "from_name": g.name}
+            )
+        if g.dataType != f.dataType:
+            out.append(
+                {"change": "widened", "column": f.name,
+                 "from_type": g.dataType.simpleString(),
+                 "to_type": f.dataType.simpleString()}
+            )
+    for p, g in a.items():
+        if p not in b:
+            out.append(
+                {"change": "dropped", "column": g.name,
+                 "from_type": g.dataType.simpleString()}
+            )
+    return out
+
+
+def check_drift(
+    table: MiniLakeTable,
+    v_from: int,
+    v_to: int | None = None,
+    columns: list[str] | None = None,
+    mode: str = "exact",
+    max_rows_delta_pct: float | None = None,
+    max_ndv_delta_pct: float | None = None,
+    max_nulls_delta_pct: float | None = None,
+    forbid_schema_changes: bool = False,
+) -> dict:
+    """The enforceable form of :func:`profile_drift` — the audit-style
+    gate a scheduled monitoring job runs after each ingest window:
+    compute the drift, judge it against the given thresholds, and
+    return ``{"ok": bool, "findings": [...], "profile": [...],
+    "schema_changes": [...]}``. Percentage deltas are relative to the
+    ``from`` side; a from-value of 0 with any growth is reported as
+    ``inf`` and violates every finite threshold (a column springing
+    into existence IS drift). ``None`` thresholds are not judged —
+    callers opt into exactly the invariants their table has."""
+
+    def _pct(frm: int, delta: int) -> float:
+        if frm == 0:
+            return float("inf") if delta else 0.0
+        return abs(delta) / frm
+
+    findings: list[dict] = []
+    prof = profile_drift(
+        table, v_from=v_from, v_to=v_to, columns=columns, mode=mode
+    ).collect()
+    if prof and max_rows_delta_pct is not None:
+        # table-level, judged once (identical across the per-column rows)
+        r0 = prof[0]
+        pct = _pct(r0["rows_from"], r0["rows_delta"])
+        if pct > max_rows_delta_pct:
+            findings.append(
+                {
+                    "kind": "rows-drift",
+                    "delta_pct": pct,
+                    "tolerance": max_rows_delta_pct,
+                    "from": r0["rows_from"],
+                    "delta": r0["rows_delta"],
+                }
+            )
+    for r in prof:
+        checks = (
+            ("ndv", max_ndv_delta_pct, r["ndv_from"], r["ndv_delta"]),
+            ("nulls", max_nulls_delta_pct, r["nulls_from"],
+             r["nulls_delta"]),
+        )
+        for metric, tol, frm, delta in checks:
+            if tol is None:
+                continue
+            pct = _pct(frm, delta)
+            if pct > tol:
+                findings.append(
+                    {
+                        "kind": f"{metric}-drift",
+                        "column": r["col_name"],
+                        "delta_pct": pct,
+                        "tolerance": tol,
+                        "from": frm,
+                        "delta": delta,
+                    }
+                )
+    changes = schema_drift(table, v_from=v_from, v_to=v_to)
+    if forbid_schema_changes:
+        findings.extend(
+            {"kind": "schema-change", **c} for c in changes
+        )
+    return {
+        "ok": not findings,
+        "findings": findings,
+        "profile": [r.asDict() for r in prof],
+        "schema_changes": changes,
+    }
 
 
 def profile_drift(

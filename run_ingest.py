@@ -111,6 +111,24 @@ def main() -> None:
         help="drift mode: exact recompute (audit) or zero-scan diff of "
         "stored ANALYZE manifests",
     )
+    ap.add_argument(
+        "--max-rows-delta-pct", type=float, default=None,
+        help="drift mode: gate — fail (exit 1) when |rows delta| "
+        "exceeds this fraction of the from-side",
+    )
+    ap.add_argument(
+        "--max-ndv-delta-pct", type=float, default=None,
+        help="drift mode: gate on per-column NDV delta",
+    )
+    ap.add_argument(
+        "--max-nulls-delta-pct", type=float, default=None,
+        help="drift mode: gate on per-column null-count delta",
+    )
+    ap.add_argument(
+        "--forbid-schema-changes", action="store_true",
+        help="drift mode: gate — any schema change between the two "
+        "snapshots is a finding",
+    )
     ap.add_argument("--column", default=None, help="mask mode: column")
     ap.add_argument(
         "--cluster-cols", default=None,
@@ -374,29 +392,49 @@ def main() -> None:
     if args.mode == "drift":
         if args.from_version is None:
             ap.error("--mode drift requires --from-version")
-        from etl_pipeline_spark.lake.monitor import profile_drift
+        from etl_pipeline_spark.lake.monitor import (
+            check_drift,
+            profile_drift,
+        )
 
         cols = (
             [c.strip() for c in args.analyze_columns.split(",")]
             if args.analyze_columns
             else None
         )
+        gated = args.forbid_schema_changes or any(
+            t is not None
+            for t in (args.max_rows_delta_pct, args.max_ndv_delta_pct,
+                      args.max_nulls_delta_pct)
+        )
+        head = {
+            "from_version": args.from_version,
+            "to_version": (
+                args.to_version
+                if args.to_version is not None
+                else table.current_version()
+            ),
+            "mode": args.drift_mode,
+        }
+        if gated:
+            # the monitoring GATE: audit-style findings + exit code
+            rep = check_drift(
+                table, v_from=args.from_version, v_to=args.to_version,
+                columns=cols, mode=args.drift_mode,
+                max_rows_delta_pct=args.max_rows_delta_pct,
+                max_ndv_delta_pct=args.max_ndv_delta_pct,
+                max_nulls_delta_pct=args.max_nulls_delta_pct,
+                forbid_schema_changes=args.forbid_schema_changes,
+            )
+            print(json.dumps({**head, **rep}))
+            sys.exit(0 if rep["ok"] else 1)
         df = profile_drift(
             table, v_from=args.from_version, v_to=args.to_version,
             columns=cols, mode=args.drift_mode,
         )
         print(
             json.dumps(
-                {
-                    "from_version": args.from_version,
-                    "to_version": (
-                        args.to_version
-                        if args.to_version is not None
-                        else table.current_version()
-                    ),
-                    "mode": args.drift_mode,
-                    "columns": [r.asDict() for r in df.collect()],
-                }
+                {**head, "columns": [r.asDict() for r in df.collect()]}
             )
         )
         return

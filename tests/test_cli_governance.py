@@ -71,6 +71,35 @@ def test_cli_drift(spark, tmp_path, monkeypatch, capsys):
     assert by_col["conv_id"]["ndv_delta"] == 1
 
 
+def test_cli_drift_gate_exit_codes(spark, tmp_path, monkeypatch, capsys):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [("c", 0, "user", "three", None, 3, "I")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "ts timestamp, lsn long, op string",
+        ),
+        batch_id=1,
+    )
+    # +1 row on 2 = 50%: loose gate passes (exit 0), tight gate fails
+    code, rep = _cli(
+        monkeypatch, capsys,
+        "--table", str(tmp_path / "t"), "--mode", "drift",
+        "--from-version", str(v1), "--analyze-columns", "conv_id",
+        "--max-rows-delta-pct", "0.9",
+    )
+    assert code == 0 and rep["ok"] and rep["schema_changes"] == []
+    code, rep = _cli(
+        monkeypatch, capsys,
+        "--table", str(tmp_path / "t"), "--mode", "drift",
+        "--from-version", str(v1), "--analyze-columns", "conv_id",
+        "--max-rows-delta-pct", "0.2",
+    )
+    assert code == 1 and not rep["ok"]
+    assert rep["findings"][0]["kind"] == "rows-drift"
+
+
 def test_cli_compact_and_gc(spark, tmp_path, monkeypatch, capsys):
     t = _table(spark, tmp_path)
     for b in (1, 2, 3):

@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import types as T
 
 from etl_pipeline_spark.lake.minilake import MiniLakeTable
-from etl_pipeline_spark.lake.monitor import profile_drift
+from etl_pipeline_spark.lake.monitor import (
+    check_drift,
+    profile_drift,
+    schema_drift,
+)
 from etl_pipeline_spark.schema import TRANSCRIPT_SCHEMA
 
 KEYS = ["conv_id", "turn_idx"]
@@ -121,6 +125,74 @@ def test_drift_past_retention_horizon_fails_clearly(spark, tmp_path):
     v = t.current_version()
     d = _by_col(profile_drift(t, v_from=v, v_to=v, columns=COLS))
     assert d["conv_id"]["rows_from"] == 6
+
+
+def test_schema_drift_resolves_through_physical_identity(spark, tmp_path):
+    schema = T.StructType(
+        TRANSCRIPT_SCHEMA.fields
+        + [T.StructField("score", T.IntegerType(), True)]
+    )
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "s"), schema, key_cols=KEYS,
+        n_buckets=2, write_mode="mor",
+    )
+    v1 = t.current_version()
+    t.rename_column("tool", "tool_name")       # metadata-only rename
+    t.widen_column_type("score", T.LongType())
+    t.drop_column("role")
+    t.add_columns([T.StructField("lang", T.StringType(), True)])
+
+    changes = {
+        (c["change"], c["column"]): c for c in schema_drift(t, v_from=v1)
+    }
+    assert changes[("renamed", "tool_name")]["from_name"] == "tool"
+    assert changes[("widened", "score")]["from_type"] == "int"
+    assert changes[("widened", "score")]["to_type"] == "bigint"
+    assert ("dropped", "role") in changes
+    assert changes[("added", "lang")]["to_type"] == "string"
+    # a rename is a rename — never reported as drop + add
+    assert ("dropped", "tool") not in changes
+    assert ("added", "tool_name") not in changes
+    # identical snapshots: no drift
+    v = t.current_version()
+    assert schema_drift(t, v_from=v, v_to=v) == []
+
+
+def test_check_drift_gates_and_passes(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    # within tolerance: +1 row on 3 = 33%
+    t.merge(_ev(spark, [
+        ("c", 0, "user", "new conv", None, 10, "I"),
+    ]), batch_id=1)
+    ok = check_drift(
+        t, v_from=v1, columns=COLS, max_rows_delta_pct=0.5,
+        forbid_schema_changes=True,
+    )
+    assert ok["ok"] and ok["findings"] == []
+    # tighter gate trips on the same delta
+    bad = check_drift(
+        t, v_from=v1, columns=COLS, max_rows_delta_pct=0.2,
+    )
+    assert not bad["ok"]
+    assert bad["findings"][0]["kind"] == "rows-drift"
+    assert bad["findings"][0]["delta_pct"] > 0.2
+    # schema gate: a DDL between the versions is a finding
+    t.add_columns([T.StructField("lang", T.StringType(), True)])
+    sch = check_drift(
+        t, v_from=v1, columns=COLS, forbid_schema_changes=True,
+    )
+    assert not sch["ok"]
+    assert {f["kind"] for f in sch["findings"]} == {"schema-change"}
+    # zero-to-something growth is infinite drift, violating any gate
+    t.merge(_ev(spark, [
+        ("b", 1, None, "was all null before", None, 11, "I"),
+    ]), batch_id=2)
+    inf = check_drift(
+        t, v_from=v1, columns=["role"], max_nulls_delta_pct=1000.0,
+    )
+    assert not inf["ok"]
+    assert inf["findings"][0]["delta_pct"] == float("inf")
 
 
 def test_exact_matches_stats_on_identical_snapshots(spark, tmp_path):
