@@ -154,20 +154,34 @@ def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
     raw values), then the column masks. ``hash`` rewrites the column to
     its md5 string form (the masked type is string); ``null`` and
     ``redact_pii`` preserve the column's type."""
-    df = table.read(**read_kwargs)
     version = read_kwargs.get("version")
     if version is None and read_kwargs.get("tag") is not None:
         version = table.tag_version(read_kwargs["tag"])
     if version is None and read_kwargs.get("as_of_ts") is not None:
         version = table.version_as_of(read_kwargs["as_of_ts"])
-    # branch reads resolve policies at the branch's base snapshot via
-    # manifest(None) semantics: the policy set is main-table metadata.
+    if version is None and read_kwargs.get("branch") is not None:
+        # branch reads serve the BASE snapshot's schema/state plus the
+        # branch commits — policies must resolve at that same base, or
+        # a post-branch rename on main would silently unbind a mask
+        # from the branch reader's view
+        version = table._load_branch(read_kwargs["branch"])["base_version"]
     pred = row_filter(table, version=version)
+    requested = read_kwargs.pop("columns", None)
+    if pred is not None and requested is not None:
+        # the filter evaluates on the RAW row, which may reference
+        # columns outside the requested projection — read unprojected,
+        # filter, then project (correctness over scan pruning here)
+        df = table.read(**read_kwargs)
+    else:
+        if requested is not None:
+            read_kwargs["columns"] = requested
+        df = table.read(**read_kwargs)
     if pred is not None:
         df = df.filter(pred)
+    out_cols = requested if requested is not None else df.columns
     policies = masking_policies(table, version=version)
     if not policies:
-        return df
+        return df.select(*out_cols)
     schema = table.schema(version)
     dtypes = {f.name: f.dataType for f in schema.fields}
     return df.select(
@@ -177,6 +191,6 @@ def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
                 if c in policies
                 else F.col(c)
             )
-            for c in df.columns
+            for c in out_cols
         ]
     )

@@ -143,6 +143,7 @@ def check_drift(
     max_ndv_delta_pct: float | None = None,
     max_nulls_delta_pct: float | None = None,
     forbid_schema_changes: bool = False,
+    max_stats_lag: int = 1,
 ) -> dict:
     """The enforceable form of :func:`profile_drift` — the audit-style
     gate a scheduled monitoring job runs after each ingest window:
@@ -150,24 +151,63 @@ def check_drift(
     return ``{"ok": bool, "findings": [...], "profile": [...],
     "schema_changes": [...]}``. Percentage deltas are relative to the
     ``from`` side; a from-value of 0 with any growth is reported as
-    ``inf`` and violates every finite threshold (a column springing
-    into existence IS drift). ``None`` thresholds are not judged —
-    callers opt into exactly the invariants their table has."""
+    the string ``"inf"`` (kept JSON-clean — ``float('inf')`` is not
+    valid JSON) and violates every finite threshold (a column
+    springing into existence IS drift). ``None`` thresholds are not
+    judged — callers opt into exactly the invariants their table has.
 
-    def _pct(frm: int, delta: int) -> float:
+    In stats mode a STALE profile is itself a finding: each side's
+    numbers were computed at ``stats_at_*``; a lag beyond
+    ``max_stats_lag`` versions behind its endpoint (default 1 — the
+    ANALYZE commit's own version bump) means the gate would be judging
+    data older than the drift it exists to catch."""
+
+    def _pct(frm: int, delta: int):
         if frm == 0:
-            return float("inf") if delta else 0.0
+            return "inf" if delta else 0.0
         return abs(delta) / frm
+
+    def _violates(pct, tol: float) -> bool:
+        return pct == "inf" or pct > tol
 
     findings: list[dict] = []
     prof = profile_drift(
         table, v_from=v_from, v_to=v_to, columns=columns, mode=mode
     ).collect()
+    gates_requested = any(
+        t is not None
+        for t in (max_rows_delta_pct, max_ndv_delta_pct,
+                  max_nulls_delta_pct)
+    )
+    if gates_requested and not prof:
+        raise ValueError(
+            "profile gates were requested but no columns were "
+            "profiled (no common columns between the two snapshots?); "
+            "pass columns= explicitly"
+        )
+    if mode == "stats" and prof:
+        resolved_to = (
+            v_to if v_to is not None else table.current_version()
+        )
+        for side, endpoint, at in (
+            ("from", v_from, prof[0]["stats_at_from"]),
+            ("to", resolved_to, prof[0]["stats_at_to"]),
+        ):
+            if endpoint - at > max_stats_lag:
+                findings.append(
+                    {
+                        "kind": "stale-stats",
+                        "side": side,
+                        "endpoint_version": endpoint,
+                        "computed_at_version": at,
+                        "max_stats_lag": max_stats_lag,
+                    }
+                )
     if prof and max_rows_delta_pct is not None:
         # table-level, judged once (identical across the per-column rows)
         r0 = prof[0]
         pct = _pct(r0["rows_from"], r0["rows_delta"])
-        if pct > max_rows_delta_pct:
+        if _violates(pct, max_rows_delta_pct):
             findings.append(
                 {
                     "kind": "rows-drift",
@@ -187,7 +227,7 @@ def check_drift(
             if tol is None:
                 continue
             pct = _pct(frm, delta)
-            if pct > tol:
+            if _violates(pct, tol):
                 findings.append(
                     {
                         "kind": f"{metric}-drift",
@@ -224,12 +264,20 @@ def profile_drift(
     columns (the version each side's numbers were computed AT)."""
     if mode not in ("exact", "stats"):
         raise ValueError(f"mode must be 'exact' or 'stats', got {mode!r}")
+    if columns is not None and not columns:
+        raise ValueError("columns must be non-empty or None")
     if v_to is None:
         v_to = table.current_version()
     schema = table.schema(v_to)
     if columns is None:
         from_names = {f.name for f in table.schema(v_from).fields}
         columns = [f.name for f in schema.fields if f.name in from_names]
+        if not columns:
+            raise ValueError(
+                "no columns were profiled: the two snapshots share no "
+                "column names (renames between them?); pass columns= "
+                "explicitly"
+            )
     else:
         for side, v in (("from", v_from), ("to", v_to)):
             have = {f.name for f in table.schema(v).fields}

@@ -175,9 +175,15 @@ def _masked_projection(table: MiniLakeTable, cols: list[str]):
     pol = masking_policies(table)
     key_cols = table.manifest()["key_cols"]
     for k in key_cols:
-        if pol.get(k) == "null":
+        # only the HASH mask is injective enough for a key: 'null'
+        # collapses every key, and 'redact_pii' maps distinct PII-valued
+        # keys to one placeholder — either way the replica's LWW fold
+        # would silently merge source rows
+        if k in pol and pol[k] != "hash":
             raise ValueError(
-                f"cannot export with a 'null' mask on key column {k!r}"
+                f"cannot export with a {pol[k]!r} mask on key column "
+                f"{k!r}: non-injective key masks collapse distinct keys "
+                "on the replica (use 'hash' to pseudonymize keys)"
             )
     dtypes = {
         f.name: f.dataType

@@ -150,6 +150,40 @@ def test_row_filter_is_version_pinned_and_validated(spark, tmp_path):
         set_row_filter(t, "no_such_col = 1")
 
 
+def test_projected_governed_read_composes_with_row_filter(spark, tmp_path):
+    """A governed reader may project AWAY the filter column: the filter
+    still evaluates on the raw row (read full → filter → project),
+    rather than failing analysis or silently not filtering."""
+    t = _table(spark, tmp_path)
+    set_row_filter(t, "turn_idx = 0")
+    set_masking_policy(t, "text", "null")
+    got = read_masked(t, columns=["conv_id", "text"]).collect()
+    assert sorted((r["conv_id"], r["text"]) for r in got) == [
+        ("a", None), ("b", None),
+    ]
+    # without a filter the projection passes straight through to the
+    # pruned read path
+    drop_row_filter(t)
+    got = read_masked(t, columns=["conv_id"]).collect()
+    assert sorted(r["conv_id"] for r in got) == ["a", "a", "b"]
+
+
+def test_branch_read_resolves_policies_at_the_branch_base(spark, tmp_path):
+    """A rename on main AFTER branching must not unbind the mask from
+    the branch reader's view — policies resolve at the branch base,
+    where physical keying still matches the served schema."""
+    t = _table(spark, tmp_path)
+    set_masking_policy(t, "text", "null")
+    t.create_branch("audit")
+    t.rename_column("text", "body")
+    got = read_masked(t, branch="audit").collect()
+    # branch view serves the base-schema name, masked
+    assert all(r["text"] is None for r in got)
+    # main's current view masks under the new name (physical keying)
+    assert masking_policies(t) == {"body": "null"}
+    assert all(r["body"] is None for r in read_masked(t).collect())
+
+
 def test_policies_do_not_replicate_implicitly(spark, tmp_path):
     """Governance policies are TABLE metadata, not data: the CDC-out
     feed carries rows only, so a replica ingesting it serves RAW values

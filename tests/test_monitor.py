@@ -192,7 +192,59 @@ def test_check_drift_gates_and_passes(spark, tmp_path):
         t, v_from=v1, columns=["role"], max_nulls_delta_pct=1000.0,
     )
     assert not inf["ok"]
-    assert inf["findings"][0]["delta_pct"] == float("inf")
+    # JSON-clean unbounded-drift encoding (float('inf') is not JSON)
+    assert inf["findings"][0]["delta_pct"] == "inf"
+    import json
+
+    json.loads(json.dumps(inf, allow_nan=False))  # strict-JSON safe
+
+
+def test_check_drift_stats_mode_flags_stale_stats(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.analyze(columns=COLS)
+    v1 = t.current_version()
+    # table grows WITHOUT a re-ANALYZE: the stored stats go stale
+    for b in (1, 2, 3):
+        t.merge(_ev(spark, [
+            (f"g{b}", 0, "user", f"row {b}", None, 20 + b, "I"),
+        ]), batch_id=b)
+    rep = check_drift(
+        t, v_from=v1, columns=COLS, mode="stats",
+        max_rows_delta_pct=0.01,
+    )
+    assert not rep["ok"]
+    kinds = {f["kind"] for f in rep["findings"]}
+    # the stale numbers show no row drift — the staleness finding is
+    # what stops the gate from green-lighting exactly that blind spot
+    assert "stale-stats" in kinds
+    stale = [f for f in rep["findings"] if f["kind"] == "stale-stats"]
+    assert any(f["side"] == "to" for f in stale)
+    # re-ANALYZE at the head: the same gate now sees the real drift
+    t.analyze(columns=COLS)
+    rep2 = check_drift(
+        t, v_from=v1, columns=COLS, mode="stats",
+        max_rows_delta_pct=0.01,
+    )
+    assert not rep2["ok"]
+    assert any(f["kind"] == "rows-drift" for f in rep2["findings"])
+
+
+def test_check_drift_refuses_gates_without_profile(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1 = t.current_version()
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_drift(t, v_from=v1, columns=[])
+    with pytest.raises(ValueError, match="non-empty"):
+        check_drift(t, v_from=v1, columns=[], max_rows_delta_pct=0.1)
+    # rename EVERY column between the versions: the default by-name
+    # intersection is empty — a requested gate must refuse loudly, not
+    # return ok=True with nothing judged
+    for old, new in (("conv_id", "cid"), ("turn_idx", "tix"),
+                     ("role", "r"), ("text", "txt"), ("tool", "tl"),
+                     ("ts", "t0")):
+        t.rename_column(old, new)
+    with pytest.raises(ValueError, match="no columns were"):
+        check_drift(t, v_from=v1, max_rows_delta_pct=0.1)
 
 
 def test_exact_matches_stats_on_identical_snapshots(spark, tmp_path):

@@ -366,3 +366,28 @@ def test_sanitized_export_rejects_schema_breaking_masks(spark, tmp_path):
         export_changes(
             primary, str(tmp_path / "out"), apply_masks=True
         )
+
+
+def test_sanitized_export_rejects_non_injective_key_masks(spark, tmp_path):
+    """'redact_pii' on a key collapses distinct PII-valued keys to one
+    placeholder — the replica's LWW fold would silently merge source
+    rows. Only the injective-enough 'hash' mask is allowed on keys."""
+    from etl_pipeline_spark.lake.masking import set_masking_policy
+
+    primary = _mor(spark, tmp_path / "primary")
+    primary.merge(
+        spark.createDataFrame(
+            [("a@x.com", 0, "user", "x", None, 1, "I")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "ts timestamp, lsn long, op string",
+        ),
+        batch_id=0,
+    )
+    set_masking_policy(primary, "conv_id", "redact_pii")
+    with pytest.raises(ValueError, match="non-injective key masks"):
+        export_changes(primary, str(tmp_path / "o"), apply_masks=True)
+    # hash on the key pseudonymizes consistently and is allowed
+    set_masking_policy(primary, "conv_id", "hash")
+    assert export_changes(
+        primary, str(tmp_path / "o2"), apply_masks=True
+    ) is not None
