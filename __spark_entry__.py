@@ -25,13 +25,29 @@ from etl_pipeline_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
 _SHIPPED: set[str] = set()
 
+# Runtime-settable SQL confs the engine requires of ANY session that runs
+# its queries (mirrors session.py). The critical one: INT96 parquet
+# timestamps (Spark's default outputTimestampType) carry NO footer min/max
+# statistics, which silently disables every timestamp-stats-dependent
+# surface (expire_rows footer classification, read_range/z-order file
+# pruning). TIMESTAMP_MICROS restores footer stats; values are unchanged.
+_REQUIRED_SQL_CONF = {
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
     """Ship the package to executor Python workers (the programmatic
     ``spark-submit --py-files`` pattern). Needed when the driver process
     was launched outside the repo dir: driver-side sys.path doesn't reach
     the pyspark worker daemons, so UDF closures pickled by reference
-    (mapInPandas et al.) can't re-import the package without this."""
+    (mapInPandas et al.) can't re-import the package without this.
+
+    Also applies the engine's required runtime SQL confs to the caller's
+    session — the driver builds its own SparkSession, which otherwise
+    writes stat-less INT96 parquet timestamps (see _REQUIRED_SQL_CONF)."""
+    for key, val in _REQUIRED_SQL_CONF.items():
+        spark.conf.set(key, val)
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return

@@ -160,6 +160,101 @@ def _dedup_exact(df: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+# ---- bucket→shuffle-partition spread ------------------------------------
+# ``repartition(n, bucket)`` hashes the ~n distinct bucket ids into n
+# partitions: with 32 buckets into 32 partitions only ~18 partitions are
+# non-empty and the worst one carries THREE buckets (measured) — a 3×
+# straggler on the heaviest stage (LWW reduce + delta write) while ~45%
+# of cores idle. The classic too-few-distinct-shuffle-keys skew.
+#
+# Fix: repartition on a per-bucket TOKEN picked so Spark's own
+# partitioner (pmod(murmur3(token), n)) sends every bucket to its own
+# partition. The token column rides as an extra leading GROUP KEY
+# through the clustered reduce (it is a function of the bucket id, so
+# grouping is unchanged, and HashPartitioning(token) satisfies the
+# aggregate's ClusteredDistribution over any key superset — the
+# single-Exchange plan shape is preserved, now perfectly balanced).
+
+SPREAD_COL = "_part_spread"
+
+
+def _murmur3_int(k: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType value (``F.hash(int_col)``)
+    — verified bit-exact against Spark in tests. Lets the driver pick
+    spread tokens without running a job."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k &= 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # fmix, input length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_SPREAD_TOKEN_MEMO: dict[int, list[int]] = {}
+
+
+def _spread_tokens(n_parts: int) -> list[int]:
+    """``tokens[p]`` hashes (Spark int hash, mod ``n_parts``) to exactly
+    partition ``p`` — a bijection partition-rank → token. Found by linear
+    search (~n·ln n probes), memoized per partition count."""
+    got = _SPREAD_TOKEN_MEMO.get(n_parts)
+    if got is None:
+        tokens: list[int | None] = [None] * n_parts
+        left = n_parts
+        t = 0
+        while left:
+            p = _murmur3_int(t) % n_parts
+            if tokens[p] is None:
+                tokens[p] = t
+                left -= 1
+            t += 1
+        got = tokens  # type: ignore[assignment]
+        _SPREAD_TOKEN_MEMO[n_parts] = got
+    return got
+
+
+def _spread_expr(
+    bucket_ids: list[int], n_parts: int | None = None, dead_token: bool = False
+):
+    """Column mapping each bucket id to its spread token. Bucket ids get
+    partition ranks in sorted order; ``dead_token=True`` additionally
+    routes :data:`DEAD_BUCKET` rows to one extra partition of their own
+    (pass ``n_parts`` = len(bucket_ids) + 1 in that case)."""
+    ordered = sorted(bucket_ids)
+    n = n_parts or (len(ordered) + (1 if dead_token else 0))
+    tokens = _spread_tokens(max(n, 1))
+    if not ordered:
+        return F.lit(tokens[0]).cast("int")
+    expr = None
+    if dead_token:
+        expr = F.when(
+            F.col(BUCKET_COL) == DEAD_BUCKET, F.lit(tokens[len(ordered)])
+        )
+    if ordered and ordered == list(range(len(ordered))):
+        # dense 0..n-1 domain: O(1) array lookup instead of a CASE chain
+        arr = F.array(*[F.lit(tokens[p]) for p in range(len(ordered))])
+        dense = F.element_at(arr, F.col(BUCKET_COL) + 1)
+        expr = expr.otherwise(dense) if expr is not None else dense
+        return expr.cast("int")
+    for rank, b in enumerate(ordered):
+        branch = F.when(F.col(BUCKET_COL) == b, F.lit(tokens[rank]))
+        expr = branch if expr is None else expr.when(
+            F.col(BUCKET_COL) == b, F.lit(tokens[rank])
+        )
+    return (
+        expr.cast("int") if expr is not None else F.lit(0).cast("int")
+    )
+
+
 @dataclass
 class MergeResult:
     skipped: bool
@@ -2872,12 +2967,23 @@ class MiniLakeTable:
             # Bucket-clustered pre-reduce, free of extra shuffles: the
             # delta write needs the bucket repartition anyway, and the
             # LWW group-by reuses that clustering (HashPartitioning on
-            # bucket satisfies ClusteredDistribution(bucket, keys…) —
-            # plan-asserted to a single Exchange in tests). Update-heavy
-            # batches shrink the delta by |batch|/|keys| before hitting
-            # disk, which cuts write AND compaction I/O (measured ~30%
-            # off replay+compact wall at sf0.1).
-            clustered = batch_phys.repartition(n_buckets, F.col(BUCKET_COL))
+            # the spread token satisfies ClusteredDistribution(token,
+            # bucket, keys…) — plan-asserted to a single Exchange in
+            # tests). Update-heavy batches shrink the delta by
+            # |batch|/|keys| before hitting disk, which cuts write AND
+            # compaction I/O (measured ~30% off replay+compact wall at
+            # sf0.1). The spread token (see _spread_expr) gives every
+            # bucket its own shuffle partition — repartitioning on the
+            # raw bucket id hash-collides ~45% of partitions empty with
+            # 3-bucket stragglers.
+            fused = valid_col is not None
+            n_parts = n_buckets + (1 if fused else 0)
+            clustered = batch_phys.withColumn(
+                SPREAD_COL,
+                _spread_expr(
+                    list(range(n_buckets)), n_parts, dead_token=fused
+                ),
+            ).repartition(n_parts, F.col(SPREAD_COL))
             if valid_col is not None:
                 # Single-branch fusion: dead rows ride the SAME clustered
                 # LWW aggregate under a synthetic per-row grouping key
@@ -2901,7 +3007,9 @@ class MiniLakeTable:
                 clustered = clustered.withColumn("_dlq_key", dlq_key).drop(
                     VALID_COL
                 )
-                fused_keys = [BUCKET_COL] + list(key_cols) + ["_dlq_key"]
+                fused_keys = (
+                    [SPREAD_COL, BUCKET_COL] + list(key_cols) + ["_dlq_key"]
+                )
                 fused_payload = payload_cols + [
                     DELETED_COL, SRC_OP_COL, RAW_COL,
                 ]
@@ -2917,7 +3025,7 @@ class MiniLakeTable:
                         deleted_col=DELETED_COL,
                         birth_col=BIRTH_COL,
                         tomb_col=TOMB_COL,
-                    ).drop("_dlq_key")
+                    ).drop("_dlq_key", SPREAD_COL)
                     merged = merged.withColumn(
                         BIRTH_COL,
                         F.when(
@@ -2935,7 +3043,7 @@ class MiniLakeTable:
                         keys=fused_keys,
                         order_col=LSN_COL,
                         payload_cols=fused_payload,
-                    ).drop("_dlq_key")
+                    ).drop("_dlq_key", SPREAD_COL)
             else:
                 if engine == "agg":
                     # duplicate delivery dedup (exact (key, lsn) collapse)
@@ -2943,12 +3051,14 @@ class MiniLakeTable:
                     # other engines absorb idempotently. Same bucket
                     # clustering, map-side combined: no extra exchange.
                     clustered = _dedup_exact(
-                        clustered, [BUCKET_COL] + list(key_cols) + [LSN_COL]
+                        clustered,
+                        [SPREAD_COL, BUCKET_COL] + list(key_cols) + [LSN_COL],
                     )
                 merged = self._fold(
-                    clustered, base, keys=[BUCKET_COL] + list(key_cols),
+                    clustered, base,
+                    keys=[SPREAD_COL, BUCKET_COL] + list(key_cols),
                     lineage=True,
-                )
+                ).drop(SPREAD_COL)
             touched = None  # discovered post-write
         else:
             # Copy-on-write needs the touched-bucket set BEFORE reading
@@ -2987,12 +3097,15 @@ class MiniLakeTable:
                 batch_phys = _dedup_exact(
                     batch_phys, [BUCKET_COL] + list(key_cols) + [LSN_COL]
                 )
-            unioned = current.unionByName(batch_phys).repartition(
-                len(touched), F.col(BUCKET_COL)
+            unioned = (
+                current.unionByName(batch_phys)
+                .withColumn(SPREAD_COL, _spread_expr(touched))
+                .repartition(len(touched), F.col(SPREAD_COL))
             )
             merged = self._fold(
-                unioned, base, keys=[BUCKET_COL] + list(key_cols)
-            )
+                unioned, base,
+                keys=[SPREAD_COL, BUCKET_COL] + list(key_cols),
+            ).drop(SPREAD_COL)
 
         # In fused mode dead-letter rows flow through the same frame —
         # the metrics must count only APPLIED rows (dead rows carry a
@@ -4486,13 +4599,13 @@ class MiniLakeTable:
             target = sorted(int(b) for b in buckets)
             dirs = [d for b in target for d in base["buckets"].get(str(b), [])]
             df = self._read_files(dirs, version=version)
-        if base.get("write_mode", "cow") == "mor":
-            df = self._fold(df, base, lineage=True)
-        if drop_tombstones:
-            # NOTE: only safe once no straggler event below MAX_LSN can
-            # still arrive — a dropped tombstone cannot out-LWW a later
-            # stale update. Mid-stream compaction must keep tombstones.
-            df = df.filter(~F.col(DELETED_COL))
+        # The plain (no zorder, no file-split) path folds INSIDE the one
+        # bucket-clustered exchange below — folding by bare key first
+        # would shuffle the whole folded state twice (once hash(keys) for
+        # the reduce, once hash(bucket) for the layout), and the deltas
+        # are per-batch key-unique so the first shuffle's map-side
+        # partials collapse nothing. Decided after n_out is known.
+        fold_clustered = base.get("write_mode", "cow") == "mor"
         df = df.withColumn(BUCKET_COL, self._bucket_expr(key0, n_buckets))
         out_dir = os.path.join(
             self.data_dir, f"compact-{version + 1:06d}-{uuid.uuid4().hex[:12]}"
@@ -4511,7 +4624,50 @@ class MiniLakeTable:
         sort_pcols = (
             [to_phys[c] for c in cluster_cols] if cluster_cols else [pkey0]
         )
+        stats = base.get("file_stats", {})
+        folded_rows = sum(
+            stats[d]["rows"]
+            for b in target
+            for d in base["buckets"].get(str(b), [])
+            if d in stats
+        )
+        n_out = max(
+            len(target),
+            1,
+            -(-folded_rows // max(target_rows_per_file, 1)),  # ceil div
+        )
+        plain = n_out <= max(len(target), 1) and not zorder
         z_logical = z_physical = None
+        if plain:
+            # one-shuffle fold-and-layout: spread-repartition to one
+            # bucket per partition (see _spread_expr), fold inside that
+            # clustering, write — instead of shuffling the whole state
+            # once for the key fold and again for the bucket layout
+            clustered = df.withColumn(
+                SPREAD_COL, _spread_expr(target, max(len(target), 1))
+            ).repartition(max(len(target), 1), F.col(SPREAD_COL))
+            if fold_clustered:
+                clustered = self._fold(
+                    clustered, base,
+                    keys=[SPREAD_COL, BUCKET_COL] + list(base["key_cols"]),
+                    lineage=True,
+                )
+            if drop_tombstones:
+                # NOTE: only safe once no straggler event below MAX_LSN
+                # can still arrive — a dropped tombstone cannot out-LWW a
+                # later stale update. Mid-stream compaction keeps them.
+                clustered = clustered.filter(~F.col(DELETED_COL))
+            clustered = clustered.drop(SPREAD_COL)
+        else:
+            if fold_clustered:
+                df = (
+                    self._fold(df, base, lineage=True)
+                    .withColumn(
+                        BUCKET_COL, self._bucket_expr(key0, n_buckets)
+                    )
+                )
+            if drop_tombstones:
+                df = df.filter(~F.col(DELETED_COL))
         if zorder:
             if not cluster_cols:
                 raise ValueError("zorder requires cluster_cols")
@@ -4570,35 +4726,24 @@ class MiniLakeTable:
                 mins,
                 maxs,
             )
-        stats = base.get("file_stats", {})
-        folded_rows = sum(
-            stats[d]["rows"]
-            for b in target
-            for d in base["buckets"].get(str(b), [])
-            if d in stats
-        )
-        n_out = max(
-            len(target),
-            1,
-            -(-folded_rows // max(target_rows_per_file, 1)),  # ceil div
-        )
-        if n_out > max(len(target), 1):
-            # range partitioning costs one sampling pass over the folded
-            # frame to place boundaries — pay it only when a bucket
-            # actually outgrew the target file size
-            clustered = df.repartitionByRange(
-                n_out,
-                F.col(BUCKET_COL),
-                *(
-                    [z_logical]
-                    if z_logical is not None
-                    else [F.col(c) for c in split_cols]
-                ),
-            )
-        else:
-            clustered = df.repartition(
-                max(len(target), 1), F.col(BUCKET_COL)
-            )
+        if not plain:
+            if n_out > max(len(target), 1):
+                # range partitioning costs one sampling pass over the
+                # folded frame to place boundaries — pay it only when a
+                # bucket actually outgrew the target file size
+                clustered = df.repartitionByRange(
+                    n_out,
+                    F.col(BUCKET_COL),
+                    *(
+                        [z_logical]
+                        if z_logical is not None
+                        else [F.col(c) for c in split_cols]
+                    ),
+                )
+            else:
+                clustered = df.repartition(
+                    max(len(target), 1), F.col(BUCKET_COL)
+                )
         writer = (
             self._to_physical(
                 clustered,
@@ -4781,7 +4926,13 @@ class MiniLakeTable:
         pkey0 = {f.name: physical_name(f) for f in schema.fields}[key0]
         (
             self._to_physical(
-                df.repartition(n_buckets_new, F.col(BUCKET_COL)), schema
+                df.withColumn(
+                    SPREAD_COL,
+                    _spread_expr(list(range(n_buckets_new)), n_buckets_new),
+                )
+                .repartition(n_buckets_new, F.col(SPREAD_COL))
+                .drop(SPREAD_COL),
+                schema,
             )
             .sortWithinPartitions(pkey0)
             .write.partitionBy(BUCKET_COL)

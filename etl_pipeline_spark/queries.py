@@ -477,8 +477,14 @@ def q_cdc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = datetime.datetime.utcfromtimestamp(lo_s)
     hi = datetime.datetime.utcfromtimestamp(hi_s)
     plan = table.plan_range_scan("ts", lo, hi)
-    # the graded claim includes the PLAN: per-file pruning mode
+    # the graded claim includes the PLAN: per-file pruning that really
+    # drops files. mode=="file" alone is vacuous — it also holds when
+    # footer stats are missing (e.g. INT96 timestamps) and every file is
+    # kept. Gate: with ≲1.5 files/bucket a quarter-span range may not
+    # have a whole prunable file, so only the correctness compare grades.
     assert plan["mode"] == "file", plan
+    if plan["files_total"] >= 48:
+        assert plan["files_planned"] < plan["files_total"], plan
     return _state_projection(table.read_range("ts", lo, hi))
 
 
@@ -1152,9 +1158,12 @@ def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         table, lo, hi = got
     plan = table.plan_range_scan("turn_idx", lo, hi)
-    # the graded claim includes the PLAN: per-file pruning mode on the
-    # second z-order dimension
+    # the graded claim includes the PLAN: per-file pruning on the SECOND
+    # z-order dimension that really drops files (mode=="file" alone is
+    # vacuous when stats are missing — see q_cdc_ts_range_scan)
     assert plan["mode"] == "file", plan
+    if plan["files_total"] >= 48:
+        assert plan["files_planned"] < plan["files_total"], plan
     return _state_projection(table.read_range("turn_idx", lo, hi))
 
 
