@@ -19,9 +19,11 @@ Design points:
   rename-survival trick as ANALYZE stats and constraints): rename the
   column and the policy follows; drop + re-add mints a fresh physical
   name, so the old policy never latches onto the new column.
-- Policies are versioned WITH the table: ``read_masked(version=...)``
-  applies the policies as committed AT that snapshot — an audit replay
-  sees exactly what a reader at that point in history saw.
+- Policies are versioned WITH the table, but time-travel reads apply
+  the UNION of current and at-snapshot policies by default — pinning a
+  pre-policy version must not be a PII bypass (the Snowflake/Ranger
+  rule). ``read_masked(audit_replay=True)`` opts into the pure
+  as-of-snapshot view: exactly what a reader at that point saw.
 - Mask kinds are deterministic, JVM-side Column expressions (no Python
   in the data path): ``redact_pii`` (the functions/text.redact_pii
   regexp chain — strings only), ``hash`` (md5 of the canonical string
@@ -148,12 +150,24 @@ def _mask_expr(col: str, dtype: T.DataType, kind: str):
     raise ValueError(f"unknown mask kind {kind!r}")  # pragma: no cover
 
 
-def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
-    """:meth:`MiniLakeTable.read` with the governance policies committed
-    at the selected snapshot applied: first the row filter (evaluated on
-    raw values), then the column masks. ``hash`` rewrites the column to
-    its md5 string form (the masked type is string); ``null`` and
-    ``redact_pii`` preserve the column's type."""
+def read_masked(
+    table: MiniLakeTable, audit_replay: bool = False, **read_kwargs
+) -> DataFrame:
+    """:meth:`MiniLakeTable.read` with the governance policies applied:
+    first the row filter (evaluated on raw values), then the column
+    masks. ``hash`` rewrites the column to its md5 string form (the
+    masked type is string); ``null`` and ``redact_pii`` preserve the
+    column's type.
+
+    Time-travel reads (``version``/``tag``/``as_of_ts``/``branch``)
+    apply the UNION of the policies committed at that snapshot and the
+    CURRENT ones (current kind wins on a doubly-policied column, joined
+    on physical column identity so renames cannot unbind a mask). This
+    is the Snowflake/Ranger semantics the module cites: without it any
+    governed reader could pin a pre-policy version and read raw PII
+    until retention expires the snapshot. ``audit_replay=True`` opts
+    into the policies-as-of-snapshot view ("what did a reader at that
+    point in history see") — an audit tool's call, not a default."""
     version = read_kwargs.get("version")
     if version is None and read_kwargs.get("tag") is not None:
         version = table.tag_version(read_kwargs["tag"])
@@ -165,9 +179,20 @@ def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
         # a post-branch rename on main would silently unbind a mask
         # from the branch reader's view
         version = table._load_branch(read_kwargs["branch"])["base_version"]
-    pred = row_filter(table, version=version)
+    preds: list[str] = []
+    pin = row_filter(table, version=version)
+    if pin is not None:
+        preds.append(pin)
+    if version is not None and not audit_replay:
+        cur = row_filter(table)
+        if cur is not None and cur not in preds:
+            # the current filter applies to historical reads too; if it
+            # references a column the pinned schema doesn't know, the
+            # analysis error surfaces loudly rather than serving rows
+            # the live policy forbids
+            preds.append(cur)
     requested = read_kwargs.pop("columns", None)
-    if pred is not None and requested is not None:
+    if preds and requested is not None:
         # the filter evaluates on the RAW row, which may reference
         # columns outside the requested projection — read unprojected,
         # filter, then project (correctness over scan pruning here)
@@ -176,10 +201,30 @@ def read_masked(table: MiniLakeTable, **read_kwargs) -> DataFrame:
         if requested is not None:
             read_kwargs["columns"] = requested
         df = table.read(**read_kwargs)
-    if pred is not None:
+    for pred in preds:
         df = df.filter(pred)
     out_cols = requested if requested is not None else df.columns
     policies = masking_policies(table, version=version)
+    if version is not None and not audit_replay:
+        # union on PHYSICAL identity, mapped to the pinned snapshot's
+        # logical names (the frame being read carries those); current
+        # policies on columns born after the pinned snapshot have
+        # nothing to bind to there and drop out
+        m_pin = table.manifest(version)
+        to_logical = {
+            physical_name(f): f.name
+            for f in schema_from_manifest(m_pin["schema"]).fields
+        }
+        raw_pin = m_pin.get("properties", {}).get(MASKING_PROP, {})
+        raw_cur = table.manifest().get("properties", {}).get(
+            MASKING_PROP, {}
+        )
+        merged = {**raw_pin, **raw_cur}
+        policies = {
+            to_logical[p]: pol["kind"]
+            for p, pol in merged.items()
+            if p in to_logical
+        }
     if not policies:
         return df.select(*out_cols)
     schema = table.schema(version)

@@ -2472,9 +2472,19 @@ class MiniLakeTable:
     ) -> dict:
         """One file's ``{pcol: [min, max] | "empty"}`` bounds map. A
         column the footer lacks, or whose statistics are unusable for
-        ANY row group, is simply absent (= unknown, never pruned)."""
+        ANY row group, is simply absent (= unknown, never pruned).
+
+        Additionally records ``"__file_meta__": {"nulls": {pcol: n},
+        "tomb": bool}`` — per-column null counts and a has-tombstones
+        flag — so :meth:`expire_rows` can prove whole-file DROPS from
+        the manifest alone instead of re-opening every live footer
+        serially on the driver (bounds prove keeps, but a drop also
+        needs no-nulls + no-tombstones). Readers that only look up
+        queried pcols (plan_box_scan) ignore the extra key; entries are
+        omitted when unknown, which degrades to the footer walk."""
         enc = MiniLakeTable._encode_stat_bound
         out: dict = {}
+        meta_nulls: dict = {}
         for pcol in stats_pcols:
             if pcol not in schema_names:
                 continue
@@ -2482,11 +2492,16 @@ class MiniLakeTable:
             mn = mx = None
             usable = True
             n_vals = 0
+            null_total: int | None = 0
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None:
                     usable = False
                     break
+                if null_total is not None and st.null_count is not None:
+                    null_total += st.null_count
+                else:
+                    null_total = None  # unknown anywhere → unknown overall
                 n_vals += (st.num_values or 0) if st.num_values is not None else 0
                 if not st.has_min_max:
                     # no bounds in this row group: fine ONLY if it holds
@@ -2523,6 +2538,27 @@ class MiniLakeTable:
                     del out[pcol]
             else:
                 out[pcol] = [mn, mx]
+            if pcol in out and null_total is not None:
+                meta_nulls[pcol] = int(null_total)
+        tomb: bool | None = None
+        if DELETED_COL in schema_names:
+            di = schema_names.index(DELETED_COL)
+            tomb = False
+            for rg in range(md.num_row_groups):
+                ds = md.row_group(rg).column(di).statistics
+                if ds is None or not ds.has_min_max:
+                    tomb = None  # unknown
+                    break
+                if ds.max:
+                    tomb = True
+                    break
+        meta: dict = {}
+        if meta_nulls:
+            meta["nulls"] = meta_nulls
+        if tomb is not None:
+            meta["tomb"] = tomb
+        if meta and "__file_meta__" not in out:
+            out["__file_meta__"] = meta
         return out
 
     def _stats_for_manifest(
@@ -2554,6 +2590,31 @@ class MiniLakeTable:
             s = self._collect_dir_stats(d, pkey0, stats_pcols)
             if s is not None:
                 stats[d] = s
+        if stats_pcols and new_dirs:
+            # Loud degradation (not silent): a declared stats column whose
+            # freshly-written footers carry NO usable bounds means every
+            # stats-dependent surface (read_range pruning, expire_rows
+            # drops) silently degrades to scan-everything — the classic
+            # cause is a session writing INT96 timestamps (Spark's
+            # default outputTimestampType), which have no footer min/max.
+            import warnings
+
+            for pc in stats_pcols:
+                covered = any(
+                    pc in fb
+                    for d in new_dirs
+                    if d in stats
+                    for fb in stats[d].get("files", {}).values()
+                )
+                if not covered:
+                    warnings.warn(
+                        f"declared stats column {pc!r}: freshly-written "
+                        f"parquet footers carry no usable min/max bounds; "
+                        f"manifest pruning and metadata expiry will scan "
+                        f"everything (INT96 timestamps? set spark.sql."
+                        f"parquet.outputTimestampType=TIMESTAMP_MICROS)",
+                        stacklevel=3,
+                    )
         live = {d for ds in new_buckets.values() for d in ds}
         return {d: s for d, s in stats.items() if d in live}
 
@@ -4196,6 +4257,40 @@ class MiniLakeTable:
         canonical = frozenset(
             f.name for f in self.physical_read_schema(version).fields
         )
+        def _from_manifest(dir_files: dict | None, name: str) -> str | None:
+            """'keep' / 'drop' when the manifest's per-file stats prove
+            it, else None (→ open the footer). Bounds prove keeps
+            directly (nulls/tombstones are retained anyway); a drop
+            additionally needs the recorded no-nulls + no-tombstones
+            metadata. This makes the classification phase O(boundary
+            files) footer reads on a clustered layout instead of a
+            serial driver walk over EVERY live footer."""
+            if not dir_files:
+                return None
+            fb = dir_files.get(name)
+            if fb is None:
+                return None
+            cb = fb.get(pcol)
+            if cb is None:
+                return None
+            if cb == "empty":
+                return "keep"  # all-null: every row retained
+            mn, mx = cb
+            try:
+                if mn >= enc_cutoff:
+                    return "keep"
+                meta = fb.get("__file_meta__") or {}
+                if (
+                    mx < enc_cutoff
+                    and (meta.get("nulls") or {}).get(pcol) == 0
+                    and meta.get("tomb") is False
+                ):
+                    return "drop"
+            except TypeError:
+                return None
+            return None
+
+        fstats = base.get("file_stats", {})
         dropped: list[str] = []
         linked: list[tuple[str, int]] = []  # (path, bucket)
         boundary: dict[str, list[str]] = {}  # dir -> file paths
@@ -4204,10 +4299,19 @@ class MiniLakeTable:
             b = int(b_str)
             plan: list[tuple[str, str, frozenset | None]] = []
             for d in dirs:
+                dir_files = fstats.get(d, {}).get("files")
                 for name in sorted(os.listdir(d)):
                     if not name.endswith(".parquet"):
                         continue
                     path = os.path.join(d, name)
+                    mcls = _from_manifest(dir_files, name)
+                    if mcls is not None:
+                        # one memoized footer per DIR for the column-set
+                        # (a dir is written by one job → one schema)
+                        plan.append(
+                            (path, mcls, self._dir_physical_cols(d) or None)
+                        )
+                        continue
                     cls, colset = _classify(path)
                     plan.append((path, cls, colset))
             if all(cls == "keep" for _, cls, _cs in plan):
@@ -4393,7 +4497,26 @@ class MiniLakeTable:
         )
         affected = sorted(r["_pb"] for r in hit.collect())
         if affected:
-            self.compact(buckets=affected, drop_tombstones=True)
+            # drop ONLY the victims' tombstones: a blanket
+            # drop_tombstones=True would also erase unrelated deleted
+            # keys' tombstones in the shared buckets, after which a
+            # behind-retention replica's snapshot re-seed has no event
+            # to overwrite their stale live rows with. Victim keys come
+            # from the pre-purge snapshot (the live matches delete_where
+            # just tombstoned, plus keys whose only matches were
+            # already-superseded payloads — their tombstones, if any,
+            # also erase).
+            victims = (
+                self.read_physical(version=m["version"])
+                .filter(F.expr(predicate))
+                .select(*m["key_cols"])
+                .distinct()
+            )
+            self.compact(
+                buckets=affected,
+                drop_tombstones=False,
+                drop_tombstones_for=victims,
+            )
         exp = self.expire_snapshots(
             keep_last=1, orphan_min_age_s=orphan_min_age_s
         )
@@ -4540,6 +4663,7 @@ class MiniLakeTable:
         target_rows_per_file: int = 8_000_000,
         cluster_cols: list[str] | None = None,
         zorder: bool = False,
+        drop_tombstones_for: DataFrame | None = None,
     ) -> int:
         """Rewrite buckets into fresh files (all buckets, or only the
         given subset — partial compaction); optionally hard-delete
@@ -4570,6 +4694,16 @@ class MiniLakeTable:
         is explicit: files are no longer key-sorted, so point lookups
         lose row-group key min/max pruning — the key BLOOM filters
         still cover them.
+
+        ``drop_tombstones_for`` (requires ``drop_tombstones=False``): a
+        key-columns DataFrame; ONLY tombstones of those keys are
+        hard-deleted, every other key's tombstone survives. The purge
+        path uses this so erasing the victims' existence cannot
+        collaterally drop an unrelated deleted key's tombstone in the
+        same bucket (which would let a behind-retention replica's
+        snapshot re-seed keep that key's stale live row). Applied as a
+        broadcast-able left-anti join on the tombstone slice only — the
+        live-row side of the fold is untouched.
 
         ``zorder=True`` (with ≥2 ``cluster_cols``) interleaves the bits
         of the columns' 16-bit min/max-normalized ranks and range-splits
@@ -4637,6 +4771,33 @@ class MiniLakeTable:
             -(-folded_rows // max(target_rows_per_file, 1)),  # ceil div
         )
         plain = n_out <= max(len(target), 1) and not zorder
+        if drop_tombstones and drop_tombstones_for is not None:
+            raise ValueError(
+                "drop_tombstones_for requires drop_tombstones=False "
+                "(it is the targeted form of the drop)"
+            )
+
+        def _drop_tombs(frame: DataFrame) -> DataFrame:
+            if drop_tombstones:
+                return frame.filter(~F.col(DELETED_COL))
+            if drop_tombstones_for is not None:
+                # keep: live rows, plus tombstones of NON-victim keys.
+                # One left join + filter (not filter∪anti-join — a union
+                # of two branches would compute the fold subtree twice).
+                victims = (
+                    drop_tombstones_for.select(*base["key_cols"])
+                    .distinct()
+                    .withColumn("_victim", F.lit(True))
+                )
+                return (
+                    frame.join(victims, list(base["key_cols"]), "left")
+                    .filter(
+                        ~F.col(DELETED_COL) | F.col("_victim").isNull()
+                    )
+                    .drop("_victim")
+                )
+            return frame
+
         z_logical = z_physical = None
         if plain:
             # one-shuffle fold-and-layout: spread-repartition to one
@@ -4652,12 +4813,11 @@ class MiniLakeTable:
                     keys=[SPREAD_COL, BUCKET_COL] + list(base["key_cols"]),
                     lineage=True,
                 )
-            if drop_tombstones:
-                # NOTE: only safe once no straggler event below MAX_LSN
-                # can still arrive — a dropped tombstone cannot out-LWW a
-                # later stale update. Mid-stream compaction keeps them.
-                clustered = clustered.filter(~F.col(DELETED_COL))
-            clustered = clustered.drop(SPREAD_COL)
+            # NOTE: dropping tombstones is only safe once no straggler
+            # event below MAX_LSN can still arrive — a dropped tombstone
+            # cannot out-LWW a later stale update. Mid-stream compaction
+            # keeps them.
+            clustered = _drop_tombs(clustered).drop(SPREAD_COL)
         else:
             if fold_clustered:
                 df = (
@@ -4666,8 +4826,7 @@ class MiniLakeTable:
                         BUCKET_COL, self._bucket_expr(key0, n_buckets)
                     )
                 )
-            if drop_tombstones:
-                df = df.filter(~F.col(DELETED_COL))
+            df = _drop_tombs(df)
         if zorder:
             if not cluster_cols:
                 raise ValueError("zorder requires cluster_cols")

@@ -92,8 +92,12 @@ def schema_drift(
     column identity (the field-id analog), so a metadata-only rename is
     reported as a rename — not as a drop + add. Pure driver-side
     manifest work, zero scans. One dict per change:
-    ``{"change": added|dropped|renamed|widened, "column", "from_type",
-    "to_type", "from_name"}`` (fields absent where meaningless)."""
+    ``{"change": added|dropped|renamed|widened|narrowed|retyped,
+    "column", "from_type", "to_type", "from_name"}`` (fields absent
+    where meaningless). Type changes are classified by the numeric
+    widening ladder: a genuine widening (int → bigint) reports
+    ``widened``, the reverse ``narrowed``, anything else ``retyped`` —
+    a drift gate must never mislabel a risky change as a widening."""
     if v_to is None:
         v_to = table.current_version()
     a = {
@@ -119,10 +123,22 @@ def schema_drift(
                  "from_name": g.name}
             )
         if g.dataType != f.dataType:
+            # widening precedence ladder (the engine's own widen_column
+            # surface): within it, rank decides widened vs narrowed;
+            # any change leaving the ladder is a retype
+            rank = {
+                "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                "float": 4, "double": 5,
+            }
+            ft = g.dataType.simpleString()
+            tt = f.dataType.simpleString()
+            if ft in rank and tt in rank:
+                kind = "widened" if rank[tt] > rank[ft] else "narrowed"
+            else:
+                kind = "retyped"
             out.append(
-                {"change": "widened", "column": f.name,
-                 "from_type": g.dataType.simpleString(),
-                 "to_type": f.dataType.simpleString()}
+                {"change": kind, "column": f.name,
+                 "from_type": ft, "to_type": tt}
             )
     for p, g in a.items():
         if p not in b:

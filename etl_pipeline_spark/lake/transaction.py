@@ -56,6 +56,7 @@ import uuid
 
 from .minilake import (
     FENCES_PROP,
+    CommitConflict,
     MergeResult,
     MiniLakeTable,
 )
@@ -232,6 +233,20 @@ class LakeTransaction:
                 continue
             try:
                 results[p["table"]] = table.publish_staged(p["wap_id"])
+            except CommitConflict as exc:
+                # e.g. a bucket rescale raced the commit window (the
+                # in-process rescale guard checks list_staged(), which a
+                # participant recorded-but-not-yet-staged evades).
+                # Surface as TransactionPending with the record KEPT —
+                # the module contract — so recover_transactions degrades
+                # per-txn instead of aborting recovery of the rest.
+                raise TransactionPending(
+                    f"txn {self.txn_id!r}: participant {p['table']!r} "
+                    f"hit a commit conflict during publish ({exc}); the "
+                    "txn record is kept — resolve the conflict (e.g. "
+                    "re-run recovery after the racing maintenance "
+                    "finishes)"
+                ) from exc
             except KeyError:
                 # staged descriptor gone — this participant was already
                 # published by an earlier roll-forward attempt; verify

@@ -369,11 +369,34 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    # Pairs via groupBy(bucket) + intra-bucket combination explode, NOT a
+    # self-join: Catalyst cannot share the two identical signature
+    # subtrees a self-join needs, so the whole shingle → md5 → n-minhash
+    # pipeline (the query's dominant cost) ran TWICE and the corpus was
+    # scanned twice (measured ~35% of query wall at sf0.1). One grouped
+    # collect per (band, bucket) computes it once; the quadratic pair
+    # blowup within a bucket is the same one the join had (both resolve
+    # a bucket in one partition). Sorted ids keep id_a < id_b exactly as
+    # the join's a.id < b.id filter did.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + F.lit(2), F.size("ids")
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -390,8 +413,23 @@ def minhash_dedup_pairs(
     """LSH candidates verified with true shingle Jaccard ≥ threshold.
     The shingle order ``k`` is shared between the LSH signature and the
     verify step so the candidate filter and the verdict see one universe."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, k)
-    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+    # Materialize the candidate pairs (O(near-dup pairs) — tiny next to
+    # the corpus) so the verify stage can prune BOTH shingle branches to
+    # candidate docs only. Without this the full-corpus shingle set was
+    # computed twice more here (the joins cannot share subtrees), and a
+    # semi-join on candidate ids would re-run the whole LSH pipeline a
+    # second time. localCheckpoint truncates the lineage instead:
+    # computed once per invocation, never reused across calls.
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes, bands, k
+    ).localCheckpoint()
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    docs_cand = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).join(F.broadcast(ids), "id")
+    sh = docs_cand.select(
         "id", word_shingles(F.col(text_col), k).alias("sh")
     )
     joined = (

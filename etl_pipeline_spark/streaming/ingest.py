@@ -391,7 +391,23 @@ def replay_files(
 
     def _read(group: list[str]):
         if all(p.endswith(".parquet") for p in group):
-            return spark.read.parquet(*group)  # per-batch inferred schema
+            # Per-batch schema from the parquet FOOTERS (pyarrow,
+            # driver-side, memoized per immutable file) instead of
+            # ``spark.read.parquet`` inference — the inference job is a
+            # 1-task Spark job costing 0.3-0.6s of serial driver time
+            # PER BATCH (measured via event log; thousands of batches at
+            # 10^10 events). Schema birth is still observed exactly at
+            # the batch that carries it, and a multi-file batch reads
+            # the UNION of its footers (first-seen order) — the same
+            # contract observed_change_schema applies on the streaming
+            # path.
+            fields = _parquet_footer_fields(group)
+            if fields:
+                schema = T.StructType(
+                    [T.StructField(n, t, True) for n, t in fields.items()]
+                )
+                return spark.read.schema(schema).parquet(*group)
+            return spark.read.parquet(*group)  # unreadable footer: infer
         # JSONL/CSV batches carry no self-describing schema — read with
         # the declared superset contract (schema birth stays a
         # Parquet-era feature; text feeds are fixed-schema by decree,

@@ -330,3 +330,74 @@ def test_engine_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="lww"):
         t.expire_rows("n", 5)
+
+
+def test_manifest_stats_fast_path_matches_footer_walk(
+    spark, tmp_path, monkeypatch
+):
+    """With ``set_stats_columns`` declared, expire_rows classifies most
+    files from the manifest's per-file bounds + null/tombstone metadata
+    and only opens BOUNDARY footers — same drops/links/rewrites and the
+    same surviving rows as the pure footer walk, with strictly fewer
+    driver-side footer reads."""
+    rows = [
+        (i, "I", f"c{i}", i, f"v{i}", _ts(1 + i % 28), float(i))
+        for i in range(1, 400)
+    ]
+    cutoff = _ts(15)
+
+    results = {}
+    for mode in ("footer", "manifest"):
+        t = _mk(spark, tmp_path / mode, rows)
+        if mode == "manifest":
+            t.set_stats_columns(["ts"])
+        t.compact(drop_tombstones=False, cluster_cols=["ts"],
+                  target_rows_per_file=30)
+        want = _expected(t, cutoff)
+
+        import pyarrow.parquet as pq
+
+        calls = {"n": 0}
+        real = pq.read_metadata
+
+        def counting(path, *a, **kw):
+            calls["n"] += 1
+            return real(path, *a, **kw)
+
+        monkeypatch.setattr(pq, "read_metadata", counting)
+        res = t.expire_rows("ts", cutoff)
+        monkeypatch.setattr(pq, "read_metadata", real)
+        assert sorted(t.read().collect()) == want
+        results[mode] = (res, calls["n"])
+
+    (res_f, n_f), (res_m, n_m) = results["footer"], results["manifest"]
+    for k in ("files_dropped", "files_linked", "files_rewritten"):
+        assert res_f[k] == res_m[k], (k, res_f, res_m)
+    assert res_m["files_dropped"] > 0
+    # the fast path must actually engage: strictly fewer footer opens
+    assert n_m < n_f, (n_m, n_f)
+
+
+def test_stats_loss_warns_loudly(spark, tmp_path):
+    """A session writing INT96 timestamps (no footer min/max) used to
+    degrade every stats surface silently; compact must now warn."""
+    import warnings
+
+    rows = [
+        (i, "I", f"c{i}", i, f"v{i}", _ts(1 + i % 28), float(i))
+        for i in range(1, 60)
+    ]
+    t = _mk(spark, tmp_path / "w", rows)
+    t.set_stats_columns(["ts"])
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        with warnings.catch_warnings(record=True) as got:
+            warnings.simplefilter("always")
+            t.compact(drop_tombstones=False, cluster_cols=["ts"],
+                      target_rows_per_file=30)
+        assert any("stats column" in str(w.message) for w in got), [
+            str(w.message) for w in got
+        ]
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)

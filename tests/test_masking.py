@@ -85,13 +85,21 @@ def test_policy_survives_rename_and_dies_with_drop(spark, tmp_path):
     assert "tool_name" in [f.name for f in t.schema().fields]
 
 
-def test_masks_are_version_pinned(spark, tmp_path):
+def test_time_travel_applies_current_policies_by_default(spark, tmp_path):
+    """Pinning a pre-policy snapshot must NOT be a PII bypass: the
+    default governed read applies the union of current and at-version
+    policies; ``audit_replay=True`` opts into the historical view."""
     t = _table(spark, tmp_path)
     v_before = t.current_version()
     set_masking_policy(t, "text", "null")
-    # historical read: at v_before no policy existed yet
+    # default: the CURRENT policy reaches back to the pinned snapshot
     hist = read_masked(t, version=v_before).filter("conv_id='b'").first()
-    assert hist["text"] == "clean text"
+    assert hist["text"] is None
+    # audit replay: exactly what a reader at v_before saw (no policy)
+    audit = read_masked(
+        t, version=v_before, audit_replay=True
+    ).filter("conv_id='b'").first()
+    assert audit["text"] == "clean text"
     # current read masks
     assert read_masked(t).filter("conv_id='b'").first()["text"] is None
 
@@ -140,11 +148,14 @@ def test_row_filter_governs_reads_and_sees_raw_values(spark, tmp_path):
     assert read_masked(t).count() == 3
 
 
-def test_row_filter_is_version_pinned_and_validated(spark, tmp_path):
+def test_row_filter_reaches_back_unless_audit_replay(spark, tmp_path):
     t = _table(spark, tmp_path)
     v_before = t.current_version()
     set_row_filter(t, "turn_idx = 0")
-    assert read_masked(t, version=v_before).count() == 3
+    # default: the current filter governs historical reads too
+    assert read_masked(t, version=v_before).count() == 2
+    # audit replay: the pinned snapshot had no filter
+    assert read_masked(t, version=v_before, audit_replay=True).count() == 3
     assert read_masked(t).count() == 2
     with pytest.raises(ValueError, match="does not resolve"):
         set_row_filter(t, "no_such_col = 1")

@@ -176,3 +176,33 @@ def test_purge_on_cow_table(spark, tmp_path):
     assert rep["verified"]
     assert t.read().count() == 2
     assert not any("secret" in x for x in _all_physical_texts(t))
+
+
+def test_purge_keeps_collateral_tombstones(spark, tmp_path):
+    """A purge must drop ONLY the victims' tombstones: an unrelated
+    deleted key sharing a bucket keeps its tombstone, so a replica's
+    later snapshot re-seed can still overwrite/suppress that key (the
+    documented purge-then-reseed procedure covers victims; collateral
+    keys must not silently lose their delete markers)."""
+    t = MiniLakeTable.create(
+        spark, str(tmp_path / "t1"), SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=1, write_mode="mor",
+    )  # one bucket: victim and bystander share it
+    t.merge(_b(spark, [
+        ("victim", 0, "secret", 1, "I"),
+        ("bystander", 0, "was-here", 2, "I"),
+    ]), batch_id=0)
+    # bystander deleted BEFORE the purge — its tombstone is unrelated
+    t.merge(_b(spark, [("bystander", 0, None, 3, "D")]), batch_id=1)
+    res = t.purge_where("text = 'secret'", orphan_min_age_s=0)
+    assert res["verified"] is True
+    # victim's existence erased: no physical row, no tombstone
+    phys = t.read_physical()
+    assert phys.filter("conv_id = 'victim'").count() == 0
+    # bystander's tombstone SURVIVES the purge compaction
+    tomb = phys.filter(
+        (F.col("conv_id") == "bystander") & F.col("_deleted")
+    )
+    assert tomb.count() == 1
+    # and the live view still shows neither key
+    assert t.read().count() == 0
