@@ -426,9 +426,11 @@ def minhash_dedup_pairs(
     ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
-    docs_cand = _spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-    ).join(F.broadcast(ids), "id")
+    # no _spread here: after candidate pruning the shingle work is
+    # O(candidate docs) — the repartition would cost more than it feeds
+    docs_cand = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
+        F.broadcast(ids), "id"
+    )
     sh = docs_cand.select(
         "id", word_shingles(F.col(text_col), k).alias("sh")
     )
