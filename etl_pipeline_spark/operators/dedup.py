@@ -192,6 +192,27 @@ def _perm_hash(h: F.Column, a: int, b: int) -> F.Column:
     return (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
 
 
+# verify-stage candidate pruning pays off once the corpus outweighs the
+# checkpoint's fixed cost (one eager job + block materialization);
+# below it, two cheap full-corpus shingle passes win. See
+# minhash_dedup_pairs.
+VERIFY_PRUNE_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _estimate_bytes(df: DataFrame) -> int:
+    """Input bytes from the file index (driver-side listing, no job);
+    0 for non-file-backed frames — those skip the size-gated paths."""
+    import os
+
+    try:
+        return sum(
+            os.path.getsize(f.removeprefix("file:").removeprefix("//"))
+            for f in df.inputFiles()
+        )
+    except Exception:
+        return 0
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Give CPU-heavy per-doc expression work (tokenize → shingle → hash)
     enough input splits. A small file scans as ONE task, serializing the
@@ -413,25 +434,31 @@ def minhash_dedup_pairs(
     """LSH candidates verified with true shingle Jaccard ≥ threshold.
     The shingle order ``k`` is shared between the LSH signature and the
     verify step so the candidate filter and the verdict see one universe."""
-    # Materialize the candidate pairs (O(near-dup pairs) — tiny next to
-    # the corpus) so the verify stage can prune BOTH shingle branches to
-    # candidate docs only. Without this the full-corpus shingle set was
-    # computed twice more here (the joins cannot share subtrees), and a
-    # semi-join on candidate ids would re-run the whole LSH pipeline a
-    # second time. localCheckpoint truncates the lineage instead:
-    # computed once per invocation, never reused across calls.
-    cand = minhash_lsh_candidates(
-        df, id_col, text_col, n_hashes, bands, k
-    ).localCheckpoint()
-    ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("id")
-    ).distinct()
-    # no _spread here: after candidate pruning the shingle work is
-    # O(candidate docs) — the repartition would cost more than it feeds
-    docs_cand = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
-        F.broadcast(ids), "id"
-    )
-    sh = docs_cand.select(
+    cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, k)
+    if _estimate_bytes(df) >= VERIFY_PRUNE_MIN_BYTES:
+        # Large corpus: materialize the candidate pairs (O(near-dup
+        # pairs) — tiny next to the corpus) so the verify stage prunes
+        # BOTH shingle branches to candidate docs only. Without this the
+        # full-corpus shingle set is computed twice more here (the joins
+        # cannot share subtrees), and a semi-join on candidate ids would
+        # re-run the whole LSH pipeline a second time. localCheckpoint
+        # truncates the lineage instead: computed once per invocation,
+        # never reused across calls. Size-gated (same pattern as the
+        # skew probe's byte gate): at toy scale the checkpoint's eager
+        # job costs more than two cheap re-shinglings (measured +1.3 s
+        # at 600 KB), at corpus scale the two saved full-corpus shingle
+        # passes dominate.
+        cand = cand.localCheckpoint()
+        ids = cand.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct()
+        # no _spread: after pruning the shingle work is O(candidates)
+        sh_src = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
+            F.broadcast(ids), "id"
+        )
+    else:
+        sh_src = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = sh_src.select(
         "id", word_shingles(F.col(text_col), k).alias("sh")
     )
     joined = (
