@@ -3185,12 +3185,16 @@ class MiniLakeTable:
         out_dir = os.path.join(self.data_dir, f"commit-{version + 1:06d}-{commit_id}")
         # both branches arrive bucket-clustered from the reduce — the
         # write never reshuffles
-        (
-            self._to_physical(merged, table_schema)
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
+        writer = self._to_physical(merged, table_schema).write.partitionBy(
+            BUCKET_COL
         )
+        if write_mode == "mor":
+            # deltas are short-lived (folded away by the next compaction):
+            # skip dictionary encoding on them — measured A/B below the
+            # bench noise on wall but strictly less encode CPU; COW files
+            # ARE the long-lived state and keep the dictionary
+            writer = writer.option("parquet.enable.dictionary", "false")
+        writer.mode("overwrite").parquet(out_dir)
         if touched is None:  # MOR: discover written buckets from the output
             touched = sorted(
                 b
